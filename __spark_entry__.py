@@ -3,8 +3,12 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+The inventory lives in ``datafusion_datasource_orc_spark.operators``; every
+operator registers its Spark callable and DuckDB oracle side-by-side
+(operators/registry.py), which keeps output column names aligned between the
+two — the comparator hashes values under sorted column names.
 """
 
 from __future__ import annotations
@@ -15,24 +19,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Mirrors the reference's flagship group-by golden
+    (tests/basic_reading.rs:919-948) over the ORC scan path: parquet →
+    ORC materialization → spark.read.orc → filter → groupBy → count.
+    """
+    from datafusion_datasource_orc_spark.operators.scan import orc_groupby_count
+
+    return orc_groupby_count(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from datafusion_datasource_orc_spark.operators import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each oracle-expressible query.
+    Approximate/stubbed ops (minhash LSH, simhash, vector LSH, stub decode)
+    are intentionally absent → driver records the weaker rows-only check."""
+    from datafusion_datasource_orc_spark.operators import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,93 @@
+"""Benchmark harness — the tpcds_bench.rs equivalent (SURVEY.md §2A-A21).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS], N iterations each (reference default 3,
+src/bin/tpcds_bench.rs:277-279; we use best-of to factor out JIT/session
+warmup like criterion's sampling does), and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q": sec, ...}, "sf": ...}
+
+Query timing = full execution to collect() (driver-side materialization,
+matching the reference's collect at src/bin/tpcds_bench.rs:543-574).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+ITERATIONS = int(os.environ.get("BENCH_ITERATIONS", "2"))
+
+# Headline set: the reference's demonstrated core (scan/filter/agg/groupby via
+# the ORC path), the join/window/TPC-H analytical surface, and one of each
+# beyond-reference pipeline family.
+HEADLINE = [
+    "orc_groupby_count",
+    "orc_filter_range",
+    "orc_count_star",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q18",
+    "window_rank",
+    "rollup_agg",
+    "dedup_exact_norm",
+    "dedup_minhash_lsh",
+    "simsearch_bruteforce",
+    "text_token_count",
+    "events_tumbling_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from datafusion_datasource_orc_spark.session import get_spark
+    from datafusion_datasource_orc_spark.operators import QUERIES
+    from datafusion_datasource_orc_spark.sources.tables import orc_dir_for
+
+    spark = get_spark(app_name="bench")
+
+    # Pre-materialize ORC tables outside the timed region (the reference's
+    # data-prep step, scripts/convert_tpcds_to_orc.py, is likewise untimed).
+    for t in ("region", "part", "lineitem", "documents"):
+        orc_dir_for(spark, sf_dir, t)
+
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        best = None
+        rows = -1
+        for _ in range(ITERATIONS):
+            t0 = time.perf_counter()
+            rows = len(fn(spark, sf_dir).collect())
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        results[name] = round(best, 4)
+        print(f"# {name}: {best:.3f}s rows={rows}", file=sys.stderr)
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_best_of_%d" % ITERATIONS,
+                "value": round(sum(results.values()), 4),
+                "unit": "sec",
+                "queries": results,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

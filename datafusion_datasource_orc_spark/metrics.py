@@ -1,0 +1,78 @@
+"""Scan & query metrics — the OrcFileMetrics surface (src/metrics.rs:57-217)
+re-expressed with Spark primitives.
+
+The reference tracks per-file counters (bytes_scanned, rows_decoded,
+batches_produced, stripes pruned/matched, decode_time) and a derived
+``scan_efficiency = bytes_scanned / file_size``. Spark aggregates metrics per
+scan (not per file); the equivalents:
+
+- row/value counters on any DataFrame edge → ``Observation`` (df.observe):
+  zero-cost accumulators evaluated inside the job, no extra pass.
+- bytes/files read, time → SparkContext status APIs + the SQL UI metrics.
+- per-file row counts/sizes (Precision::Exact, src/metadata.rs:64-86) →
+  sources.metadata footer reads.
+
+``ScanMetrics.observe`` + ``collect`` gives the reference's A14 numbers for a
+query; ``scan_efficiency`` uses observed row volume vs footer totals.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+@dataclass
+class QueryMetrics:
+    """One query execution's metrics record, shaped like the reference's
+    per-query JSON (src/bin/tpcds_bench.rs:160-175: elapsed + row_count)."""
+
+    name: str
+    elapsed_sec: float
+    row_count: int
+    observed: dict = field(default_factory=dict)
+
+
+class ScanMetrics:
+    """Attach observation points to a DataFrame and run it.
+
+    Usage::
+
+        sm = ScanMetrics()
+        df = sm.observe(df, rows=True, bytes_col="payload")
+        result = sm.run("myquery", df)   # QueryMetrics
+    """
+
+    def __init__(self) -> None:
+        self._observations: list[tuple[str, Observation]] = []
+
+    def observe(self, df: DataFrame, name: str = "scan", bytes_col: str | None = None) -> DataFrame:
+        obs = Observation(name)
+        aggs = [F.count(F.lit(1)).alias("rows_decoded")]
+        if bytes_col is not None:
+            aggs.append(F.sum(F.octet_length(F.col(bytes_col))).alias("bytes_scanned"))
+        self._observations.append((name, obs))
+        return df.observe(obs, *aggs)
+
+    def run(self, name: str, df: DataFrame) -> QueryMetrics:
+        t0 = time.perf_counter()
+        row_count = df.count()
+        elapsed = time.perf_counter() - t0
+        observed = {}
+        for oname, obs in self._observations:
+            try:
+                observed[oname] = obs.get
+            except Exception:
+                observed[oname] = {}
+        return QueryMetrics(name=name, elapsed_sec=elapsed, row_count=row_count, observed=observed)
+
+
+def scan_efficiency(bytes_scanned: int, file_size: int) -> float | None:
+    """Derived ratio, reference src/metrics.rs:203-217 (None when file_size
+    is unknown/zero, same contract)."""
+    if not file_size:
+        return None
+    return bytes_scanned / file_size

@@ -1,0 +1,19 @@
+"""Operator inventory. Importing this package registers every query in
+``registry.QUERIES`` / ``registry.ORACLES`` (see SURVEY.md §2 for the
+line-by-line coverage map)."""
+
+from datafusion_datasource_orc_spark.operators import (  # noqa: F401
+    dedup,
+    events,
+    multimodal,
+    relational,
+    scan,
+    simsearch,
+    textstats,
+    tpch,
+)
+from datafusion_datasource_orc_spark.operators.registry import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    query,
+)

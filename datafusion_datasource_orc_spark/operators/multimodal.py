@@ -1,0 +1,143 @@
+"""Multimodal-column plumbing (beyond-reference; north star).
+
+Pattern for image/audio/video at 100 TB: the payload is an opaque ``binary``
+column with a typed metadata struct beside it; decode / feature-extraction
+runs as Arrow-batched ``mapInPandas`` so bytes never round-trip through
+Python row-at-a-time. The container has no image/audio libs, so the decode
+kernel is a clearly-marked deterministic stub (`_fake_decode`) — the
+Spark-side plumbing (schema, batch shape, partitioning, UDF signature) is
+real and tested.
+
+The testdata has no binary column; payloads are synthesized as the UTF-8
+encoding of ``documents.text`` (deterministic, so the byte-level oracle
+holds).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datafusion_datasource_orc_spark.operators.registry import query
+from datafusion_datasource_orc_spark.sources.tables import load_table
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload binary, meta struct) — the canonical
+    multimodal layout: opaque bytes + typed metadata."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    meta = F.struct(
+        F.lit("text/plain").alias("mime"),
+        F.octet_length(payload).alias("n_bytes"),
+        F.col("lang").alias("lang"),
+    )
+    return docs.select("doc_id", payload.alias("payload"), meta.alias("meta"))
+
+
+# ---- oracle-checked plumbing: byte-level metadata ---------------------------
+@query(
+    "multimodal_bytes",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           'text/plain' AS mime
+    FROM documents
+    """,
+)
+def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    p = with_payload(docs)
+    return p.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+
+# ---- decode / feature-extract via mapInPandas -------------------------------
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("byte_checksum", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """STUB decode kernel — deterministic fake feature vector.
+
+    In production this is where PIL/torchaudio/ffmpeg decodes the payload;
+    those libs are absent here, so the 'feature' is 4 moments of the byte
+    histogram. Raise-or-fake is switchable via real_decoder below.
+    """
+    n = len(payload) or 1
+    s = sum(payload)
+    mean = s / n
+    var = sum((b - mean) ** 2 for b in payload) / n
+    return [float(n), float(mean), float(var), float(payload[0] if payload else 0)]
+
+
+def real_decoder(*_a, **_k):  # pragma: no cover - documentation stub
+    raise NotImplementedError(
+        "image/audio decode requires PIL/torchaudio/ffmpeg, not present in "
+        "this container; _fake_decode stands in deterministically"
+    )
+
+
+def decode_features(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: Arrow batches in, feature frame out. Vectorized
+    per-batch (one Python call per ~10k rows, not per row)."""
+    for pdf in pdf_iter:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int32"),
+                "byte_checksum": payloads.map(lambda b: sum(b) % (2**31)).astype("int64"),
+                "feature": payloads.map(_fake_decode),
+            }
+        )
+
+
+@query("multimodal_decode")  # stubbed decode → rows-only check; shape tested in pytest
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full multimodal pipeline: binary payload → mapInPandas decode →
+    typed feature column. Repartitions by doc_id so decode parallelism is
+    data-size-driven, not file-layout-driven (at 100 TB the payload files are
+    few and huge; decode wants even CPU-bound splits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = with_payload(docs).repartition("doc_id")
+    return p.mapInPandas(decode_features, schema=_DECODE_SCHEMA)
+
+
+# ---- frame-sampling shape: explode fixed-stride samples ----------------------
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(s AS INTEGER) AS frame_offset,
+           substr(text, CAST(s AS INTEGER) + 1, 16) AS frame
+    FROM documents, UNNEST(range(0, CAST(length(text) AS BIGINT), 64)) AS t(s)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per fixed-stride sample of the
+    payload (stride 64, width 16) — the video-frame / audio-clip extraction
+    shape, exercised on text bytes so it oracle-checks. explode() keeps it
+    fully distributed (no driver loop)."""
+    docs = load_table(spark, sf_dir, "documents")
+    offsets = F.sequence(F.lit(0), F.length("text") - 1, F.lit(64))
+    return (
+        docs.select("doc_id", "text", F.explode(offsets).alias("frame_offset"))
+        .select(
+            "doc_id",
+            F.col("frame_offset").cast("int").alias("frame_offset"),
+            F.substring(F.col("text"), F.col("frame_offset") + 1, 16).alias("frame"),
+        )
+    )

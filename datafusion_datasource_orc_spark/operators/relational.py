@@ -1,0 +1,443 @@
+"""Wide relational surface — joins, windows, set ops, subqueries, grouping
+sets, scalar functions (SURVEY.md §2B rows B13-B16).
+
+The reference reaches these only through DataFusion's TPC-DS run
+(src/bin/tpcds_bench.rs:68-69: queries 1-99); here each capability is a named,
+oracle-checked query. DataFrame API where natural, ``spark.sql`` for
+subquery-heavy shapes (same Catalyst plan either way).
+
+Scale notes per operator are inline; the recurring ones:
+- dimension joins (region/nation/supplier) are explicit ``F.broadcast`` —
+  at 100 TB the fact side never shuffles for these.
+- fact-fact joins (customer x orders) shuffle on the join key; AQE handles
+  skew. Group-bys do map-side partial aggregation.
+- window functions shuffle once on the partition key; running sums use the
+  default frame (unbounded-preceding..current-row) with a unique tie-break so
+  results are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datafusion_datasource_orc_spark.functions.portable import (
+    money_avg,
+    money_avg_sql,
+    money_sum,
+    money_sum_sql,
+)
+from datafusion_datasource_orc_spark.operators.registry import query
+from datafusion_datasource_orc_spark.sources.tables import load_table, register_views
+
+
+# B13 — COUNT + AVG with filter (benches/orc_query_sql.rs:147-155)
+@query(
+    "agg_avg_filter",
+    oracle=f"""
+    SELECT COUNT(*) AS cnt,
+           {money_avg_sql('l_extendedprice')} AS avg_price
+    FROM lineitem WHERE l_quantity > 10
+    """,
+)
+def agg_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") > 10).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        money_avg(F.col("l_extendedprice")).alias("avg_price"),
+    )
+
+
+# DISTINCT (B16 surface)
+@query(
+    "distinct_values",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# B15 — inner equi-join, fact x fact: shuffles on the key; at scale AQE picks
+# shuffled-hash vs sort-merge and splits skewed partitions.
+@query(
+    "join_inner",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS order_cnt,
+           {money_sum_sql('o_totalprice', 2)} AS total
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            money_sum(F.col("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+# B15 — broadcast dimension join chain: customer → nation → region.
+# Explicit broadcast: the dims are KBs; the fact side never moves.
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r_name, COUNT(*) AS cust_cnt
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("cust_cnt"))
+    )
+
+
+# B15 — left outer join preserving zero-order customers
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS order_cnt
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+# B16 — semi join (EXISTS): customers having at least one finished order
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+# B16 — anti join (NOT EXISTS): customers with no orders at all
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+# B16 — window rank: top-2 orders per customer (rank() used by many TPC-DS
+# queries). Unique tie-break (o_orderkey) makes the <=2 cut deterministic.
+@query(
+    "window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rnk FROM (
+        SELECT o_custkey, o_orderkey,
+               RANK() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders
+    ) WHERE rnk <= 2
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+# B16 — running sum window (exact decimal accumulation → deterministic)
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_total"),
+    )
+
+
+# B16 — ROLLUP (TPC-DS q18/q22/q67 style)
+@query(
+    "rollup_agg",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           {money_sum_sql('o_totalprice', 2)} AS total
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        money_sum(F.col("o_totalprice"), 2).alias("total"),
+    )
+
+
+# B16 — CUBE / grouping sets
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# B16 — UNION ALL
+@query(
+    "union_all",
+    oracle="""
+    SELECT nationkey, COUNT(*) AS cnt FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY nationkey
+    """,
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# B16 — INTERSECT / EXCEPT
+@query(
+    "intersect_keys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "except_keys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # subtract == SQL EXCEPT (set semantics); exceptAll is bag
+
+
+# B16 — CASE WHEN bucketing
+@query(
+    "case_when_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                WHEN o_totalprice < 300000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           COUNT(*) AS cnt
+    FROM orders GROUP BY 1
+    """,
+)
+def case_when_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    return o.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# B16 — IN subquery (uncorrelated)
+@query(
+    "in_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        """
+    )
+
+
+# B16 — correlated EXISTS subquery
+@query(
+    "exists_correlated",
+    oracle="""
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+)
+def exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders", "customer"))
+    return spark.sql(
+        """
+        SELECT c_custkey FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+        """
+    )
+
+
+# B16 — scalar subquery
+@query(
+    "scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+# B16 — CTE
+@query(
+    "cte_top_nations",
+    oracle="""
+    WITH cust_per_nation AS (
+        SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY c_nationkey
+    )
+    SELECT n_name, cnt FROM cust_per_nation
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE cnt > 20
+    """,
+)
+def cte_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(
+        """
+        WITH cust_per_nation AS (
+            SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY c_nationkey
+        )
+        SELECT n_name, cnt FROM cust_per_nation
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE cnt > 20
+        """
+    )
+
+
+# B16 — scalar string/date function surface (what TPC-DS SQL leans on)
+@query(
+    "scalar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           UPPER(o_orderpriority) AS pri_upper,
+           SUBSTRING(o_orderstatus, 1, 1) AS status_c,
+           LENGTH(o_orderpriority) AS pri_len,
+           YEAR(o_orderdate) AS yr,
+           MONTH(o_orderdate) AS mo,
+           o_orderkey % 7 AS k_mod,
+           ABS(o_totalprice - 250000.0) AS dist_mid
+    FROM orders
+    """,
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pri_upper"),
+        F.substring("o_orderstatus", 1, 1).alias("status_c"),
+        F.length("o_orderpriority").alias("pri_len"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        (F.col("o_orderkey") % 7).alias("k_mod"),
+        F.abs(F.col("o_totalprice") - F.lit(250000.0)).alias("dist_mid"),
+    )
+
+
+# B16 — approximate aggregates are absent in the reference (SURVEY §2C); we
+# add the exact cardinality as the oracle-checked query and expose
+# approx_count_distinct alongside (tested for tolerance in pytest).
+@query(
+    "count_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders
+    """,
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+    )

@@ -1,0 +1,226 @@
+"""Scan-surface queries over the ORC path — the reference's demonstrated core.
+
+Every query here goes parquet → ORC (cached materialization) → ``spark.read
+.orc`` so the actual ORC reader executes projection / predicate / limit
+pushdown, the operators the reference implements itself (SURVEY.md §2A
+A7/A8/A11) and golden-tests in tests/basic_reading.rs +
+tests/predicate_pushdown.rs. Oracle SQL runs on the same rows via the parquet
+views, so results must agree.
+
+Pushdown is verified separately in plans/pushdown.py tests (PushedFilters /
+ReadSchema in explain output), mirroring the reference's EXPLAIN surface
+(src/source.rs:240-255).
+
+Scale note: these compile to a single scan stage each — no shuffle except the
+group-bys, which do map-side partial aggregation. Filters and projections are
+pushed to the ORC stripe level by Catalyst, the same stripe pruning the
+reference does (src/predicate.rs:53-245), plus Spark's row-group granularity
+the reference only TODOs (src/opener.rs:64-66).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_datasource_orc_spark.operators.registry import query
+from datafusion_datasource_orc_spark.sources.tables import load_orc_table
+
+
+# B1 — full table scan (tests/basic_reading.rs:245-278; bench full_table_scan)
+@query("orc_scan_full", oracle="SELECT * FROM region")
+def orc_scan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_orc_table(spark, sf_dir, "region")
+
+
+# B2 — projection subset + reorder (tests/basic_reading.rs:313-385)
+@query("orc_projection", oracle="SELECT l_linenumber, l_orderkey, l_quantity FROM lineitem")
+def orc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_orc_table(spark, sf_dir, "lineitem").select(
+        "l_linenumber", "l_orderkey", "l_quantity"
+    )
+
+
+# B3 — equality filter on string (tests/predicate_pushdown.rs:314-342)
+@query(
+    "orc_filter_eq",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag
+    FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def orc_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_orc_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+    )
+
+
+# B4 — range filter (tests/predicate_pushdown.rs:102-207)
+@query(
+    "orc_filter_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity >= 10 AND l_quantity <= 20
+    """,
+)
+def orc_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_orc_table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20)).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+# B5 — != filter (tests/predicate_pushdown.rs:414-443)
+@query(
+    "orc_filter_neq",
+    oracle="SELECT p_partkey, p_brand, p_size FROM part WHERE p_size != 10",
+)
+def orc_filter_neq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_orc_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") != 10)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+
+
+# B6 — AND/OR compound (tests/predicate_pushdown.rs:171-241)
+@query(
+    "orc_filter_compound",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+    FROM lineitem
+    WHERE (l_returnflag = 'A' OR l_returnflag = 'R') AND l_quantity < 10
+    """,
+)
+def orc_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_orc_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        ((F.col("l_returnflag") == "A") | (F.col("l_returnflag") == "R"))
+        & (F.col("l_quantity") < 10)
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+
+# B7 — IS NULL / IS NOT NULL (tests/predicate_pushdown.rs:243-311). Testdata has
+# no physical NULLs, so a nullable column is synthesized with NULLIF on both
+# sides — the null-semantics check is identical.
+@query(
+    "orc_filter_isnull",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, NULLIF(lang, 'en') AS lang FROM documents
+    ) WHERE lang IS NULL
+    """,
+)
+def orc_filter_isnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_orc_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.nullif(F.col("lang"), F.lit("en")).alias("lang"))
+        .filter(F.col("lang").isNull())
+    )
+
+
+@query(
+    "orc_filter_isnotnull",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, NULLIF(lang, 'en') AS lang FROM documents
+    ) WHERE lang IS NOT NULL
+    """,
+)
+def orc_filter_isnotnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_orc_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.nullif(F.col("lang"), F.lit("en")).alias("lang"))
+        .filter(F.col("lang").isNotNull())
+    )
+
+
+# B9+B10 — sort + deterministic limit (tests/basic_reading.rs:287-298).
+# Tie-break on the unique (l_orderkey, l_linenumber) so LIMIT is well-defined
+# across engines.
+@query(
+    "orc_sort_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+)
+def orc_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_orc_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+# B11 — COUNT(*) (tests/basic_reading.rs:413-443; bench count_all_rows).
+# Metadata-only count: Spark answers from ORC footer row counts, the same
+# Precision::Exact statistic the reference extracts (src/metadata.rs:77-85).
+@query("orc_count_star", oracle="SELECT COUNT(*) AS cnt FROM lineitem")
+def orc_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_orc_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# B12 — MIN/MAX (tests/basic_reading.rs:893-916)
+@query(
+    "orc_minmax",
+    oracle="""
+    SELECT MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+           CAST(MIN(l_shipdate) AS DATE) AS min_ship,
+           CAST(MAX(l_shipdate) AS DATE) AS max_ship
+    FROM lineitem
+    """,
+)
+def orc_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_orc_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min(F.col("l_shipdate").cast("date")).alias("min_ship"),
+        F.max(F.col("l_shipdate").cast("date")).alias("max_ship"),
+    )
+
+
+# B14 — GROUP BY + count + alias (tests/basic_reading.rs:919-948 —
+# the reference's flagship group-by golden; also the entry() flagship here).
+@query(
+    "orc_groupby_count",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS cnt
+    FROM lineitem WHERE l_returnflag IS NOT NULL
+    GROUP BY l_returnflag
+    """,
+)
+def orc_groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_orc_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag").isNotNull())
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# B8 — combined filter + projection + sort + limit
+# (bench combined_query, benches/orc_query_sql.rs:163-171)
+@query(
+    "orc_combined",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag
+    FROM lineitem WHERE l_quantity > 30
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 5
+    """,
+)
+def orc_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_orc_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(5)
+    )

@@ -1,0 +1,183 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+Beyond-reference (BASELINE.json north star). Two tiers:
+
+- brute-force cosine top-k — the exactness baseline. Pure Column expressions
+  (zip_with/aggregate in double), broadcast of the query vectors; one scan of
+  the corpus, no shuffle until the final top-k.
+- LSH-bucketed ANN — the 100 TB path: random-hyperplane signatures bucket the
+  corpus (linear shuffle); search probes only matching buckets. Hyperplanes
+  are derived deterministically from xxhash64 so results are reproducible
+  without driver-side randomness.
+
+Oracle note: cosine is accumulated in DOUBLE sequentially on both engines and
+the output similarity is rounded to 6 dp, so hashes match (floating-point
+order trap — SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datafusion_datasource_orc_spark.functions.vectors import cosine_similarity, dot_product, l2_norm
+from datafusion_datasource_orc_spark.operators.registry import query
+from datafusion_datasource_orc_spark.sources.tables import load_table
+
+TOP_K = 10
+
+# DuckDB twin of functions.vectors.cosine_similarity: explicit double casts +
+# sequential list_sum so the accumulation matches Spark's aggregate().
+_SQL_COSINE = """
+    list_sum(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])),
+                            t -> t[1] * t[2]))
+    / (sqrt(list_sum(list_transform(CAST({a} AS DOUBLE[]), x -> x * x)))
+       * sqrt(list_sum(list_transform(CAST({b} AS DOUBLE[]), x -> x * x))))
+"""
+
+
+@query(
+    "simsearch_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND({_SQL_COSINE.format(a='embedding', b='qe')}, 6) AS sim
+    FROM embeddings, q
+    WHERE vec_id != 0
+    ORDER BY sim DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def simsearch_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for query vector vec_id=0. Declarative end-to-end:
+    the 1-row query side is broadcast, the corpus is scanned once, and the
+    global top-k is a TakeOrderedAndProject (no full sort)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    sim = F.round(cosine_similarity(F.col("embedding"), F.col("qe")), 6)
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(TOP_K)
+    )
+
+
+@query(
+    "simsearch_knn_join",
+    oracle=f"""
+    SELECT q_vec_id, vec_id, rnk FROM (
+        SELECT q.vec_id AS q_vec_id, c.vec_id AS vec_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND({_SQL_COSINE.format(a='c.embedding', b='q.embedding')}, 6) DESC,
+                            c.vec_id
+               ) AS rnk
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 5
+    ) WHERE rnk <= 3
+    """,
+)
+def simsearch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: top-3 neighbours for each of 5 query vectors.
+    The query side is broadcast; per-query ranking is a window over the
+    similarity — at scale, replace the full cross product with the LSH
+    variant below and rank within probed buckets only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id"), F.col("embedding"))
+    sim = F.round(cosine_similarity(F.col("embedding"), F.col("qe")), 6)
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "vec_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("q_vec_id", "vec_id", "rnk")
+    )
+
+
+N_HYPERPLANES = 8
+
+
+def _hyperplane_sig(vec, n_planes: int = N_HYPERPLANES):
+    """Random-hyperplane signature with deterministic pseudo-random planes:
+    plane p's component i = centered xxhash64("p:i") — reproducible across
+    runs and executors, no driver-side RNG or broadcast of plane matrices."""
+    def _plane_component(p: int):
+        # single-arg factory: pyspark treats 2-param lambdas as (element, index)
+        def fn(i):
+            return (
+                F.xxhash64(F.concat(F.lit(f"{p}:"), i.cast("string"))) % 1000003
+            ).cast("double")
+
+        return fn
+
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(F.sequence(F.lit(0), F.size(vec) - 1), _plane_component(p)),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+@query("simsearch_lsh")  # approximate ANN → rows-only check; recall tested in pytest
+def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: corpus bucketed by hyperplane signature (one linear
+    shuffle); each query probes only its own bucket, then exact cosine ranks
+    within the bucket. Top-3 per query for queries vec_id < 5."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = _hyperplane_sig(F.col("embedding"))
+    corpus = emb.select("vec_id", "embedding", sig.alias("sig"))
+    q = corpus.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("qe"),
+        F.col("sig").alias("q_sig"),
+    )
+    sim = F.round(cosine_similarity(F.col("embedding"), F.col("qe")), 6)
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        corpus.join(
+            F.broadcast(q),
+            (F.col("sig") == F.col("q_sig")) & (F.col("vec_id") != F.col("q_vec_id")),
+        )
+        .select("q_vec_id", "vec_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("q_vec_id", "vec_id", "rnk", "sim")
+    )
+
+
+@query(
+    "embedding_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS DECIMAL(18,6))) AS DOUBLE) AS total_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus stats: count + exact-decimal sum of (rounded) L2
+    norms. Norm rounded to 6 dp before the decimal-sum so both engines
+    aggregate identical values."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm6 = F.round(l2_norm(F.col("embedding")), 6)
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(norm6.cast("decimal(18,6)")).cast("double").alias("total_norm"),
+    )

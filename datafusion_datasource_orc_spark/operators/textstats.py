@@ -1,0 +1,197 @@
+"""Text-analysis operators over ``documents`` (beyond-reference; north star).
+
+Language ID, quality scoring, token counting, fingerprinting — each a single
+linear scan built from JVM-side expressions (split/regexp/array ops inside
+whole-stage codegen). Nothing here shuffles except the final group-bys; all
+scale trivially to 100 TB.
+
+Oracle notes: the heuristics are *specified as arithmetic*, so the DuckDB
+twin runs the identical formula — the gate checks engine equivalence, not
+linguistic accuracy. Regex dialects differ (Java vs RE2) but every pattern
+used is in the common subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_datasource_orc_spark.operators.registry import query
+from datafusion_datasource_orc_spark.sources.tables import load_table
+
+# Stopword spec shared by the Spark and SQL twins (tiny demo lists; swap for
+# real per-language tables at scale — broadcast join against a stopword dim).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "un", "est", "pas", "que"],
+}
+TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"  # BPE-ish pre-tokenizer: runs of letters/digits/punct
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.lower(col), r"\s+")
+
+
+def _sql_array(vals: list[str]) -> str:
+    inner = ", ".join(f"'{v}'" for v in vals)
+    return f"[{inner}]"
+
+
+# ---- token counting ---------------------------------------------------------
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split_regex(lower(text), '\\s+')) AS n_words,
+           len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens,
+           n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace word count + BPE-ish regex token count per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_words(F.col("text"))).alias("n_words"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).alias("n_tokens"),
+        "n_chars",
+    )
+
+
+# ---- quality scoring --------------------------------------------------------
+@query(
+    "text_quality",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS text_len,
+           len(string_split_regex(lower(text), '\\s+')) AS n_words,
+           len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS n_distinct_words,
+           CAST(len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS DOUBLE)
+             / len(string_split_regex(lower(text), '\\s+')) AS lexical_diversity,
+           CAST(length(text) AS DOUBLE)
+             / len(string_split_regex(lower(text), '\\s+')) AS avg_word_len,
+           CASE WHEN len(string_split_regex(lower(text), '\\s+')) BETWEEN 20 AND 1000
+                 AND CAST(len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS DOUBLE)
+                     / len(string_split_regex(lower(text), '\\s+')) > 0.2
+                THEN 1 ELSE 0 END AS quality_pass
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / diversity quality gates — the standard cheap pre-filters of a
+    training-data pipeline (C4/Gopher-style rules, arithmetic subset)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    n_words = F.size(w)
+    n_distinct = F.size(F.array_distinct(w))
+    diversity = n_distinct.cast("double") / n_words.cast("double")
+    avg_word_len = F.length("text").cast("double") / n_words.cast("double")
+    quality = F.when(
+        n_words.between(20, 1000) & (diversity > 0.2), F.lit(1)
+    ).otherwise(F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        n_words.alias("n_words"),
+        n_distinct.alias("n_distinct_words"),
+        diversity.alias("lexical_diversity"),
+        avg_word_len.alias("avg_word_len"),
+        quality.alias("quality_pass"),
+    )
+
+
+# ---- language ID ------------------------------------------------------------
+def _lang_scores_spark(w: Column) -> dict[str, Column]:
+    return {
+        lang: F.size(F.array_intersect(F.array_distinct(w), F.array(*[F.lit(s) for s in sw])))
+        for lang, sw in STOPWORDS.items()
+    }
+
+
+@query(
+    "lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0 THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+             WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+             WHEN s_fr > 0 THEN 'fr'
+             ELSE 'unknown'
+           END AS predicted_lang
+    FROM (
+      SELECT doc_id, lang,
+             len(list_intersect(dw, {_sql_array(STOPWORDS['en'])})) AS s_en,
+             len(list_intersect(dw, {_sql_array(STOPWORDS['es'])})) AS s_es,
+             len(list_intersect(dw, {_sql_array(STOPWORDS['de'])})) AS s_de,
+             len(list_intersect(dw, {_sql_array(STOPWORDS['fr'])})) AS s_fr
+      FROM (SELECT doc_id, lang,
+                   list_distinct(string_split_regex(lower(text), '\\s+')) AS dw
+            FROM documents)
+    )
+    """,
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (n-gram-heuristic family). Deterministic
+    argmax with a fixed tie order (en > es > de > fr)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    s = _lang_scores_spark(w)
+    predicted = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] > 0),
+            "en",
+        )
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]) & (s["es"] > 0), "es")
+        .when((s["de"] >= s["fr"]) & (s["de"] > 0), "de")
+        .when(s["fr"] > 0, "fr")
+        .otherwise("unknown")
+    )
+    return docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), predicted.alias("predicted_lang")
+    )
+
+
+# ---- fingerprinting ---------------------------------------------------------
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 8) AS shard_key
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized content fingerprint (md5 over collapsed-whitespace
+    lowercase text) + an 8-hex shard key — the join/partition handle for
+    cross-corpus dedup at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    fp = F.md5(norm.cast("binary"))
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("shard_key")
+    )
+
+
+# ---- corpus rollup ----------------------------------------------------------
+@query(
+    "corpus_stats_by_source",
+    oracle="""
+    SELECT source, lang, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY source, lang
+    """,
+)
+def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -1,0 +1,101 @@
+"""Explain-plan introspection: prove pushdown reached the scan.
+
+The reference renders ``predicate=`` into its plan display
+(src/source.rs:240-255) and negotiates per-filter pushdown
+(src/source.rs:257-289). Spark's equivalent signals live in
+``df.explain("formatted")`` output for a FileScan:
+
+- ``PushedFilters: [IsNotNull(x), EqualTo(x,1)]``  — predicate pushdown (A8)
+- ``ReadSchema: struct<a:int,b:string>``           — projection pushdown (A7)
+- ``(N) Scan orc`` / ``Location``                  — which source, which files
+
+These helpers parse that output so tests can assert, per predicate shape,
+that the filter was actually pushed (the reference's test strategy,
+tests/predicate_pushdown.rs) — and that plans stay inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_formatted(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _split_top_level(body: str) -> list[str]:
+    """Split 'A(x,1), Or(B(y,2),C(z,3))' on depth-0 commas only."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's file scans, flattened.
+
+    NOTE: Spark renders PushedFilters in the plan even when
+    spark.sql.orc.filterPushdown=false — the display shows *candidate*
+    filters; the conf gates whether the reader builds SearchArguments. (The
+    reference's display is equivalent: predicate= always rendered,
+    src/source.rs:240-255.)"""
+    text = explain_formatted(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
+        out.extend(_split_top_level(m.group(1)))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists of each scan's ReadSchema — the projection that reached
+    the reader (column pruning proof)."""
+    text = explain_formatted(df)
+    schemas = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", text):
+        body = m.group(1).strip()
+        cols = [c.split(":")[0].strip() for c in body.split(",") if c.strip()]
+        schemas.append(cols)
+    return schemas
+
+
+def uses_whole_stage_codegen(df: DataFrame, execute: bool = True) -> bool:
+    """True if the physical plan contains WholeStageCodegen stages (the
+    '*(n)' markers). Under AQE the final plan only materializes on execution,
+    so by default the plan is run first (intended for tests / plan iteration
+    on small data, not production hot paths)."""
+    if execute:
+        # collect(), not count(): count() builds a *different* QueryExecution;
+        # only executing this exact plan finalizes its AQE plan in place.
+        df.collect()
+    text = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
+    return "*(" in text
+
+
+def scan_summary(df: DataFrame) -> dict:
+    """One-call scan report for plan-quality iteration (.explain and check)."""
+    text = explain_formatted(df)
+    return {
+        "formats": re.findall(r"Scan (\w+)", text),
+        "pushed_filters": pushed_filters(df),
+        "read_schemas": read_schema_columns(df),
+        "whole_stage_codegen": uses_whole_stage_codegen(df),
+        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", text)),
+        "sort_merge_joins": len(re.findall(r"SortMergeJoin", text)),
+        "shuffles": len(re.findall(r"\bExchange\b", text)),
+    }

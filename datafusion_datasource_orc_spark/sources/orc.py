@@ -1,0 +1,161 @@
+"""ORC connector surface.
+
+Re-expresses the reference's format layer on Spark's native ORC datasource:
+
+- ``OrcFormatOptions``  — the read-options dict of src/options.rs:30-114
+  (``orc.batch_size``, ``orc.pushdown_predicate``, ``orc.metadata_size_hint``)
+  with the same parse/validation/unknown-key semantics, mapped to
+  ``spark.sql.orc.*`` session confs.
+- ``OrcTableCatalog``   — the ListingTable registration flow of
+  src/bin/tpcds_bench.rs:521-614 (``register_orc_table`` → temp view; schema
+  inference happens in Spark's reader, multi-file merge via mergeSchema like
+  src/file_format.rs:137-162).
+- ``write_orc``         — the writer the reference stubs out
+  (src/writer.rs:18-23); Spark-native, with compression + partitioning,
+  so this exceeds the reference.
+
+Scale notes: registration is metadata-only (no data read besides footers);
+``write_orc`` controls output file sizing via ``maxRecordsPerFile`` /
+repartition so a 100 TB write yields reader-friendly (~128-512 MB) files
+rather than task-count-many shards.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Reference defaults: src/options.rs:30-47
+DEFAULT_BATCH_SIZE = 8192
+DEFAULT_PUSHDOWN_PREDICATE = True
+
+_TRUE = {"true", "1", "yes", "on"}
+_FALSE = {"false", "0", "no", "off"}
+
+
+class OrcOptionError(ValueError):
+    """Typed parse error, mirroring the reference's config errors
+    (src/options.rs:84-97: 'Invalid value for orc.batch_size: ...')."""
+
+
+def _parse_bool(key: str, value: str) -> bool:
+    v = value.strip().lower()
+    if v in _TRUE:
+        return True
+    if v in _FALSE:
+        return False
+    raise OrcOptionError(f"Invalid value for {key}: {value!r} (expected boolean)")
+
+
+def _parse_positive_int(key: str, value: str) -> int:
+    try:
+        n = int(value.strip())
+    except ValueError as exc:
+        raise OrcOptionError(f"Invalid value for {key}: {value!r} (expected integer)") from exc
+    if n <= 0:
+        raise OrcOptionError(f"Invalid value for {key}: {value!r} (must be positive)")
+    return n
+
+
+@dataclass
+class OrcFormatOptions:
+    """Mirror of the reference's OrcFormatOptions (src/options.rs:24-47).
+
+    ``metadata_size_hint`` has no Spark equivalent (Spark's ORC reader manages
+    its own footer prefetch); it is accepted, validated, and recorded but is a
+    documented no-op — SURVEY.md §7 'un-mappables'.
+    """
+
+    batch_size: int = DEFAULT_BATCH_SIZE
+    pushdown_predicate: bool = DEFAULT_PUSHDOWN_PREDICATE
+    metadata_size_hint: int | None = None
+    merge_schema: bool = False
+    ignored_keys: list[str] = field(default_factory=list)
+
+    # src/options.rs:79-98 — parse a string map; unknown keys are ignored.
+    def apply_format_options(self, options: dict[str, str]) -> "OrcFormatOptions":
+        for key, value in options.items():
+            if key == "orc.batch_size":
+                self.batch_size = _parse_positive_int(key, value)
+            elif key == "orc.pushdown_predicate":
+                self.pushdown_predicate = _parse_bool(key, value)
+            elif key == "orc.metadata_size_hint":
+                self.metadata_size_hint = _parse_positive_int(key, value)
+            elif key == "orc.merge_schema":
+                self.merge_schema = _parse_bool(key, value)
+            else:
+                self.ignored_keys.append(key)
+        return self
+
+    def spark_confs(self) -> dict[str, str]:
+        """The spark.sql.orc.* conf mapping (SURVEY.md §2A-A15)."""
+        return {
+            "spark.sql.orc.columnarReaderBatchSize": str(self.batch_size),
+            "spark.sql.orc.filterPushdown": str(self.pushdown_predicate).lower(),
+            "spark.sql.orc.mergeSchema": str(self.merge_schema).lower(),
+        }
+
+    def apply_to_session(self, spark: SparkSession) -> None:
+        for k, v in self.spark_confs().items():
+            spark.conf.set(k, v)
+
+
+class OrcTableCatalog:
+    """ListingTable-style registration (src/bin/tpcds_bench.rs:521-614).
+
+    ``register(name, path)`` = parse url → infer schema → register table, in
+    Spark terms: ``spark.read.orc(path)`` (footer-only) →
+    ``createOrReplaceTempView``. ``mem_table=True`` mirrors the harness's
+    ``--mem-table`` flag (MemTable::load, tpcds_bench.rs:525-536) via
+    ``.cache()``.
+    """
+
+    def __init__(self, spark: SparkSession, options: OrcFormatOptions | None = None):
+        self.spark = spark
+        self.options = options or OrcFormatOptions()
+        self.options.apply_to_session(spark)
+        self.tables: dict[str, str] = {}
+
+    def register(self, name: str, path: str, mem_table: bool = False) -> DataFrame:
+        reader = self.spark.read
+        if self.options.merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.orc(path)
+        if mem_table:
+            df = df.cache()
+        df.createOrReplaceTempView(name)
+        self.tables[name] = path
+        return df
+
+    def schema(self, name: str):
+        return self.spark.table(name).schema
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    compression: str = "snappy",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    target_file_rows: int | None = None,
+    coalesce: int | None = None,
+) -> None:
+    """ORC writer (reference stub src/writer.rs:18-23 — implemented here).
+
+    ``target_file_rows`` caps rows per output file (maxRecordsPerFile) so
+    cluster-scale writes produce bounded file sizes; ``coalesce`` merges tiny
+    local outputs (small dims → 1 file, like the reference's one-file-per-table
+    TPC-DS layout, scripts/convert_tpcds_to_orc.py:61-83).
+    """
+    if coalesce:
+        df = df.coalesce(coalesce)
+    writer = df.write.mode(mode).option("compression", compression)
+    if target_file_rows:
+        writer = writer.option("maxRecordsPerFile", str(target_file_rows))
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -1,0 +1,6 @@
+from datafusion_datasource_orc_spark.streaming.events import (  # noqa: F401
+    events_stream,
+    stream_tumbling_counts,
+    stream_user_running_totals,
+    run_stream_to_memory,
+)

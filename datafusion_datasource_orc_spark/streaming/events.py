@@ -1,0 +1,95 @@
+"""Structured Streaming operators over the events table.
+
+Beyond-reference: the reference is strictly batch (SURVEY.md §2C — no
+streaming model anywhere in the crate). These operators give the engine the
+streaming half of a training-data pipeline: incremental ingestion with event
+-time windows, watermarked late-data handling, and stateful running
+aggregates.
+
+Design: each streaming transformation shares its aggregation expressions
+with the batch twin in ``operators/events.py``, so batch results
+oracle-validate streaming semantics (run via ``trigger(availableNow=True)``
+on a file source and compare — that is exactly what tests/test_streaming.py
+does).
+
+Scale notes: file-source streaming partitions by input files;
+``maxFilesPerTrigger`` bounds micro-batch size. Watermark = 1 hour: state for
+closed windows is dropped, so long-running state stays bounded no matter the
+input volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source event stream (schema must be declared for streaming reads)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(source_dir)
+
+
+def stream_tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators.events.events_tumbling_window: watermarked
+    1-hour tumbling counts + exact-decimal value sums per event_type."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+def stream_user_running_totals(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful per-user aggregate (complete-per-key semantics via update
+    mode): event count + value total per user."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming query over all currently-available input
+    (trigger=availableNow) into an in-memory sink and return the result as a
+    batch DataFrame. This is the test/validation harness path."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

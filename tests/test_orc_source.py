@@ -1,0 +1,155 @@
+"""Connector-surface tests, mirroring the reference's unit layers:
+options parsing (src/options.rs:116-225), schema/stats (src/metadata.rs:88-181),
+error paths + config behavior (tests/basic_reading.rs:450-606), writer."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from datafusion_datasource_orc_spark.sources import (
+    OrcFormatOptions,
+    OrcTableCatalog,
+    infer_merged_schema,
+    read_orc_schema,
+    read_orc_statistics,
+    write_orc,
+)
+from datafusion_datasource_orc_spark.sources.metadata import directory_statistics
+from datafusion_datasource_orc_spark.sources.orc import OrcOptionError
+from datafusion_datasource_orc_spark.sources.tables import load_table, orc_dir_for
+
+
+# ---- options parsing (reference src/options.rs tests) ------------------------
+class TestOptions:
+    def test_defaults(self):
+        o = OrcFormatOptions()
+        assert o.batch_size == 8192
+        assert o.pushdown_predicate is True
+        assert o.metadata_size_hint is None
+
+    def test_apply_each_key(self):
+        o = OrcFormatOptions().apply_format_options(
+            {
+                "orc.batch_size": "1024",
+                "orc.pushdown_predicate": "false",
+                "orc.metadata_size_hint": "65536",
+            }
+        )
+        assert o.batch_size == 1024
+        assert o.pushdown_predicate is False
+        assert o.metadata_size_hint == 65536
+
+    @pytest.mark.parametrize(
+        "key,value",
+        [
+            ("orc.batch_size", "abc"),
+            ("orc.batch_size", "-1"),
+            ("orc.batch_size", "0"),
+            ("orc.pushdown_predicate", "maybe"),
+            ("orc.metadata_size_hint", "x"),
+        ],
+    )
+    def test_invalid_values(self, key, value):
+        with pytest.raises(OrcOptionError):
+            OrcFormatOptions().apply_format_options({key: value})
+
+    def test_unknown_keys_ignored(self):
+        # reference: unknown keys tolerated (src/options.rs:79-98)
+        o = OrcFormatOptions().apply_format_options({"orc.unknown_key": "1", "foo": "bar"})
+        assert o.batch_size == 8192
+        assert set(o.ignored_keys) == {"orc.unknown_key", "foo"}
+
+    def test_spark_conf_mapping(self):
+        o = OrcFormatOptions(batch_size=2048, pushdown_predicate=False)
+        confs = o.spark_confs()
+        assert confs["spark.sql.orc.columnarReaderBatchSize"] == "2048"
+        assert confs["spark.sql.orc.filterPushdown"] == "false"
+
+
+# ---- schema inference + stats (reference src/metadata.rs tests) ---------------
+class TestMetadata:
+    def test_schema_inference_single_file(self, spark, sf_dir):
+        d = orc_dir_for(spark, sf_dir, "nation")
+        files = [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".orc")]
+        assert files
+        schema = read_orc_schema(files[0])
+        assert {f for f in schema.names} >= {"n_nationkey", "n_name", "n_regionkey"}
+
+    def test_exact_row_count_statistics(self, spark, sf_dir, ddb):
+        # Precision::Exact semantics (src/metadata.rs:82: exact 11-row count)
+        d = orc_dir_for(spark, sf_dir, "region")
+        stats = directory_statistics(d)
+        expected = ddb.execute("SELECT count(*) FROM region").fetchone()[0]
+        assert stats["num_rows"] == expected
+        assert stats["total_byte_size"] > 0
+        assert all(s.num_rows >= 0 for s in stats["files"])
+
+    def test_merged_schema_over_directory(self, spark, sf_dir):
+        d = orc_dir_for(spark, sf_dir, "lineitem")
+        merged = infer_merged_schema(d)
+        assert "l_orderkey" in merged.names
+
+    def test_nonexistent_path_errors(self):
+        # error path parity: tests/basic_reading.rs:450-522
+        with pytest.raises(FileNotFoundError):
+            infer_merged_schema("/nonexistent/path/xyz")
+
+
+# ---- catalog registration (ListingTable flow) ---------------------------------
+class TestCatalog:
+    def test_register_and_query(self, spark, sf_dir):
+        cat = OrcTableCatalog(spark)
+        d = orc_dir_for(spark, sf_dir, "region")
+        cat.register("region_orc", d)
+        rows = cat.sql("SELECT count(*) AS c FROM region_orc").collect()
+        assert rows[0].c == 5
+
+    def test_mem_table(self, spark, sf_dir):
+        # --mem-table flag parity (tpcds_bench.rs:525-536)
+        cat = OrcTableCatalog(spark)
+        d = orc_dir_for(spark, sf_dir, "nation")
+        df = cat.register("nation_mem", d, mem_table=True)
+        assert df.is_cached
+        assert spark.table("nation_mem").count() == 25
+        df.unpersist()
+
+    def test_options_reach_session(self, spark):
+        OrcTableCatalog(spark, OrcFormatOptions(batch_size=4096))
+        assert spark.conf.get("spark.sql.orc.columnarReaderBatchSize") == "4096"
+        # restore default
+        OrcFormatOptions().apply_to_session(spark)
+
+
+# ---- writer (reference stub src/writer.rs — implemented) -----------------------
+class TestWriter:
+    @pytest.mark.parametrize("compression", ["snappy", "zstd", "zlib"])
+    def test_roundtrip_compressions(self, spark, sf_dir, tmp_path, compression):
+        df = load_table(spark, sf_dir, "nation")
+        out = str(tmp_path / f"nation_{compression}")
+        write_orc(df, out, compression=compression, coalesce=1)
+        back = spark.read.orc(out)
+        assert back.count() == df.count()
+        assert set(back.columns) == set(df.columns)
+
+    def test_partitioned_write(self, spark, sf_dir, tmp_path):
+        df = load_table(spark, sf_dir, "nation")
+        out = str(tmp_path / "nation_part")
+        write_orc(df, out, partition_by=["n_regionkey"])
+        # hive-style partition dirs (A6 partition columns)
+        subdirs = [d for d in os.listdir(out) if d.startswith("n_regionkey=")]
+        assert len(subdirs) == 5
+        back = spark.read.orc(out)
+        assert back.count() == 25
+        # partition pruning: only one dir's files read
+        pruned = back.filter("n_regionkey = 2")
+        assert pruned.count() == 5
+
+    def test_max_records_per_file(self, spark, sf_dir, tmp_path):
+        df = load_table(spark, sf_dir, "orders")
+        out = str(tmp_path / "orders_sized")
+        write_orc(df, out, target_file_rows=500, coalesce=1)
+        stats = directory_statistics(out)
+        assert stats["num_files"] >= 3  # 1500 rows / 500 per file
+        assert all(s.num_rows <= 500 for s in stats["files"])

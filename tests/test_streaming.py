@@ -1,0 +1,54 @@
+"""Structured Streaming twins validated against their batch oracles: run the
+stream over all available input (availableNow) and compare with the batch
+operator on the same rows."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from datafusion_datasource_orc_spark.operators.events import (
+    events_tumbling_window,
+    events_user_stats,
+)
+from datafusion_datasource_orc_spark.streaming.events import (
+    events_stream,
+    run_stream_to_memory,
+    stream_tumbling_counts,
+    stream_user_running_totals,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, sf_dir, tmp_path_factory):
+    """Streaming file source needs a directory; re-write the events table as
+    microsecond timestamps (streaming schema reader can't take the ns shim)."""
+    from datafusion_datasource_orc_spark.sources.tables import load_table
+
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, stream_dir):
+    stream = events_stream(spark, stream_dir, max_files_per_trigger=1)
+    got = run_stream_to_memory(
+        stream_tumbling_counts(stream), "tumbling_test", output_mode="complete"
+    )
+    expected = events_tumbling_window(spark, sf_dir)
+    g = {(r.window_start, r.event_type): (r.cnt, r.total_value) for r in got.collect()}
+    e = {(r.window_start, r.event_type): (r.cnt, r.total_value) for r in expected.collect()}
+    assert g == e
+
+
+def test_stream_user_totals_equals_batch(spark, sf_dir, stream_dir):
+    stream = events_stream(spark, stream_dir)
+    got = run_stream_to_memory(
+        stream_user_running_totals(stream), "usertotals_test", output_mode="complete"
+    )
+    expected = events_user_stats(spark, sf_dir)
+    g = {r.user_id: (r.n_events, r.total_value) for r in got.collect()}
+    e = {r.user_id: (r.n_events, r.total_value) for r in expected.collect()}
+    assert g == e

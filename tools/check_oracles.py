@@ -1,0 +1,127 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB at the given sf, then compares row count,
+sorted column names, and an order-insensitive value hash (values normalized:
+floats rounded to 9 significant-ish decimals, timestamps/dates to ISO
+strings, arrays/structs to repr). Exit code 1 on any mismatch.
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from datafusion_datasource_orc_spark.session import get_spark
+from datafusion_datasource_orc_spark.sources.tables import TABLES
+
+
+def _norm_cell(v):
+    import datetime
+    import decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    if isinstance(v, decimal.Decimal):
+        return f"{float(v):.9g}"
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def value_hash(rows, colnames) -> str:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted(
+        "\x1f".join(_norm_cell(r[i]) for i in order) for r in rows
+    )
+    return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR {type(e).__name__}: {e}"))
+            print(f"FAIL  {name:28s} spark error: {str(e)[:200]}")
+            continue
+        if name not in oracles:
+            print(f"weak  {name:28s} rows={len(srows)} ({time.perf_counter()-t0:.1f}s)")
+            if len(srows) == 0:
+                failures.append((name, "weak check returned 0 rows"))
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            failures.append((name, f"ORACLE ERROR: {e}"))
+            print(f"FAIL  {name:28s} oracle error: {str(e)[:200]}")
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(ocols)}")
+        else:
+            sh = value_hash([tuple(r) for r in srows], scols)
+            oh = value_hash(orows, ocols)
+            if sh != oh:
+                problems.append("value hash mismatch")
+        dt = time.perf_counter() - t0
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"FAIL  {name:28s} {'; '.join(problems)} ({dt:.1f}s)")
+        else:
+            print(f"ok    {name:28s} rows={len(srows)} ({dt:.1f}s)")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
+    if failures:
+        print("failures:")
+        for n, p in failures:
+            print(f"  {n}: {p[:300]}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
