@@ -13,7 +13,7 @@ from datafusion_datasource_orc_spark.operators.dedup import (
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
     dedup_simhash,
-    shingles,
+    shingle_docs,
 )
 from datafusion_datasource_orc_spark.operators.multimodal import (
     multimodal_decode,
@@ -44,13 +44,12 @@ class TestDedup:
         assert all(r.doc_a < r.doc_b for r in rows)
 
     def test_minhash_lsh_recall_and_precision(self, spark, sf_dir):
-        # exact query blocks by lang; LSH is unblocked — so LSH may find
-        # *extra* cross-lang pairs (a recall win, not a precision loss: its
-        # candidates are exact-verified at the same threshold). The meaningful
-        # check is recall of the blocked-exact pairs.
         exact = {(r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
         approx_rows = dedup_minhash_lsh(spark, sf_dir).collect()
         approx = {(r.doc_a, r.doc_b) for r in approx_rows}
+        # precision 1.0 by construction: candidates are exact-verified at the
+        # same threshold, so every LSH pair is an exact pair
+        assert approx <= exact
         assert all(r.jaccard >= JACCARD_THRESHOLD for r in approx_rows)
         if exact:
             recall = len(approx & exact) / len(exact)
@@ -74,10 +73,12 @@ class TestDedup:
         df.collect()
 
     def test_shingles_short_doc_guard(self, spark):
-        df = spark.createDataFrame([("a b",), ("one two three four",)], ["text"])
-        out = df.select(shingles(F.col("text")).alias("s")).collect()
-        assert out[0].s == []
-        assert out[1].s == ["one two three", "two three four"]
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "one two three four")], ["doc_id", "text"]
+        )
+        out = {r.doc_id: r.s for r in shingle_docs(df).collect()}
+        assert out[1] == []
+        assert out[2] == ["one two three", "two three four"]
 
 
 class TestSimSearch:

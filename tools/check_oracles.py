@@ -63,6 +63,12 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
+        return 2
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
 
     spark = get_spark()
     con = duckdb.connect()
@@ -73,8 +79,6 @@ def main() -> int:
 
     failures = []
     for name, fn in qs.items():
-        if only and name not in only:
-            continue
         t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
