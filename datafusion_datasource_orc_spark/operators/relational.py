@@ -424,6 +424,57 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# B16 — PIVOT (TPC-DS-style cross-tab): explicit value list keeps the plan a
+# single groupBy (no extra pass to discover pivot values).
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "pivot_status_priority",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+           COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+           COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+           COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS unspecified,
+           COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = dict(
+        zip(_PRIORITIES, ["urgent", "high", "medium", "unspecified", "low"])
+    )
+    out = piv
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    # pivot leaves NULL where a (status, priority) combo has no rows; the
+    # FILTER oracle yields 0 — align on 0
+    return out.na.fill(0, list(renames.values()))
+
+
+# Approximate aggregates — absent in the reference (SURVEY §2C), added as a
+# beyond-reference capability. No SQL oracle (estimator-specific results);
+# pytest bounds the error vs the exact count_distinct below.
+@query("approx_distinct")
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinalities + t-digest percentile: sketch-based
+    aggregation is THE 100 TB pattern (fixed-size state, one pass, partial
+    merge; exact distinct shuffles every value)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs"),
+        F.approx_count_distinct("o_orderpriority").alias("approx_priorities"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median_price"),
+    )
+
+
 # B16 — approximate aggregates are absent in the reference (SURVEY §2C); we
 # add the exact cardinality as the oracle-checked query and expose
 # approx_count_distinct alongside (tested for tolerance in pytest).

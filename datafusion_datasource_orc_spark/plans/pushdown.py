@@ -87,15 +87,27 @@ def uses_whole_stage_codegen(df: DataFrame, execute: bool = True) -> bool:
     return "*(" in text
 
 
-def scan_summary(df: DataFrame) -> dict:
-    """One-call scan report for plan-quality iteration (.explain and check)."""
+def plan_nodes(df: DataFrame) -> list[str]:
+    """Physical-plan node names from the formatted explain's detail headers
+    ('(7) SortMergeJoin') — each node exactly once (the tree rendering would
+    double-count)."""
     text = explain_formatted(df)
+    return [
+        m.group(1).strip()
+        for m in re.finditer(r"^\(\d+\) ([^\n]+?)(?:\s*\[codegen id : \d+\])?$", text, re.M)
+    ]
+
+
+def scan_summary(df: DataFrame, execute_for_codegen: bool = False) -> dict:
+    """One-call scan report for plan-quality iteration (.explain and check)."""
+    nodes = plan_nodes(df)
     return {
-        "formats": re.findall(r"Scan (\w+)", text),
+        "formats": [n.split()[1] for n in nodes if n.startswith("Scan ")],
+        "nodes": nodes,
         "pushed_filters": pushed_filters(df),
         "read_schemas": read_schema_columns(df),
-        "whole_stage_codegen": uses_whole_stage_codegen(df),
-        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", text)),
-        "sort_merge_joins": len(re.findall(r"SortMergeJoin", text)),
-        "shuffles": len(re.findall(r"\bExchange\b", text)),
+        "whole_stage_codegen": uses_whole_stage_codegen(df) if execute_for_codegen else None,
+        "broadcast_joins": sum(n.startswith("BroadcastHashJoin") for n in nodes),
+        "sort_merge_joins": sum(n.startswith("SortMergeJoin") for n in nodes),
+        "shuffles": sum(n == "Exchange" for n in nodes),
     }

@@ -5,6 +5,7 @@ from datafusion_datasource_orc_spark.sources.orc import (  # noqa: F401
     OrcFormatOptions,
     OrcTableCatalog,
     write_orc,
+    write_orc_bucketed,
 )
 from datafusion_datasource_orc_spark.sources.metadata import (  # noqa: F401
     read_orc_schema,

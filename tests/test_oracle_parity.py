@@ -45,6 +45,7 @@ def test_every_query_has_oracle_or_documented_weak_check():
         "dedup_simhash",
         "simsearch_lsh",
         "multimodal_decode",
+        "approx_distinct",
     }, f"unexpected weak-check queries: {weak}"
 
 

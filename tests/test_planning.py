@@ -1,0 +1,104 @@
+"""Planner-facing capabilities: statistics/CBO (B19), bucketed co-located
+joins (B18 sort-order-hint gap closure), approximate aggregates, plan
+quality of the headline queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_datasource_orc_spark.plans import scan_summary
+from datafusion_datasource_orc_spark.sources import OrcTableCatalog, write_orc_bucketed
+from datafusion_datasource_orc_spark.sources.tables import load_table, orc_dir_for
+
+
+class TestStatistics:
+    def test_analyze_produces_planner_stats(self, spark, sf_dir):
+        # B19: collect_statistics parity (tpcds_bench.rs:450-451)
+        cat = OrcTableCatalog(spark)
+        cat.register_external("orders_ext", orc_dir_for(spark, sf_dir, "orders"))
+        cat.analyze("orders_ext", columns=["o_custkey", "o_totalprice"])
+        stats = cat.table_stats("orders_ext")
+        assert "rows" in stats["raw"]  # e.g. '... bytes, 1500 rows'
+        spark.sql("DROP TABLE IF EXISTS orders_ext")
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_shuffle(self, spark, sf_dir, tmp_path):
+        # Both sides bucketed on the join key -> co-located join, zero
+        # Exchange. This is the 100 TB fact-fact join strategy.
+        import shutil
+
+        # stale-location guard: a table dir can survive a dropped catalog
+        # entry (e.g. a killed session) and block saveAsTable
+        for t in ("orders_b", "lineitem_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        write_orc_bucketed(o, "orders_b", ["o_orderkey"], 4, ["o_orderkey"])
+        write_orc_bucketed(li, "lineitem_b", ["l_orderkey"], 4, ["l_orderkey"])
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+        try:
+            j = spark.table("orders_b").join(
+                spark.table("lineitem_b"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            ).groupBy("o_orderstatus").count()
+            s = scan_summary(j)
+            # the join itself must be shuffle-free; only the final groupBy
+            # exchanges (1). A non-bucketed plan shows 3 exchanges.
+            assert s["sort_merge_joins"] >= 1
+            assert s["shuffles"] <= 1, f"expected co-located join, got {s}"
+            assert j.count() > 0
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.sql("DROP TABLE IF EXISTS orders_b")
+            spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+class TestApproxAggregates:
+    def test_approx_count_distinct_tolerance(self, spark, sf_dir, ddb):
+        from datafusion_datasource_orc_spark.operators.relational import approx_distinct
+
+        row = approx_distinct(spark, sf_dir).collect()[0]
+        exact_custs = ddb.execute("SELECT COUNT(DISTINCT o_custkey) FROM orders").fetchone()[0]
+        assert abs(row.approx_custs - exact_custs) / exact_custs < 0.1
+        assert row.approx_priorities == 5  # tiny cardinality: exact
+        lo, hi = ddb.execute(
+            "SELECT quantile_cont(o_totalprice, 0.4), quantile_cont(o_totalprice, 0.6) FROM orders"
+        ).fetchone()
+        assert lo <= row.approx_median_price <= hi
+
+
+class TestPlanQuality:
+    """The '.explain until it's the plan you'd want' gate for headliners."""
+
+    def test_broadcast_applied_to_dim_joins(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.operators.tpch import tpch_q5
+
+        s = scan_summary(tpch_q5(spark, sf_dir))
+        assert s["broadcast_joins"] >= 3  # supplier, nation, region at minimum
+
+    def test_q1_is_two_exchange_partial_agg(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.operators.tpch import tpch_q1
+
+        s = scan_summary(tpch_q1(spark, sf_dir), execute_for_codegen=True)
+        assert s["shuffles"] <= 2  # partial agg -> exchange -> final (+AQE read)
+        assert s["whole_stage_codegen"]
+
+    def test_bruteforce_simsearch_is_shuffle_free(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.operators.simsearch import simsearch_bruteforce
+
+        s = scan_summary(simsearch_bruteforce(spark, sf_dir))
+        assert s["shuffles"] == 0  # broadcast query vector + TakeOrdered
+
+    def test_scan_queries_push_filters(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.operators.scan import (
+            orc_filter_compound,
+            orc_filter_eq,
+            orc_filter_range,
+        )
+
+        for fn in (orc_filter_eq, orc_filter_range, orc_filter_compound):
+            s = scan_summary(fn(spark, sf_dir))
+            assert s["pushed_filters"], f"{fn.__name__} pushed nothing"
