@@ -90,6 +90,99 @@ def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# JSON property extraction (semi-structured column surface)
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the props column — JSON stays a string at rest
+    (schema-on-read); extraction is a codegen'd path expression, no UDF."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# As-of join — a custom operator Spark lacks as a primitive (SURVEY §2C lists
+# it absent in the reference too; added as a beyond-reference capability).
+@query(
+    "asof_join_last_order",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) AS ts_epoch,
+           o.o_orderkey AS last_orderkey
+    FROM events e
+    ASOF JOIN (
+        SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        FROM orders GROUP BY o_custkey, o_orderdate
+    ) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the user's most recent order at or
+    before the event time.
+
+    Implementation is the scalable union-merge form, NOT a range join: tag
+    both streams, union, and carry the last order key forward with
+    last(ignorenulls) over (key, time) — one shuffle on the key, linear in
+    rows, no (event x order) intermediate blow-up. Orders are first deduped
+    to one row per (custkey, date) (max orderkey) so tie-breaks are
+    deterministic on both engines; the oracle is DuckDB's native ASOF JOIN,
+    making this an independent-implementation equivalence check.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        "event_id",
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .select(
+            F.col("o_custkey").cast("long").alias("k"),
+            F.col("o_orderdate").alias("t"),
+            F.lit(0).alias("is_event"),
+            F.lit(None).cast("long").alias("event_id"),
+            "o_orderkey",
+        )
+    )
+    merged = ev.select("k", "t", "is_event", "event_id", F.lit(None).cast("long").alias("o_orderkey")).unionByName(
+        orders.select("k", "t", "is_event", "event_id", "o_orderkey")
+    )
+    # order rows sort before event rows at equal t => 'at or before' semantics
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_event")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn("last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+    return (
+        carried.filter((F.col("is_event") == 1) & F.col("last_orderkey").isNotNull())
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.floor(F.col("t").cast("double")).cast("long").alias("ts_epoch"),
+            "last_orderkey",
+        )
+    )
+
+
 # Sessionization (30-minute inactivity gap) — the classic stateful-stream op,
 # expressed in batch as a gap-detection window chain: lag → new-session flag →
 # running sum = session id. One shuffle on user_id; scales linearly.

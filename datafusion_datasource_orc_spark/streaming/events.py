@@ -78,6 +78,54 @@ def stream_user_running_totals(stream: DataFrame, watermark: str = "1 hour") -> 
     )
 
 
+USER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+)
+
+
+def _update_user_state(key, pdf_iter, state):
+    """applyInPandasWithState kernel: per-user running (count, sum) carried
+    across micro-batches. Arrow-batched — one Python call per user-batch."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    import pandas as pd
+
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+
+def stream_user_state_custom(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator (beyond reference — SURVEY §2C: streaming is
+    wholly absent there): arbitrary per-key state via applyInPandasWithState.
+    The built-in groupBy covers count/sum; this is the extension point for
+    state machines that aggregates can't express (fraud scoring, per-user
+    model state). State is per-key and partition-local — scales horizontally
+    with executors; no timeout here, so pair with watermark-based TTL for
+    unbounded key spaces at 100 TB."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_state,
+            outputStructType=USER_STATE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -43,6 +43,28 @@ def test_stream_tumbling_equals_batch(spark, sf_dir, stream_dir):
     assert g == e
 
 
+def test_custom_stateful_operator_equals_batch(spark, sf_dir, stream_dir):
+    from datafusion_datasource_orc_spark.streaming.events import stream_user_state_custom
+
+    stream = events_stream(spark, stream_dir)
+    got = run_stream_to_memory(
+        stream_user_state_custom(stream), "userstate_test", output_mode="update"
+    )
+    # update mode may emit one row per user per micro-batch; keep the last
+    rows = {}
+    for r in got.collect():
+        rows[r.user_id] = (r.n_events, round(r.total_value, 6))
+    expected = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in events_user_stats(spark, sf_dir).collect()
+    }
+    # float sums: batch uses exact-decimal, state kernel pandas float64 —
+    # compare counts exactly, totals to 1e-4
+    assert set(rows) == set(expected)
+    assert all(rows[u][0] == expected[u][0] for u in rows)
+    assert all(abs(rows[u][1] - expected[u][1]) < 1e-4 for u in rows)
+
+
 def test_stream_user_totals_equals_batch(spark, sf_dir, stream_dir):
     stream = events_stream(spark, stream_dir)
     got = run_stream_to_memory(
