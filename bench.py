@@ -42,6 +42,8 @@ HEADLINE = [
     "simsearch_bruteforce",
     "text_token_count",
     "events_tumbling_window",
+    "events_session_window",
+    "asof_join_last_order",
 ]
 
 

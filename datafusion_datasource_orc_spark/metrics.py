@@ -70,6 +70,20 @@ class ScanMetrics:
         return QueryMetrics(name=name, elapsed_sec=elapsed, row_count=row_count, observed=observed)
 
 
+def per_file_row_counts(df: DataFrame) -> dict[str, int]:
+    """Per-file row counts for a file-backed DataFrame — the reference labels
+    every metric set by filename (OrcFileMetrics::new(partition, filename),
+    src/metrics.rs:128-201); Spark aggregates per scan, so we recover the
+    per-file axis with input_file_name(). One extra aggregation job; use on
+    scans, not post-shuffle plans (input_file_name is empty there)."""
+    rows = (
+        df.groupBy(F.input_file_name().alias("file"))
+        .count()
+        .collect()
+    )
+    return {r.file: r["count"] for r in rows if r.file}
+
+
 def scan_efficiency(bytes_scanned: int, file_size: int) -> float | None:
     """Derived ratio, reference src/metrics.rs:203-217 (None when file_size
     is unknown/zero, same contract)."""

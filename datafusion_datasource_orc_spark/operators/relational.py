@@ -424,6 +424,112 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# B16 — lag/lead navigation windows
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderkey) OVER w AS prev_orderkey,
+           LEAD(o_orderkey) OVER w AS next_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.col("o_orderdate").cast("date").alias("orderdate"),
+    )
+
+
+# B16 — ntile / percent_rank distribution windows
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 8) AS pct_rank
+    FROM customer
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+    )
+
+
+# B16 — ordered string aggregation (collect_list is unordered by contract;
+# sort_array makes it deterministic, = DuckDB string_agg ORDER BY)
+@query(
+    "string_agg_ordered",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+# B16 — date arithmetic surface
+@query(
+    "date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + 90 AS DATE) AS due_date,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           dayofweek(o_orderdate) + 1 AS dow  -- duckdb: Sun=0; spark: Sun=1
+    FROM orders
+    """,
+)
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 90).alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    )
+
+
+# B16 — HAVING
+@query(
+    "having_filter",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {money_sum_sql('o_totalprice', 2)} AS total
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice"), 2).alias("total"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
 # B16 — PIVOT (TPC-DS-style cross-tab): explicit value list keeps the plan a
 # single groupBy (no extra pass to discover pivot values).
 _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]

@@ -38,6 +38,15 @@ def test_scan_efficiency_math():
     assert scan_efficiency(10, 0) is None
 
 
+def test_per_file_row_counts(spark, sf_dir):
+    from datafusion_datasource_orc_spark.metrics import per_file_row_counts
+
+    df = load_orc_table(spark, sf_dir, "orders")
+    counts = per_file_row_counts(df)
+    assert sum(counts.values()) == 1500
+    assert all(p.endswith(".orc") or ".orc" in p for p in counts)
+
+
 def test_per_file_metrics_labels(spark, sf_dir):
     # per-file granularity (the reference labels metrics per filename,
     # src/metrics.rs:128-201) — from footer stats
