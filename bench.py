@@ -21,7 +21,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-ITERATIONS = int(os.environ.get("BENCH_ITERATIONS", "2"))
+# best-of-N absorbs codegen warm-up AND the shared-host load spikes observed
+# on this box (same query: 3.6s-90s wall clock under external load)
+ITERATIONS = int(os.environ.get("BENCH_ITERATIONS", "3"))
 
 # Headline set: the reference's demonstrated core (scan/filter/agg/groupby via
 # the ORC path), the join/window/TPC-H analytical surface, and one of each
