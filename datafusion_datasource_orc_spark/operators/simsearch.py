@@ -162,6 +162,121 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COSINE_DUP_THRESHOLD = 0.4  # corpus max pairwise cosine is ~0.6; no planted dups
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_SQL_COSINE.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND({_SQL_COSINE.format(a='a.embedding', b='b.embedding')}, 6) >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact): all pairs with cosine ≥ τ.
+
+    The exactness baseline for semantic dedup — quadratic by nature, kept
+    correct and broadcast-driven here. The scale path is the same banding
+    idea as text LSH: bucket by hyperplane signature (see simsearch_lsh) or
+    IVF-assign (below), verify candidates exactly; at 100 TB never run the
+    unblocked cross product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Norms are computed ONCE per row before the pair join (O(n·d)), so the
+    # per-pair work is just the dot product — arithmetically identical to
+    # cosine_similarity (dot/(na·nb)), ~3× less array work over n²/2 pairs.
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    c = F.round(
+        dot_product(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", c.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+    )
+
+
+IVF_PROBES = 3
+
+
+@query("simsearch_ivf")  # approximate ANN → rows-only check; recall tested in pytest
+def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantization by per-label mean centroids, probe
+    the nearest IVF_PROBES centroid cells, exact cosine within probed cells.
+
+    Real IVF trains centroids with k-means; here the coarse codebook comes
+    from the label column's class means (deterministic, no RNG — the
+    k-means++ seeding trade-off is orthogonal to the Spark plumbing being
+    demonstrated). Shape at 100 TB: centroids are a broadcast-size codebook;
+    cell assignment is one linear scan; queries touch |corpus| x probes/nlist
+    of the data instead of all of it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # per-label mean vector: explode (posexplode) then avg per (label, pos)
+    pos = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    centroids = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
+        )
+    )
+
+    # assign every vector to its nearest centroid (may differ from label)
+    sim_to_centroid = cosine_similarity(F.col("embedding"), F.col("centroid"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "embedding", "cell", sim_to_centroid.alias("csim"))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+    # queries probe their IVF_PROBES nearest cells
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.col("embedding").alias("qe"),
+            "cell",
+            cosine_similarity(F.col("embedding"), F.col("centroid")).alias("csim"),
+        )
+        .withColumn("rk", F.row_number().over(
+            Window.partitionBy("q_vec_id").orderBy(F.col("csim").desc(), "cell")
+        ))
+        .filter(F.col("rk") <= IVF_PROBES)
+        .select("q_vec_id", "qe", "cell")
+    )
+
+    sim = F.round(cosine_similarity(F.col("embedding"), F.col("qe")), 6)
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("sim").desc(), "vec_id")
+    return (
+        assigned.join(F.broadcast(queries), "cell")
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "vec_id", sim.alias("sim"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("q_vec_id", "vec_id", "rnk", "sim")
+    )
+
+
 @query(
     "embedding_stats",
     oracle="""

@@ -44,6 +44,7 @@ def test_every_query_has_oracle_or_documented_weak_check():
         "dedup_minhash_lsh",
         "dedup_simhash",
         "simsearch_lsh",
+        "simsearch_ivf",
         "multimodal_decode",
         "approx_distinct",
     }, f"unexpected weak-check queries: {weak}"

@@ -97,6 +97,28 @@ class TestSimSearch:
         assert set(by_q) == {0, 1, 2, 3, 4}
         assert all(sorted(v) == [1, 2, 3] for v in by_q.values())
 
+    def test_ivf_recall_vs_exact(self, spark, sf_dir):
+        """IVF with 3/10 probes on weakly-clustered random embeddings: bound
+        recall loosely (measured ~0.6 at sf0.01); shape must be exact."""
+        from datafusion_datasource_orc_spark.operators.simsearch import simsearch_ivf
+
+        ivf_rows = simsearch_ivf(spark, sf_dir).collect()
+        ivf = {(r.q_vec_id, r.vec_id) for r in ivf_rows}
+        exact = {(r.q_vec_id, r.vec_id) for r in simsearch_knn_join(spark, sf_dir).collect()}
+        assert {r.q_vec_id for r in ivf_rows} == {0, 1, 2, 3, 4}
+        assert all(r.rnk <= 3 for r in ivf_rows)
+        assert len(ivf & exact) / len(exact) >= 0.3
+
+    def test_embedding_cosine_dedup_symmetric_bounds(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.operators.simsearch import (
+            COSINE_DUP_THRESHOLD,
+            dedup_embedding_cosine,
+        )
+
+        rows = dedup_embedding_cosine(spark, sf_dir).collect()
+        assert all(r.vec_a < r.vec_b for r in rows)
+        assert all(COSINE_DUP_THRESHOLD <= r.cosine <= 1.0 for r in rows)
+
     def test_lsh_results_subset_quality(self, spark, sf_dir):
         """LSH top-1 within-bucket must be a genuinely similar vector: its
         cosine must be within the top-20% of the brute-force ranking for the
