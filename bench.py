@@ -36,7 +36,9 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q8",
     "tpch_q18",
+    "tpch_q21",
     "window_rank",
     "rollup_agg",
     "dedup_exact_norm",

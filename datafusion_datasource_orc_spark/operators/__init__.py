@@ -11,6 +11,7 @@ from datafusion_datasource_orc_spark.operators import (  # noqa: F401
     simsearch,
     textstats,
     tpch,
+    tpch_more,
 )
 from datafusion_datasource_orc_spark.operators.registry import (  # noqa: F401
     ORACLES,
