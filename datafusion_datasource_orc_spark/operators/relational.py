@@ -664,3 +664,130 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("n_custs"),
         F.countDistinct("o_orderpriority").alias("n_priorities"),
     )
+
+
+# B16 — statistical moments. Variance/stddev/correlation are order-dependent
+# when accumulated in floating point; here every moment derives from exact
+# decimal sums (sum, sum-of-squares, cross-sum) so both engines compute
+# identical doubles. At 100 TB the sums are map-side partial aggregates —
+# the moment formulas run once per group on the driver-free reduce side.
+_M_SUM = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+@query(
+    "stats_moments",
+    oracle=f"""
+    SELECT l_returnflag, n,
+           ROUND((sumsq_q - sum_q * sum_q / n) / (n - 1), 6) AS var_qty,
+           ROUND(SQRT((sumsq_q - sum_q * sum_q / n) / (n - 1)), 6) AS stddev_qty,
+           ROUND((n * sum_qp - sum_q * sum_p)
+                 / (SQRT(n * sumsq_q - sum_q * sum_q)
+                    * SQRT(n * sumsq_p - sum_p * sum_p)), 6) AS corr_qty_price
+    FROM (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               {_M_SUM.format(x='l_quantity')} AS sum_q,
+               {_M_SUM.format(x='l_quantity * l_quantity')} AS sumsq_q,
+               {_M_SUM.format(x='l_extendedprice')} AS sum_p,
+               {_M_SUM.format(x='l_extendedprice * l_extendedprice')} AS sumsq_p,
+               {_M_SUM.format(x='l_quantity * l_extendedprice')} AS sum_qp
+        FROM lineitem GROUP BY l_returnflag
+    )
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance, stddev and Pearson correlation per return flag,
+    assembled from exact decimal sums (see module note above). The built-in
+    var_samp/stddev/corr would be the one-liner but accumulate in doubles,
+    which is not reproducible across partitionings."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def dsum(c: F.Column) -> F.Column:
+        return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    base = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(q).alias("sum_q"),
+        dsum(q * q).alias("sumsq_q"),
+        dsum(p).alias("sum_p"),
+        dsum(p * p).alias("sumsq_p"),
+        dsum(q * p).alias("sum_qp"),
+    )
+    n, sum_q, sumsq_q = F.col("n"), F.col("sum_q"), F.col("sumsq_q")
+    sum_p, sumsq_p, sum_qp = F.col("sum_p"), F.col("sumsq_p"), F.col("sum_qp")
+    var_q = (sumsq_q - sum_q * sum_q / n) / (n - F.lit(1.0))
+    corr = (n * sum_qp - sum_q * sum_p) / (
+        F.sqrt(n * sumsq_q - sum_q * sum_q) * F.sqrt(n * sumsq_p - sum_p * sum_p)
+    )
+    return base.select(
+        "l_returnflag",
+        "n",
+        F.round(var_q, 6).alias("var_qty"),
+        F.round(F.sqrt(var_q), 6).alias("stddev_qty"),
+        F.round(corr, 6).alias("corr_qty_price"),
+    )
+
+
+# B16 — exact percentiles (interpolated), the exact twin of the t-digest
+# percentile_approx in approx_distinct above. Exact percentiles need the
+# group's values together (a sort within each group) — fine per-group at any
+# scale; for global percentiles over 100 TB prefer the sketch.
+@query(
+    "percentile_prices",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quartiles per order priority — Spark
+    percentile() and DuckDB quantile_cont share the interpolation rule, so
+    values hash-match at 4 dp."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("o_totalprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+# B15/B16 — full outer join (the one join type not yet covered): per-nation
+# customer presence vs high-balance supplier presence, keeping both
+# unmatched sides. COALESCE folds the null side — the classic set-reconcile
+# shape. Both inputs are pre-aggregated (25 rows), so the join is trivial at
+# any scale; the pattern matters, not the volume.
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cc AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust
+                FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey),
+         sc AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp
+                FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey)
+    SELECT COALESCE(cc.k, sc.k) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM cc FULL JOIN sc ON cc.k = sc.k
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sc = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cc.join(sc, F.col("ck") == F.col("sk"), "full_outer").select(
+        F.coalesce(F.col("ck"), F.col("sk")).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )

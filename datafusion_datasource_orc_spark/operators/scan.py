@@ -224,3 +224,28 @@ def orc_combined(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_orderkey", "l_linenumber")
         .limit(5)
     )
+
+
+# B10 — offset + limit pagination (DataFusion's limit(skip, fetch) carries an
+# offset the reference always passes as 0, tests/basic_reading.rs:295; Spark
+# has first-class df.offset). Deterministic page: total order via unique key.
+# Scale note: OFFSET is a global operation — fine for page-sized skips (the
+# sort is a TopK of offset+limit rows), pathological for deep pagination;
+# keyset pagination (WHERE key > last_seen) is the 100 TB pattern.
+@query(
+    "orc_offset_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 5 OFFSET 10
+    """,
+)
+def orc_offset_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_orc_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .offset(10)
+        .limit(5)
+    )
