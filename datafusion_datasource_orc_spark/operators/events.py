@@ -273,3 +273,38 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("w.start").cast("double")).cast("long").alias("session_start_epoch"),
         )
     )
+
+
+# Range (interval) join — purchases within 10 minutes after a click by the
+# same user. The equi-key (user_id) carries the shuffle; the time interval is
+# evaluated as a join residual, so this stays a hash/SMJ join, NOT a cartesian
+# BroadcastNestedLoop — the difference between O(n·m) and O(n+m) per key at
+# 100 TB. (Spark 3.x+ would also accept a point-in-interval range-join hint;
+# with an equi-key present it is unnecessary.)
+@query(
+    "range_join_events",
+    oracle="""
+    SELECT c.user_id, COUNT(*) AS n_pairs
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    GROUP BY c.user_id
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -791,3 +791,65 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
         F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
     )
+
+
+# B16 — window value functions over an explicit ROWS frame: the per-customer
+# first / latest / second order picked out of the full-partition frame.
+# Scale note: one shuffle on o_custkey, then frame evaluation is a single
+# per-partition pass; the full-frame last_value needs the whole partition
+# buffered, which is fine for per-customer order counts (tens of rows) —
+# for unbounded partitions prefer max_by/min_by aggregation instead.
+@query(
+    "window_frame_values",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice) OVER w AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_frame_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+# B1/B3 variant — deterministic hash sampling: a multiplicative (Knuth) hash
+# over the key selects a reproducible ~5% sample IDENTICALLY in any engine —
+# unlike TABLESAMPLE/df.sample whose RNG streams are engine- and
+# partitioning-dependent. The filter is a pure map-side expression (no
+# shuffle, no RNG state), so the sample of 100 TB costs one scan; downstream
+# aggregates see an unbiased slice. Returned as a 1-row summary.
+@query(
+    "sample_hash",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE (l_orderkey * 2654435761) % 4294967296 < 214748364
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (F.col("l_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
+    return li.filter(h < 214748364).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,4)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

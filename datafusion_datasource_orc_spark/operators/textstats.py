@@ -195,3 +195,35 @@ def corpus_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# ---- token explosion (UNNEST) ----------------------------------------------
+@query(
+    "explode_top_tokens",
+    oracle=r"""
+    SELECT token, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+          FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 20
+    """,
+)
+def explode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 token frequencies via explode (LATERAL VIEW /
+    UNNEST — the row-generating operator the B16 SQL surface implies).
+
+    Scale shape: explode is a narrow map-side transform (no shuffle); the
+    only shuffle is the final token groupBy, which map-side partial-counts
+    first. The top-k is a TopK (takeOrdered) — never a full sort of the
+    token vocabulary. Deterministic under ties via the token tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_words(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+    )
