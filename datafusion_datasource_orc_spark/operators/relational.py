@@ -853,3 +853,106 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+# B16 — relative-rank windows: dense_rank / percent_rank / cume_dist. Pure
+# rank arithmetic (no float accumulation), so doubles hash identically.
+@query(
+    "window_percent_rank",
+    oracle="""
+    SELECT c_nationkey, c_custkey,
+           DENSE_RANK() OVER w AS drnk,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+           ROUND(CUME_DIST() OVER w, 6) AS cdist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+# B15 — salted join: the 100 TB skew-mitigation pattern, oracle-proven
+# equivalent to the plain join. The fact side takes a deterministic salt in
+# [0,S); the dim side is replicated ×S (explode over a literal range), so the
+# join key (suppkey, salt) splits each hot supplier's rows across S reduce
+# tasks instead of one straggler. Result must equal the unsalted join —
+# which is exactly what the oracle asserts. In production the salt would be
+# pmod(hash(...), S) and S sized to the observed skew (or let AQE's
+# skewJoin do it adaptively); the algebra is identical.
+@query(
+    "join_salted",
+    oracle="""
+    SELECT s_nationkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_nationkey
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    SALTS = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_orderkey") % SALTS).cast("int")
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(SALTS)])))
+    )
+    return (
+        li.join(
+            sup,
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (li["salt"] == sup["salt"]),
+            "inner",
+        )
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(38,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+# B16 — value-based RANGE window frame: per-customer 30-day trailing order
+# count/total, ordered by days-since-epoch so the frame bound is numeric and
+# portable (Spark's rangeBetween and DuckDB's RANGE share integer-offset
+# semantics; interval-typed frames differ by dialect). One shuffle on
+# o_custkey; the frame scan is a per-partition two-pointer pass.
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           COUNT(*) OVER w AS n_30d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS total_30d
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 DATEDIFF('day', DATE '1970-01-01', o_orderdate) AS od
+          FROM orders)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY od
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "od", F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).cast("long")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("od").rangeBetween(-30, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_30d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("total_30d"),
+    )
