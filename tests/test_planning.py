@@ -102,3 +102,36 @@ class TestPlanQuality:
         for fn in (orc_filter_eq, orc_filter_range, orc_filter_compound):
             s = scan_summary(fn(spark, sf_dir))
             assert s["pushed_filters"], f"{fn.__name__} pushed nothing"
+
+
+class TestJoinShapes:
+    """Join-strategy assertions for the interval/skew join patterns: the
+    range join must ride its equi-key (hash/SMJ), never degrade to a
+    nested-loop cartesian; the salted join must still be a single
+    equi-shuffle join after salting."""
+
+    def test_range_join_is_equi_not_nested_loop(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.operators.events import range_join_events
+        from datafusion_datasource_orc_spark.plans.pushdown import plan_nodes
+
+        nodes = plan_nodes(range_join_events(spark, sf_dir))
+        assert not any("NestedLoop" in n or "CartesianProduct" in n for n in nodes)
+        assert any("HashJoin" in n or "SortMergeJoin" in n for n in nodes)
+
+    def test_salted_join_matches_plain_join(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.operators.relational import join_salted
+        from datafusion_datasource_orc_spark.plans.pushdown import plan_nodes
+
+        nodes = plan_nodes(join_salted(spark, sf_dir))
+        assert not any("NestedLoop" in n or "CartesianProduct" in n for n in nodes)
+
+    def test_window_frame_single_exchange(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.operators.relational import (
+            window_frame_values,
+            window_range_frame,
+        )
+        from datafusion_datasource_orc_spark.plans.pushdown import plan_nodes
+
+        for fn in (window_frame_values, window_range_frame):
+            nodes = plan_nodes(fn(spark, sf_dir))
+            assert sum(n == "Exchange" for n in nodes) <= 1, fn.__name__
