@@ -5,6 +5,7 @@ line-by-line coverage map)."""
 from datafusion_datasource_orc_spark.operators import (  # noqa: F401
     dedup,
     events,
+    extras,
     multimodal,
     relational,
     scan,

@@ -1,0 +1,391 @@
+"""Second-wave relational surface: argmin/argmax aggregates, conditional
+aggregates, deterministic mode + exact median, top-N-per-group, unpivot,
+regexp text extraction, time-series gap fill, regression-line stats, bitwise
+aggregates, and canonical-representative dedup.
+
+These extend SURVEY.md §2B row B16 (the TPC-DS-class SQL surface the
+reference exercises through DataFusion, src/bin/tpcds_bench.rs:68-69) with
+shapes TPC-DS uses that our named-query inventory didn't yet cover
+one-by-one, plus LLM-pipeline representative selection (BASELINE.json north
+star).
+
+Determinism rules (the oracle hashes values):
+
+- every argmin/argmax carries a unique tie-break key (``struct(value, key)``
+  in Spark, ``row_number()`` ordering in the DuckDB oracle — DuckDB's
+  ``arg_max`` has no struct-ordering overload, so the oracle proves the
+  equivalence algebraically);
+- mode is implemented explicitly (count-then-argmax with a value tie-break),
+  not via engine ``mode()`` whose tie behavior is unspecified;
+- double sums route through :mod:`functions.portable` decimal sums;
+  regression stats are assembled from those exact sums with one final
+  IEEE-754 expression identical on both engines.
+
+Scale notes: every query here is one scan plus at most one shuffle (groupBy
+or window partition); gap-fill generates the calendar axis from a 1-row
+aggregate (broadcast), never a driver-side loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datafusion_datasource_orc_spark.functions.portable import money_sum, money_sum_sql
+from datafusion_datasource_orc_spark.operators.registry import query
+from datafusion_datasource_orc_spark.sources.tables import load_table
+
+
+# --- argmin / argmax -------------------------------------------------------
+
+
+@query(
+    "agg_min_by_max_by",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS top_orderkey,
+           MAX(o_totalprice) AS top_price,
+           MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS bottom_orderkey,
+           MIN(o_totalprice) AS bottom_price
+    FROM r GROUP BY o_orderpriority
+    """,
+)
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by with a unique struct tie-break: one shuffle, map-side
+    partial argmax — no window, no join. The oracle formulates the same
+    answer with row_number() windows."""
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", key).alias("top_orderkey"),
+        F.max("o_totalprice").alias("top_price"),
+        F.min_by("o_orderkey", key).alias("bottom_orderkey"),
+        F.min("o_totalprice").alias("bottom_price"),
+    )
+
+
+# --- conditional aggregates ------------------------------------------------
+
+
+@query(
+    "agg_conditional",
+    oracle=f"""
+    SELECT l_linestatus,
+           COUNT(*) FILTER (WHERE l_quantity > 45) AS hi_qty,
+           BOOL_OR(l_returnflag = 'R') AS any_returned,
+           BOOL_AND(l_tax >= 0) AS all_taxed,
+           {money_sum_sql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END")}
+               AS returned_revenue
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_if / bool_or / bool_and / conditional sum — all map-side
+    combinable single-shuffle aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    returned_price = F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(
+        F.lit(0.0)
+    )
+    return li.groupBy("l_linestatus").agg(
+        F.count_if(F.col("l_quantity") > 45).alias("hi_qty"),
+        F.bool_or(F.col("l_returnflag") == "R").alias("any_returned"),
+        F.bool_and(F.col("l_tax") >= 0).alias("all_taxed"),
+        money_sum(returned_price).alias("returned_revenue"),
+    )
+
+
+# --- deterministic mode + exact median ------------------------------------
+
+
+@query(
+    "agg_mode_median",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority, EXTRACT(month FROM o_orderdate) AS m, o_totalprice
+        FROM orders
+    ),
+    c AS (SELECT o_orderpriority, m, COUNT(*) AS cnt FROM base GROUP BY 1, 2),
+    mo AS (
+        SELECT o_orderpriority, m AS mode_month FROM (
+            SELECT o_orderpriority, m,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY cnt DESC, m ASC) AS rn
+            FROM c
+        ) WHERE rn = 1
+    ),
+    med AS (
+        SELECT o_orderpriority, ROUND(median(o_totalprice), 4) AS med_price
+        FROM base GROUP BY 1
+    )
+    SELECT o_orderpriority, mode_month, med_price FROM mo JOIN med USING (o_orderpriority)
+    """,
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode done explicitly (count-per-value, then argmax with a smallest-
+    value tie-break) because engine mode() leaves ties unspecified; median is
+    the exact interpolated quantile, identical in Spark and DuckDB."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderpriority", F.month("o_orderdate").alias("m"), "o_totalprice"
+    )
+    cnt = base.groupBy("o_orderpriority", "m").agg(F.count(F.lit(1)).alias("cnt"))
+    # max of (cnt, -m): highest count, smallest month on ties
+    mode = cnt.groupBy("o_orderpriority").agg(
+        F.max_by("m", F.struct(F.col("cnt"), (-F.col("m")).alias("neg_m"))).alias("mode_month")
+    )
+    med = base.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 4).alias("med_price")
+    )
+    return mode.join(med, "o_orderpriority")
+
+
+# --- top-N per group -------------------------------------------------------
+
+
+@query(
+    "top_n_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic rank-and-filter: one shuffle on the partition key; Spark
+    pushes the rn <= 3 bound into the window sort as a group limit, so no
+    partition materializes fully at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- unpivot ---------------------------------------------------------------
+
+
+@query(
+    "unpivot_part_metrics",
+    oracle=f"""
+    SELECT metric, COUNT(*) AS n, {money_sum_sql('value')} AS total
+    FROM (
+        SELECT 'p_retailprice' AS metric, p_retailprice AS value FROM part
+        UNION ALL
+        SELECT 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    ) GROUP BY metric
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long via DataFrame.unpivot (the inverse of pivot_status_priority;
+    TPC-DS reaches this shape with UNION ALL). Narrow result: unpivot is a
+    per-row expansion, no shuffle until the final aggregate."""
+    part = load_table(spark, sf_dir, "part")
+    long = part.withColumn("p_size_d", F.col("p_size").cast("double")).unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size_d"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return (
+        long.withColumn(
+            "metric", F.when(F.col("metric") == "p_size_d", "p_size").otherwise(F.col("metric"))
+        )
+        .groupBy("metric")
+        .agg(F.count(F.lit(1)).alias("n"), money_sum(F.col("value")).alias("total"))
+    )
+
+
+# --- regexp extraction over documents -------------------------------------
+
+
+@query(
+    "regexp_doc_stats",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+           regexp_extract(text, '([A-Za-z]+)ing', 1) AS first_ing,
+           CAST(contains(lower(text), 'data') AS BOOLEAN) AS mentions_data
+    FROM documents
+    """,
+)
+def regexp_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document regexp features (number-token count, first '-ing' word,
+    substring flag) — narrow scan-side projections, fully codegen'd, the
+    cheap tier of text feature extraction before tokenization."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("[0-9]+")).alias("n_numbers"),
+        F.regexp_extract(F.col("text"), r"([A-Za-z]+)ing", 1).alias("first_ing"),
+        F.lower(F.col("text")).contains("data").alias("mentions_data"),
+    )
+
+
+# --- time-series gap fill --------------------------------------------------
+
+
+@query(
+    "events_gap_fill",
+    oracle=f"""
+    WITH b AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    h AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+    c AS (
+        SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+               {money_sum_sql('value')} AS sum_value
+        FROM events GROUP BY 1
+    )
+    SELECT h.hour, COALESCE(n_events, 0) AS n_events,
+           COALESCE(sum_value, 0.0) AS sum_value
+    FROM h LEFT JOIN c USING (hour)
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series with zero-filled gaps. The hour axis comes from
+    sequence() over the 1-row min/max aggregate (broadcast to the left join)
+    — no driver-side calendar loop, so a 10-year axis is still one tiny
+    task. The counts side is the usual one-shuffle aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    counts = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum(F.col("value")).alias("sum_value"),
+    )
+    return hours.join(counts, "hour", "left").select(
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+    )
+
+
+# --- regression-line stats -------------------------------------------------
+
+
+@query(
+    "regr_price_qty",
+    oracle=f"""
+    WITH s AS (
+        SELECT COUNT(*) AS n,
+               {money_sum_sql('l_quantity')} AS sx,
+               {money_sum_sql('l_extendedprice')} AS sy,
+               {money_sum_sql('l_quantity * l_extendedprice', 4)} AS sxy,
+               {money_sum_sql('l_quantity * l_quantity', 4)} AS sxx
+        FROM lineitem
+    )
+    SELECT n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+               AS intercept
+    FROM s
+    """,
+)
+def regr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope/intercept of extendedprice on quantity, assembled
+    from exact decimal sums (order-independent) with one final double
+    expression — the deterministic twin of regr_slope/regr_intercept, same
+    trick as stats_moments. Single scan, single reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum(F.col("l_quantity")).alias("sx"),
+        money_sum(F.col("l_extendedprice")).alias("sy"),
+        money_sum(F.col("l_quantity") * F.col("l_extendedprice")).alias("sxy"),
+        money_sum(F.col("l_quantity") * F.col("l_quantity")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
+
+
+# --- bitwise aggregates ----------------------------------------------------
+
+
+@query(
+    "bitwise_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           bit_and(o_orderkey) AS k_and, bit_or(o_orderkey) AS k_or,
+           bit_xor(o_orderkey) AS k_xor
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bit_and/bit_or/bit_xor — associative+commutative, so map-side partial
+    aggregation is exact regardless of partitioning."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.bit_and("o_orderkey").alias("k_and"),
+        F.bit_or("o_orderkey").alias("k_or"),
+        F.bit_xor("o_orderkey").alias("k_xor"),
+    )
+
+
+# --- canonical-representative dedup (LLM-pipeline) ------------------------
+
+
+@query(
+    "dedup_keep_canonical",
+    oracle="""
+    WITH clustered AS (
+        SELECT doc_id, n_chars,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           first_value(doc_id) OVER (
+               PARTITION BY h ORDER BY n_chars DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS canonical_id,
+           COUNT(*) OVER (PARTITION BY h) AS cluster_size
+    FROM clustered
+    """,
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection for dedup clusters: every document mapped to
+    its cluster's canonical doc (longest text, then smallest id — a quality
+    heuristic stand-in). This is the LLM-pipeline shape downstream of any
+    dedup method: the cluster key here is the exact-norm hash, but the same
+    window works over minhash cluster ids. One shuffle on the cluster key."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ").cast("binary"))
+    w = Window.partitionBy("h").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "n_chars", h.alias("h"))
+        .select(
+            "doc_id",
+            F.first("doc_id")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .alias("canonical_id"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("h"))
+            .alias("cluster_size"),
+        )
+    )

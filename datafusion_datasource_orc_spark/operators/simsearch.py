@@ -17,6 +17,8 @@ order trap — SURVEY.md §7).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -295,4 +297,49 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.sum(norm6.cast("decimal(18,6)")).cast("double").alias("total_norm"),
+    )
+
+
+@query(
+    "simsearch_bruteforce_arrow",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND({_SQL_COSINE.format(a='embedding', b='qe')}, 6) AS sim
+    FROM embeddings, q
+    WHERE vec_id != 0
+    ORDER BY sim DESC, vec_id
+    LIMIT {TOP_K}
+    """,
+)
+def simsearch_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k via the Arrow fast path: a vectorized pandas UDF
+    does one numpy matrix-vector product per Arrow batch (~10-100x a
+    row-at-a-time Python UDF; the guide's rule — when Python is unavoidable,
+    batch it). Same answer as simsearch_bruteforce, which stays the pure-
+    Column formulation; this variant exists because real pipelines hit UDF
+    territory the moment the scorer isn't expressible in SQL (learned
+    re-rankers, quantized distances).
+
+    The query vector is fetched once driver-side (1 row) and shipped in the
+    UDF closure — the idiomatic pattern for small per-job constants; at 100
+    TB the corpus scan still never shuffles and the top-k is a
+    TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = np.asarray(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0], dtype=np.float64
+    )
+    qnorm = float(np.sqrt((qvec * qvec).sum()))
+
+    @F.pandas_udf("double")
+    def cosine_to_query(col: pd.Series) -> pd.Series:
+        m = np.stack(col.to_numpy()).astype(np.float64)  # (batch, dim)
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series((m @ qvec) / (norms * qnorm))
+
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", F.round(cosine_to_query("embedding"), 6).alias("sim"))
+        .orderBy(F.col("sim").desc(), "vec_id")
+        .limit(TOP_K)
     )
