@@ -389,3 +389,54 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster_size"),
         )
     )
+
+
+# --- last-observation-carried-forward (ignore-nulls window) ---------------
+
+
+@query(
+    "events_locf",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END
+                            IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled
+    FROM events
+    """,
+)
+def events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: treat click events' value as missing
+    and fill each row with the user's most recent non-null value (IGNORE
+    NULLS running last_value — the standard time-series forward fill). One
+    shuffle on user_id; the frame is running, so state per partition is one
+    value."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "click", F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.last(v, ignorenulls=True).over(w), 4).alias("filled"),
+    )
+
+
+# --- approximate percentiles (bounded vs exact twin in pytest) ------------
+
+
+@query("approx_percentile_prices")  # sketch-based → rows-only check; tolerance in pytest
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch): the mergeable-sketch path
+    for quantiles at 100 TB — map-side sketches merge associatively, so no
+    sort and no full shuffle of values, unlike exact percentile_prices.
+    Accuracy 1000 ⇒ rank error ≤ n/1000; bounded against the exact twin in
+    tests/test_pipeline.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    pct = F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 1000)
+    return orders.agg(
+        pct[0].alias("p25_approx"), pct[1].alias("p50_approx"), pct[2].alias("p75_approx")
+    )

@@ -47,6 +47,7 @@ def test_every_query_has_oracle_or_documented_weak_check():
         "simsearch_ivf",
         "multimodal_decode",
         "approx_distinct",
+        "approx_percentile_prices",
     }, f"unexpected weak-check queries: {weak}"
 
 

@@ -162,3 +162,54 @@ class TestMultimodal:
     def test_real_decoder_is_marked_unimplemented(self):
         with pytest.raises(NotImplementedError):
             real_decoder(b"")
+
+
+class TestApproxPercentile:
+    def test_approx_within_rank_error_of_exact(self, spark, sf_dir):
+        """GK sketch with accuracy A guarantees rank error <= n/A; assert the
+        approximate quantiles land within the corresponding *value* window
+        computed from the exact sorted data."""
+        from datafusion_datasource_orc_spark.operators.extras import (
+            approx_percentile_prices,
+        )
+
+        approx = approx_percentile_prices(spark, sf_dir).first()
+        vals = sorted(
+            r.o_totalprice
+            for r in load_table(spark, sf_dir, "orders").select("o_totalprice").collect()
+        )
+        n = len(vals)
+        err = max(1, n // 1000)  # accuracy=1000
+        for p, got in ((0.25, approx.p25_approx), (0.5, approx.p50_approx), (0.75, approx.p75_approx)):
+            rank = int(p * (n - 1))
+            lo = vals[max(0, rank - err)]
+            hi = vals[min(n - 1, rank + err)]
+            assert lo <= got <= hi, (p, got, lo, hi)
+
+
+class TestConnectedComponents:
+    def test_clusters_partition_the_pair_graph(self, spark, sf_dir):
+        """Every near-dup pair must land inside one cluster, and every
+        multi-doc cluster must be spanned by pairs (no over-merging across
+        components)."""
+        from datafusion_datasource_orc_spark.operators.dedup import (
+            dedup_connected_components,
+        )
+
+        pairs = {(r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
+        clusters = dedup_connected_components(spark, sf_dir).collect()
+        member_to_cluster = {}
+        for c in clusters:
+            for m in c.members:
+                member_to_cluster[m] = c.cluster_id
+        # (a) pair endpoints always share a cluster
+        for a, b in pairs:
+            assert member_to_cluster.get(a) == member_to_cluster.get(b), (a, b)
+        # (b) cluster_id is the min member and sizes are consistent
+        for c in clusters:
+            assert c.cluster_id == min(c.members)
+            assert c.n_docs == len(c.members) > 1
+        # (c) no cluster contains a doc with no incident pair
+        paired_docs = {d for p in pairs for d in p}
+        for c in clusters:
+            assert set(c.members) <= paired_docs

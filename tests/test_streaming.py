@@ -74,3 +74,39 @@ def test_stream_user_totals_equals_batch(spark, sf_dir, stream_dir):
     g = {r.user_id: (r.n_events, r.total_value) for r in got.collect()}
     e = {r.user_id: (r.n_events, r.total_value) for r in expected.collect()}
     assert g == e
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_dir, stream_dir):
+    """Stream-static broadcast join: streaming result == the same join+agg
+    run in batch over identical input."""
+    from pyspark.sql import functions as F
+
+    from datafusion_datasource_orc_spark.sources.tables import load_table
+    from datafusion_datasource_orc_spark.streaming.events import stream_enrich_segments
+
+    customers = load_table(spark, sf_dir, "customer")
+    got = run_stream_to_memory(
+        stream_enrich_segments(events_stream(spark, stream_dir), customers),
+        "enrich_segments",
+    ).collect()
+
+    ev = spark.read.parquet(stream_dir)
+    dim = customers.select("c_custkey", "c_mktsegment")
+    expect = (
+        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "c_mktsegment",
+            "cnt",
+            "total_value",
+        )
+        .collect()
+    )
+    key = lambda r: (r.window_start, r.c_mktsegment)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+    assert len({key(r) for r in got}) == len(got)
