@@ -440,3 +440,135 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.agg(
         pct[0].alias("p25_approx"), pct[1].alias("p50_approx"), pct[2].alias("p75_approx")
     )
+
+
+# --- rank over an aggregate (two-level analytics) -------------------------
+
+
+@query(
+    "rank_nations_by_revenue",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_regionkey, n.n_name,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM nation n
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_regionkey, n.n_name
+    )
+    SELECT n_regionkey, n_name, revenue,
+           rank() OVER (PARTITION BY n_regionkey
+                        ORDER BY revenue DESC, n_name ASC) AS rnk
+    FROM rev
+    """,
+)
+def rank_nations_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window over an aggregate (the TPC-DS 'rank categories within
+    department' shape): revenue per nation, then rank within region. The
+    nation dim is broadcast into the fact joins; the window runs over the
+    tiny aggregated result, so its sort is trivial no matter the fact
+    volume."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("n_regionkey").orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    return rev.withColumn("rnk", F.rank().over(w))
+
+
+# --- map construction / inspection ----------------------------------------
+
+
+@query(
+    "map_status_counts",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           list(o_orderstatus ORDER BY o_orderstatus) AS statuses,
+           list(cnt ORDER BY o_orderstatus) AS counts,
+           MAX(CASE WHEN o_orderstatus = 'F' THEN cnt END) AS f_count
+    FROM c GROUP BY o_orderpriority
+    """,
+)
+def map_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType end-to-end: per priority, build status→count as a map
+    (map_from_entries over sorted entries), then read it back out with
+    map_keys/map_values/element_at. The oracle checks the extracted
+    (deterministically ordered) views — DuckDB's MAP would repr-differ, the
+    arrays don't."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_orderpriority", "o_orderstatus").agg(F.count(F.lit(1)).alias("cnt"))
+    m = c.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "cnt")))
+        ).alias("m")
+    )
+    return m.select(
+        "o_orderpriority",
+        F.map_keys("m").alias("statuses"),
+        F.map_values("m").alias("counts"),
+        F.element_at("m", F.lit("F")).alias("f_count"),
+    )
+
+
+# --- blocked fuzzy matching (levenshtein) ---------------------------------
+
+
+LEV_PREFIX = 60
+LEV_MAX = 20
+
+
+@query(
+    "fuzzy_pairs_levenshtein",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang, n_chars // 100 AS size_bucket,
+               left(text, {LEV_PREFIX}) AS prefix
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.prefix, b.prefix) AS dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.size_bucket = b.size_bucket
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= {LEV_MAX}
+    """,
+)
+def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy pairs with blocking: candidate pairs only within
+    (lang, n_chars//100) blocks, levenshtein on a fixed-length prefix.
+    Blocking turns the quadratic comparison into per-block quadratics (the
+    classic record-linkage move); at 100 TB, tighten blocks (more key bits)
+    or pre-filter with minhash before paying edit distance, which is the
+    expensive verifier here, not the candidate generator."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("size_bucket"),
+        F.substring("text", 1, LEV_PREFIX).alias("prefix"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.size_bucket") == F.col("b.size_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") <= LEV_MAX)
+    )
