@@ -117,10 +117,28 @@ class OrcTableCatalog:
         self.options.apply_to_session(spark)
         self.tables: dict[str, str] = {}
 
-    def register(self, name: str, path: str, mem_table: bool = False) -> DataFrame:
+    def register(
+        self,
+        name: str,
+        path: str,
+        mem_table: bool = False,
+        path_glob_filter: str | None = None,
+        recursive: bool = False,
+    ) -> DataFrame:
+        """Register an ORC directory as a queryable table.
+
+        ``path_glob_filter`` / ``recursive`` mirror the reference's
+        ListingTableUrl semantics (src/bin/tpcds_bench.rs:592-614 parses
+        URLs whose listing layer accepts globs and walks subdirectories):
+        Spark's ``pathGlobFilter`` restricts which files the listing
+        matches; ``recursiveFileLookup`` descends past partition dirs."""
         reader = self.spark.read
         if self.options.merge_schema:
             reader = reader.option("mergeSchema", "true")
+        if path_glob_filter:
+            reader = reader.option("pathGlobFilter", path_glob_filter)
+        if recursive:
+            reader = reader.option("recursiveFileLookup", "true")
         df = reader.orc(path)
         if mem_table:
             df = df.cache()

@@ -153,3 +153,32 @@ class TestWriter:
         stats = directory_statistics(out)
         assert stats["num_files"] >= 3  # 1500 rows / 500 per file
         assert all(s.num_rows <= 500 for s in stats["files"])
+
+
+class TestListingOptions:
+    """ListingTableUrl parity (tpcds_bench.rs:592-614): glob-restricted and
+    recursive directory listings."""
+
+    def test_path_glob_filter_excludes_non_orc(self, spark, sf_dir, tmp_path):
+        import shutil
+
+        d = orc_dir_for(spark, sf_dir, "region")
+        mixed = tmp_path / "mixed"
+        shutil.copytree(d, mixed)
+        (mixed / "notes.txt").write_text("not an orc file")
+        cat = OrcTableCatalog(spark)
+        df = cat.register("region_glob", str(mixed), path_glob_filter="*.orc")
+        assert df.count() == 5  # the stray file is skipped by the listing
+
+    def test_recursive_lookup_finds_nested_files(self, spark, sf_dir, tmp_path):
+        import shutil
+
+        d = orc_dir_for(spark, sf_dir, "region")
+        nested = tmp_path / "root" / "year=2026" / "inner"
+        shutil.copytree(d, nested)
+        cat = OrcTableCatalog(spark)
+        df = cat.register(
+            "region_nested", str(tmp_path / "root"),
+            path_glob_filter="*.orc", recursive=True,
+        )
+        assert df.count() == 5

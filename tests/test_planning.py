@@ -135,3 +135,37 @@ class TestJoinShapes:
         for fn in (window_frame_values, window_range_frame):
             nodes = plan_nodes(fn(spark, sf_dir))
             assert sum(n == "Exchange" for n in nodes) <= 1, fn.__name__
+
+
+class TestExtrasPlans:
+    def test_top_n_per_group_uses_group_limit(self, spark, sf_dir):
+        """row_number <= k must plan as WindowGroupLimit (per-partition top-k
+        before the full window sort) — at scale this is the difference
+        between shuffling k rows per group and materializing every group."""
+        from datafusion_datasource_orc_spark.operators.extras import top_n_per_group
+        from datafusion_datasource_orc_spark.plans.pushdown import explain_formatted
+
+        plan = explain_formatted(top_n_per_group(spark, sf_dir))
+        assert "WindowGroupLimit" in plan
+
+    def test_rank_nations_broadcasts_all_dims(self, spark, sf_dir):
+        """Customer and nation are both dimension-sized next to orders: the
+        fact table must never shuffle for this query."""
+        from datafusion_datasource_orc_spark.operators.extras import (
+            rank_nations_by_revenue,
+        )
+        from datafusion_datasource_orc_spark.plans.pushdown import scan_summary
+
+        s = scan_summary(rank_nations_by_revenue(spark, sf_dir))
+        assert s["broadcast_joins"] >= 1  # nation explicitly; AQE may add customer
+        # one exchange for the aggregate, one for the window over the tiny result
+        assert s["shuffles"] <= 3
+
+    def test_gap_fill_axis_is_broadcast_not_loop(self, spark, sf_dir):
+        """The hour axis must come from a 1-row aggregate expanded executor-
+        side (explode(sequence(...))) — no collect-driven calendar."""
+        from datafusion_datasource_orc_spark.operators.extras import events_gap_fill
+        from datafusion_datasource_orc_spark.plans.pushdown import explain_formatted
+
+        plan = explain_formatted(events_gap_fill(spark, sf_dir))
+        assert "Generate explode" in plan or "explode" in plan
