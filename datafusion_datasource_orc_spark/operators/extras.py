@@ -572,3 +572,66 @@ def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= LEV_MAX)
     )
+
+
+# --- multiset set-ops (ALL variants) --------------------------------------
+
+
+@query(
+    "intersect_all_keys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def intersect_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics INTERSECT ALL (duplicates preserved up to the min
+    multiplicity) — planned as a count-compare aggregate, one shuffle per
+    side, never a join explosion."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@query(
+    "except_all_keys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL (multiplicities subtract)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+# --- null-safe equality join ----------------------------------------------
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (SELECT n_nationkey, nullif(n_regionkey, 0) AS rk FROM nation),
+         b AS (SELECT n_nationkey, nullif(n_regionkey, 0) AS rk FROM nation)
+    SELECT a.n_nationkey AS nation_a, b.n_nationkey AS nation_b
+    FROM a JOIN b ON a.rk IS NOT DISTINCT FROM b.rk
+    WHERE a.n_nationkey < b.n_nationkey
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of dropping out — still a hash join (the null bucket
+    is just another key), not a nested loop. Region 0 is nulled out so the
+    corpus actually exercises the NULL-matches-NULL path."""
+    nation = load_table(spark, sf_dir, "nation")
+    a = nation.select(F.col("n_nationkey").alias("nation_a"), F.nullif("n_regionkey", F.lit(0)).alias("rk_a"))
+    b = nation.select(F.col("n_nationkey").alias("nation_b"), F.nullif("n_regionkey", F.lit(0)).alias("rk_b"))
+    return (
+        a.join(b, F.col("rk_a").eqNullSafe(F.col("rk_b")))
+        .filter(F.col("nation_a") < F.col("nation_b"))
+        .select("nation_a", "nation_b")
+    )
