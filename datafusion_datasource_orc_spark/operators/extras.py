@@ -635,3 +635,56 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nation_a") < F.col("nation_b"))
         .select("nation_a", "nation_b")
     )
+
+
+# --- GROUPING() markers + grouped percentiles ------------------------------
+
+
+@query(
+    "grouping_id_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers — the only way to tell a real NULL
+    group from a subtotal row, which TPC-DS uses throughout its rollup
+    queries. Cast to match DuckDB's BIGINT GROUPING output."""
+    from datafusion_datasource_orc_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+               COUNT(*) AS cnt
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """
+    )
+
+
+@query(
+    "percentile_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the grouped twin of the
+    global percentile_prices): one shuffle on the group key; each group's
+    values sort within its partition — at extreme group sizes switch to the
+    approx_percentile sketch, which is the documented trade."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+    )
