@@ -227,3 +227,72 @@ def explode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "token")
         .limit(20)
     )
+
+
+TFIDF_TOP_K = 3
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    toks2 AS (SELECT doc_id, tok FROM toks WHERE tok != ''),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks2 GROUP BY 1, 2),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks2 GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6)
+                   AS tfidf
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf, rk FROM (
+        SELECT doc_id, tok, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, tok ASC) AS rk
+        FROM scored
+    ) WHERE rk <= {TFIDF_TOP_K}
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-{k} terms per document — the classic corpus-statistics
+    keyword extractor. Term frequencies and document frequencies are two
+    groupBys over one exploded token table; the corpus size is a 1-row
+    aggregate broadcast into the scoring join; document frequency rides a
+    broadcast join because |vocab| << |corpus tokens| after the DF aggregate.
+    At 100 TB the same shape holds: the only big shuffle is the (doc, tok)
+    TF groupBy, and a df-cap filter (drop tokens in >X% of docs) bounds the
+    DF table exactly like the posting-list cap in dedup. Score = tf *
+    ln(N/df), computed identically in both engines (integer counts, one ln,
+    rounded) so the oracle hash-matches."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+    )
