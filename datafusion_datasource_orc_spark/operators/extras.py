@@ -28,6 +28,7 @@ aggregate (broadcast), never a driver-side loop.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -688,3 +689,69 @@ def percentile_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
     )
+
+
+# --- Python UDF surface (UDTF + Arrow UDAF; absent from the reference) ----
+
+
+@query(
+    "udtf_sentences",
+    oracle="""
+    SELECT doc_id, pos, sentence FROM (
+        SELECT doc_id,
+               CAST(unnest(generate_series(1, len(parts))) AS INT) - 1 AS pos,
+               trim(parts[unnest(generate_series(1, len(parts)))]) AS sentence
+        FROM (SELECT doc_id, string_split(text, '.') AS parts FROM documents)
+    ) WHERE sentence != ''
+    """,
+)
+def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one document row → N sentence rows.
+    The reference has no UDF/UDAF/UDTF surface at all (SURVEY §2C); Spark's
+    lateral-join UDTF is the extension point for tokenizers/segmenters that
+    aren't expressible as SQL. The splitter itself is deliberately trivial
+    (split on '.') so the DuckDB oracle can replicate it and hash-check the
+    UDTF machinery end-to-end. Runs per-row in Python — for hot paths prefer
+    the codegen'd explode(split()) twin; the UDTF exists for logic that
+    can't be a Column expression."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos: int, sentence: string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            for i, part in enumerate(text.split(".")):
+                if part.strip():
+                    yield i, part.strip()
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs_src")
+    spark.udtf.register("sentence_split", SentenceSplit)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.sentence
+        FROM udtf_docs_src d, LATERAL sentence_split(d.text) s
+        """
+    )
+
+
+@query(
+    "udaf_sum_squares",
+    oracle="""
+    SELECT l_linestatus, SUM(l_quantity * l_quantity) AS sum_sq
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def udaf_sum_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via an Arrow-batched grouped-agg pandas UDF — the
+    UDAF extension point (also absent from the reference). Sum of squares of
+    integer-valued quantities stays exact in IEEE doubles (< 2^53), so the
+    result is order-independent and hash-checkable. The batch transfer is
+    one Arrow exchange per group partition — the fast Python path; a plain
+    Column expression twin (SUM(q*q)) is what the optimizer sees for the
+    oracle."""
+    @F.pandas_udf("double")
+    def sum_sq(q: pd.Series) -> float:
+        return float((q * q).sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(sum_sq("l_quantity").alias("sum_sq"))
