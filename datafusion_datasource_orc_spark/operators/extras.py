@@ -755,3 +755,22 @@ def udaf_sum_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_linestatus").agg(sum_sq("l_quantity").alias("sum_sq"))
+
+
+# --- approximate heavy hitters --------------------------------------------
+
+
+@query("approx_heavy_hitters")  # sketch-based → rows-only; bounded vs exact in pytest
+def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frequent items (support >= 10%) over the part brand
+    column via DataFrame.freqItems (a one-pass mergeable summary — the
+    heavy-hitters member of the sketch family next to HLL and GK). May
+    over-report (never under-reports items above the support threshold);
+    the pytest twin checks every truly-frequent brand is present. At 100 TB
+    this replaces a full groupBy+sort when only 'what dominates?' is
+    asked."""
+    part = load_table(spark, sf_dir, "part")
+    freq = part.freqItems(["p_brand"], support=0.1)
+    return freq.select(
+        F.explode(F.sort_array(F.col("p_brand_freqItems"))).alias("brand")
+    )

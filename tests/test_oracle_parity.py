@@ -48,6 +48,7 @@ def test_every_query_has_oracle_or_documented_weak_check():
         "multimodal_decode",
         "approx_distinct",
         "approx_percentile_prices",
+        "approx_heavy_hitters",
     }, f"unexpected weak-check queries: {weak}"
 
 

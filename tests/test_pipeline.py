@@ -213,3 +213,20 @@ class TestConnectedComponents:
         paired_docs = {d for p in pairs for d in p}
         for c in clusters:
             assert set(c.members) <= paired_docs
+
+
+class TestHeavyHitters:
+    def test_freq_items_superset_of_true_heavy_hitters(self, spark, sf_dir):
+        """freqItems may over-report but must contain every item with true
+        support >= threshold."""
+        from datafusion_datasource_orc_spark.operators.extras import approx_heavy_hitters
+
+        got = {r.brand for r in approx_heavy_hitters(spark, sf_dir).collect()}
+        part = load_table(spark, sf_dir, "part")
+        n = part.count()
+        truth = {
+            r.p_brand
+            for r in part.groupBy("p_brand").count().filter(F.col("count") >= 0.1 * n).collect()
+        }
+        assert truth <= got
+        assert len(got) > 0
