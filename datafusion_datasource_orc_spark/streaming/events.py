@@ -171,3 +171,30 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def stream_stream_click_purchase(
+    clicks: DataFrame, purchases: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same user's
+    purchases within the following hour. Both sides carry watermarks and the
+    join condition bounds event-time distance, so Spark can expire buffered
+    state once the watermark passes — the state-boundedness contract every
+    stream-stream join needs at scale (an unbounded-time join would buffer
+    the full streams forever)."""
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id", "c_user", "click_ts", "purchase_ts")

@@ -110,3 +110,41 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir, stream_dir):
     key = lambda r: (r.window_start, r.c_mktsegment)
     assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
     assert len({key(r) for r in got}) == len(got)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, stream_dir):
+    """Stream-stream join (watermarked, time-bounded) produces exactly the
+    pairs the equivalent batch interval join produces."""
+    from pyspark.sql import functions as F
+
+    from datafusion_datasource_orc_spark.streaming.events import (
+        stream_stream_click_purchase,
+    )
+
+    stream = events_stream(spark, stream_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    got = run_stream_to_memory(
+        stream_stream_click_purchase(clicks, purchases),
+        "click_purchase",
+        output_mode="append",
+    ).collect()
+
+    ev = spark.read.parquet(stream_dir)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    expect = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("click_id", "purchase_id", "c_user", "click_ts", "purchase_ts").collect()
+
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+    assert len(got) > 0
