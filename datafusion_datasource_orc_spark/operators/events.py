@@ -308,3 +308,27 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
     )
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "events_json_struct",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 90
+    """,
+)
+def events_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with an explicit schema — the scalable JSON path: the
+    document parses ONCE into a typed struct column, and every downstream
+    field access/filter is a struct projection (vs get_json_object, which
+    re-parses per extraction). With many extracted fields this is the
+    difference between 1 and N parses per row at 100 TB; Catalyst also
+    prunes unread struct fields from the parse."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k INT"))
+    return (
+        parsed.filter(F.col("p.k") > 90)
+        .select("event_id", "event_type", F.col("p.k").alias("k"))
+    )
