@@ -169,3 +169,24 @@ class TestExtrasPlans:
 
         plan = explain_formatted(events_gap_fill(spark, sf_dir))
         assert "Generate explode" in plan or "explode" in plan
+
+
+class TestTpchHeavyPlans:
+    def test_q8_broadcasts_every_dim(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.operators.tpch_more import tpch_q8
+
+        s = scan_summary(tpch_q8(spark, sf_dir))
+        # region, nation x2, part, supplier, customer are all dim-sized
+        assert s["broadcast_joins"] >= 4
+
+    def test_q21_exists_not_exists_stays_hash_joins(self, spark, sf_dir):
+        """q21's EXISTS/NOT EXISTS must plan as (broadcast) hash semi/anti
+        joins, never a nested-loop over lineitem x lineitem."""
+        from datafusion_datasource_orc_spark.operators.tpch_more import tpch_q21
+        from datafusion_datasource_orc_spark.plans.pushdown import explain_formatted
+
+        plan = explain_formatted(tpch_q21(spark, sf_dir))
+        assert "NestedLoop" not in plan or "BroadcastNestedLoopJoin" not in plan.split(
+            "== Physical Plan =="
+        )[-1].split("\n\n")[0]
+        assert "LeftSemi" in plan and "LeftAnti" in plan
