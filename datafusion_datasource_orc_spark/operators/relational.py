@@ -520,7 +520,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
            NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile,
-           ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 8) AS pct_rank
+           FLOOR(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) * 100000000) / 100000000.0 AS pct_rank
     FROM customer
     """,
 )
@@ -530,7 +530,7 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         F.ntile(4).over(w).alias("balance_quartile"),
-        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        (F.floor(F.percent_rank().over(w) * 1e8) / 1e8).alias("pct_rank"),
     )
 
 
@@ -855,15 +855,19 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# B16 — relative-rank windows: dense_rank / percent_rank / cume_dist. Pure
-# rank arithmetic (no float accumulation), so doubles hash identically.
+# B16 — relative-rank windows: dense_rank / percent_rank / cume_dist. The
+# fractions are rank arithmetic on identical doubles in both engines, but
+# k/n can land EXACTLY on a .5 rounding boundary (e.g. 41/640 = 0.0640625),
+# where Spark's HALF_UP and DuckDB's rounding disagree — so outputs are
+# floor-truncated, which depends only on the (identical) double, never on a
+# tie-break rule.
 @query(
     "window_percent_rank",
     oracle="""
     SELECT c_nationkey, c_custkey,
            DENSE_RANK() OVER w AS drnk,
-           ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
-           ROUND(CUME_DIST() OVER w, 6) AS cdist
+           FLOOR(PERCENT_RANK() OVER w * 1000000) / 1000000.0 AS prnk,
+           FLOOR(CUME_DIST() OVER w * 1000000) / 1000000.0 AS cdist
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
     """,
@@ -875,8 +879,8 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         "c_custkey",
         F.dense_rank().over(w).alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prnk"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        (F.floor(F.percent_rank().over(w) * 1e6) / 1e6).alias("prnk"),
+        (F.floor(F.cume_dist().over(w) * 1e6) / 1e6).alias("cdist"),
     )
 
 
