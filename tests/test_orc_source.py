@@ -182,3 +182,26 @@ class TestListingOptions:
             path_glob_filter="*.orc", recursive=True,
         )
         assert df.count() == 5
+
+
+class TestTextToOrcPrep:
+    """A19 parity (scripts/generate_tpcds_orc.py:92-156): pipe-delimited text
+    → typed ORC, including the dsdgen trailing-delimiter quirk."""
+
+    def test_pipe_delimited_csv_roundtrips_to_orc(self, spark, tmp_path):
+        src = tmp_path / "region.dat"
+        # dsdgen-style: trailing pipe per line (the reference strips a
+        # trailing empty column, generate_tpcds_orc.py:117-123)
+        src.write_text("0|AFRICA|\n1|AMERICA|\n2|ASIA|\n")
+        schema = "r_regionkey LONG, r_name STRING, _trailing STRING"
+        df = (
+            spark.read.option("sep", "|").schema(schema).csv(str(src))
+            .drop("_trailing")
+        )
+        out = tmp_path / "region_orc"
+        df.write.mode("overwrite").option("compression", "snappy").orc(str(out))
+        back = spark.read.orc(str(out))
+        assert back.count() == 3
+        assert [f.name for f in back.schema.fields] == ["r_regionkey", "r_name"]
+        assert {r.r_name for r in back.collect()} == {"AFRICA", "AMERICA", "ASIA"}
+        assert dict(back.dtypes)["r_regionkey"] == "bigint"
