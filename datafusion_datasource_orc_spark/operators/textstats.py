@@ -229,6 +229,186 @@ def explode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- repetition filters (Gopher-style) --------------------------------------
+def _ngram_join_spark(n: int) -> str:
+    """Spark SQL expr producing word n-grams of array column ``w`` as joined
+    strings. element_at is 1-based; guarded by CASE so sequence() never sees
+    start > stop (Spark would count down)."""
+    concat = ", ' ', ".join(f"element_at(w, i + {j})" for j in range(n))
+    return (
+        f"CASE WHEN size(w) >= {n} THEN "
+        f"transform(sequence(1, size(w) - {n - 1}), i -> concat({concat})) "
+        f"ELSE array() END"
+    )
+
+
+def _ngram_join_duckdb(n: int) -> str:
+    """DuckDB expr: word n-grams of list column ``w`` (1-based indexing)."""
+    concat = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(generate_series(1, len(w) - {n - 1}), i -> {concat}) "
+        f"ELSE [] END"
+    )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    SELECT doc_id, n_bigrams,
+           floor(CASE WHEN n_bigrams = 0 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / n_bigrams END
+                 * 1e6) / 1e6 AS dup_bigram_frac,
+           floor(CASE WHEN n_trigrams = 0 THEN 0.0
+                 ELSE 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / n_trigrams END
+                 * 1e6) / 1e6 AS dup_trigram_frac,
+           floor(CASE WHEN n_bigrams = 0 THEN 0.0
+                 ELSE CAST(list_max(list_transform(list_distinct(bg),
+                        x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / n_bigrams END
+                 * 1e6) / 1e6 AS top_bigram_frac,
+           CASE WHEN n_bigrams = 0 OR
+                     1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / n_bigrams < 0.6
+                THEN 1 ELSE 0 END AS repetition_pass
+    FROM (
+      SELECT doc_id, {_ngram_join_duckdb(2)} AS bg, {_ngram_join_duckdb(3)} AS tg,
+             greatest(len(w) - 1, 0) AS n_bigrams,
+             greatest(len(w) - 2, 0) AS n_trigrams
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+            FROM documents)
+    )
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filters: duplicate-bigram /
+    duplicate-trigram fractions and the share of bigram occurrences taken by
+    the most frequent bigram (Rae et al. 2021 'repetitious text' rules,
+    arithmetic subset).
+
+    Scale shape: pure per-row array math inside whole-stage codegen — no
+    shuffle, no UDF, no explode. The most-frequent-bigram count is an
+    O(distinct x total) lambda over each doc's own bigrams, embarrassingly
+    parallel across 100 TB. Fractions are floor-truncated at 1e-6 (never
+    rounded) so the hash depends only on the identical IEEE double both
+    engines compute."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("doc_id", _words(F.col("text")).alias("w"))
+    d = d.select(
+        "doc_id",
+        F.expr(_ngram_join_spark(2)).alias("bg"),
+        F.expr(_ngram_join_spark(3)).alias("tg"),
+        F.greatest(F.size("w") - 1, F.lit(0)).alias("n_bigrams"),
+        F.greatest(F.size("w") - 2, F.lit(0)).alias("n_trigrams"),
+    )
+    dup_bg = F.when(F.col("n_bigrams") == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct("bg")).cast("double") / F.col("n_bigrams")
+    )
+    dup_tg = F.when(F.col("n_trigrams") == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct("tg")).cast("double") / F.col("n_trigrams")
+    )
+    top_bg_cnt = F.array_max(
+        F.expr("transform(array_distinct(bg), x -> size(filter(bg, y -> y = x)))")
+    )
+    top_bg = F.when(F.col("n_bigrams") == 0, F.lit(0.0)).otherwise(
+        top_bg_cnt.cast("double") / F.col("n_bigrams")
+    )
+    trunc = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return d.select(
+        "doc_id",
+        "n_bigrams",
+        trunc(dup_bg).alias("dup_bigram_frac"),
+        trunc(dup_tg).alias("dup_trigram_frac"),
+        trunc(top_bg).alias("top_bigram_frac"),
+        F.when((F.col("n_bigrams") == 0) | (dup_bg < 0.6), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("repetition_pass"),
+    )
+
+
+# ---- benchmark-contamination check ------------------------------------------
+EVAL_MOD = 97  # doc_id % 97 == 0 -> held-out "benchmark" split (~1%)
+
+
+@query(
+    "contamination_eval_overlap",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             list_distinct({_ngram_join_duckdb(3)}) AS tg
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+            FROM documents)
+    ),
+    eval_grams AS (
+      SELECT DISTINCT unnest(tg) AS g FROM grams WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    train AS (
+      SELECT doc_id, unnest(tg) AS g, len(tg) AS n_grams
+      FROM grams WHERE doc_id % {EVAL_MOD} <> 0
+    ),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_overlap
+      FROM train t JOIN eval_grams e ON t.g = e.g
+      GROUP BY t.doc_id
+    )
+    SELECT g.doc_id,
+           CAST(len(g.tg) AS BIGINT) AS n_grams,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           floor(CASE WHEN len(g.tg) = 0 THEN 0.0
+                 ELSE CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / len(g.tg) END
+                 * 1e6) / 1e6 AS overlap_frac,
+           CASE WHEN COALESCE(h.n_overlap, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+    FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
+    WHERE g.doc_id % {EVAL_MOD} <> 0
+    """,
+)
+def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: which training documents share word
+    trigrams with a held-out eval split (doc_id % {mod} == 0)?
+
+    The decontamination primitive of every LLM data pipeline (per the GPT-3 /
+    PaLM appendices): n-gram the eval set, n-gram the corpus, flag overlap.
+
+    Scale shape: the eval side is tiny by construction (~1% of docs,
+    distinct trigrams only) -> aggregated then BROADCAST to the trigram
+    stream of the training side; no shuffle touches the 100 TB side except
+    the per-doc count groupBy, which AQE coalesces. Distinct-per-doc is
+    array_distinct inside the row (free), never a corpus-wide DISTINCT. The
+    zero-overlap docs are restored by a final left join against the slim
+    (doc_id, n_grams) projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select("doc_id", _words(F.col("text")).alias("w")).select(
+        "doc_id",
+        F.array_distinct(F.expr(_ngram_join_spark(3))).alias("tg"),
+    )
+    eval_grams = (
+        grams.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode("tg").alias("g"))
+        .distinct()
+    )
+    train = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
+    hits = (
+        train.select("doc_id", F.explode("tg").alias("g"))
+        .join(F.broadcast(eval_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    base = train.select("doc_id", F.size("tg").cast("long").alias("n_grams"))
+    joined = base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+    )
+    frac = F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+        F.col("n_overlap").cast("double") / F.col("n_grams")
+    )
+    return joined.select(
+        "doc_id",
+        "n_grams",
+        "n_overlap",
+        (F.floor(frac * 1e6) / 1e6).alias("overlap_frac"),
+        F.when(F.col("n_overlap") > 0, F.lit(1)).otherwise(F.lit(0)).alias("contaminated"),
+    )
+
+
 TFIDF_TOP_K = 3
 
 

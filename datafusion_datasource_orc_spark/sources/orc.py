@@ -202,6 +202,63 @@ def write_orc_bucketed(
     writer.saveAsTable(table_name)
 
 
+def _hadoop_dir_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(data_file_count, total_bytes) for a directory via the Hadoop
+    FileSystem API — storage-agnostic (file://, s3a://, gs://, abfs://),
+    exactly the layer the reference's object_store reads sit on
+    (src/reader.rs:119-148). Hidden/_SUCCESS files excluded."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    n = total = 0
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        n += 1
+        total += f.getLen()
+    return n, total
+
+
+def compact_orc(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 << 20,
+    compression: str = "snappy",
+    shuffle: bool = False,
+) -> dict:
+    """Small-file compaction: rewrite an ORC directory into
+    ceil(total_bytes / target_file_bytes) files.
+
+    The standing operational problem of a streaming or highly-parallel
+    ingest at 100 TB is millions of KB-sized files: every scan pays one
+    ranged-read setup per file (the reference counts these as io_requests,
+    src/metrics.rs:57-118) and the driver pays listing + split planning.
+    Compaction restores ~128 MB files, the split size scans want.
+
+    ``shuffle=False`` (default) uses coalesce — a narrow, shuffle-free merge
+    of co-located small files (file counts may be slightly uneven);
+    ``shuffle=True`` uses repartition for exactly even output at the cost of
+    a full exchange. Returns before/after stats.
+    """
+    src_files, src_bytes = _hadoop_dir_stats(spark, src_dir)
+    n_out = max(1, -(-src_bytes // target_file_bytes))
+    df = spark.read.orc(src_dir)
+    out = df.repartition(n_out) if shuffle else df.coalesce(n_out)
+    out.write.mode("overwrite").option("compression", compression).orc(dst_dir)
+    dst_files, dst_bytes = _hadoop_dir_stats(spark, dst_dir)
+    return {
+        "src_files": src_files,
+        "src_bytes": src_bytes,
+        "dst_files": dst_files,
+        "dst_bytes": dst_bytes,
+        "target_file_bytes": target_file_bytes,
+    }
+
+
 def write_orc(
     df: DataFrame,
     path: str,

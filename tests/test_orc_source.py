@@ -154,6 +154,41 @@ class TestWriter:
         assert stats["num_files"] >= 3  # 1500 rows / 500 per file
         assert all(s.num_rows <= 500 for s in stats["files"])
 
+    def test_compact_orc_merges_small_files(self, spark, sf_dir, tmp_path):
+        from datafusion_datasource_orc_spark.sources.orc import compact_orc
+
+        df = load_table(spark, sf_dir, "orders")
+        shards = str(tmp_path / "orders_shards")
+        # simulate a fragmented ingest: ~30 tiny files
+        write_orc(df.repartition(30), shards)
+        compacted = str(tmp_path / "orders_compacted")
+        stats = compact_orc(spark, shards, compacted, target_file_bytes=1 << 30)
+        assert stats["src_files"] >= 25
+        assert stats["dst_files"] == 1  # everything fits one 1 GiB target
+        back = spark.read.orc(compacted)
+        assert back.count() == df.count()
+        # content-preserving: same multiset of keys
+        a = sorted(r.o_orderkey for r in back.select("o_orderkey").collect())
+        b = sorted(r.o_orderkey for r in df.select("o_orderkey").collect())
+        assert a == b
+
+    def test_compact_orc_even_with_shuffle(self, spark, sf_dir, tmp_path):
+        from datafusion_datasource_orc_spark.sources.orc import compact_orc
+
+        df = load_table(spark, sf_dir, "lineitem")
+        shards = str(tmp_path / "li_shards")
+        write_orc(df.repartition(16), shards)
+        out = str(tmp_path / "li_compacted")
+        _, total = __import__(
+            "datafusion_datasource_orc_spark.sources.orc", fromlist=["_hadoop_dir_stats"]
+        )._hadoop_dir_stats(spark, shards)
+        # target = ceil(half the data) -> exactly 2 output files, evenly repartitioned
+        stats = compact_orc(
+            spark, shards, out, target_file_bytes=max(-(-total // 2), 1), shuffle=True
+        )
+        assert stats["dst_files"] == 2
+        assert spark.read.orc(out).count() == df.count()
+
 
 class TestListingOptions:
     """ListingTableUrl parity (tpcds_bench.rs:592-614): glob-restricted and

@@ -140,6 +140,35 @@ class TestTextStats:
         b = {(r.doc_id, r.predicted_lang) for r in lang_id(spark, sf_dir).collect()}
         assert a == b
 
+    def test_repetition_fractions_bounded(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.operators.textstats import text_repetition
+
+        rows = text_repetition(spark, sf_dir).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert 0.0 <= r.dup_bigram_frac <= 1.0
+            assert 0.0 <= r.dup_trigram_frac <= 1.0
+            # the modal bigram accounts for at least its duplicate share
+            assert r.top_bigram_frac >= (1.0 - (1.0 - r.dup_bigram_frac)) / max(r.n_bigrams, 1)
+            assert r.repetition_pass in (0, 1)
+            # trigram dupes imply bigram dupes (every dup trigram contains a dup bigram)
+            if r.dup_trigram_frac > 0:
+                assert r.dup_bigram_frac > 0
+
+    def test_contamination_excludes_eval_split_and_bounds(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.operators.textstats import (
+            EVAL_MOD,
+            contamination_eval_overlap,
+        )
+
+        rows = contamination_eval_overlap(spark, sf_dir).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert r.doc_id % EVAL_MOD != 0  # eval docs never in the output
+            assert 0 <= r.n_overlap <= r.n_grams
+            assert r.contaminated == (1 if r.n_overlap > 0 else 0)
+            assert 0.0 <= r.overlap_frac <= 1.0
+
 
 class TestMultimodal:
     def test_payload_schema(self, spark, sf_dir):

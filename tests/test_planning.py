@@ -161,6 +161,29 @@ class TestExtrasPlans:
         # one exchange for the aggregate, one for the window over the tiny result
         assert s["shuffles"] <= 3
 
+    def test_contamination_eval_side_is_broadcast(self, spark, sf_dir):
+        """The eval n-gram set must broadcast to the training trigram stream —
+        the 100 TB side never shuffles for the membership probe; the only
+        shuffles are the per-doc count groupBy and the left join back."""
+        from datafusion_datasource_orc_spark.operators.textstats import (
+            contamination_eval_overlap,
+        )
+        from datafusion_datasource_orc_spark.plans.pushdown import scan_summary
+
+        s = scan_summary(contamination_eval_overlap(spark, sf_dir))
+        assert s["broadcast_joins"] >= 1
+        assert s["shuffles"] <= 4
+
+    def test_text_repetition_is_shuffle_free(self, spark, sf_dir):
+        """Repetition metrics are pure per-row array math: no exchange
+        anywhere in the plan."""
+        from datafusion_datasource_orc_spark.operators.textstats import text_repetition
+        from datafusion_datasource_orc_spark.plans.pushdown import scan_summary
+
+        s = scan_summary(text_repetition(spark, sf_dir))
+        assert s["shuffles"] == 0
+        assert s["broadcast_joins"] == 0
+
     def test_gap_fill_axis_is_broadcast_not_loop(self, spark, sf_dir):
         """The hour axis must come from a 1-row aggregate expanded executor-
         side (explode(sequence(...))) — no collect-driven calendar."""
