@@ -409,6 +409,84 @@ def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- end-to-end filter funnel ----------------------------------------------
+ALL_STOPWORDS = sorted({w for sw in STOPWORDS.values() for w in sw})
+
+
+@query(
+    "pipeline_filter_funnel",
+    oracle=f"""
+    WITH flags AS (
+      SELECT CASE WHEN n_words BETWEEN 20 AND 1000
+                   AND CAST(n_distinct AS DOUBLE) / n_words > 0.2
+             THEN 1 ELSE 0 END AS q_pass,
+             CASE WHEN n_words < 2 OR
+                       1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / (n_words - 1) < 0.6
+             THEN 1 ELSE 0 END AS r_pass,
+             CASE WHEN len(list_intersect(dw, {_sql_array(ALL_STOPWORDS)})) > 0
+             THEN 1 ELSE 0 END AS l_pass
+      FROM (
+        SELECT len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
+               list_distinct(w) AS dw, {_ngram_join_duckdb(2)} AS bg
+        FROM (SELECT string_split_regex(lower(text), '\\s+') AS w FROM documents)
+      )
+    ),
+    agg AS (
+      SELECT COUNT(*) AS total,
+             SUM(q_pass) AS after_quality,
+             SUM(q_pass * r_pass) AS after_repetition,
+             SUM(q_pass * r_pass * l_pass) AS after_lang
+      FROM flags
+    )
+    SELECT 1 AS stage_no, 'ingested' AS stage, CAST(total AS BIGINT) AS n_docs FROM agg
+    UNION ALL
+    SELECT 2, 'quality', CAST(after_quality AS BIGINT) FROM agg
+    UNION ALL
+    SELECT 3, 'repetition', CAST(after_repetition AS BIGINT) FROM agg
+    UNION ALL
+    SELECT 4, 'lang_id', CAST(after_lang AS BIGINT) FROM agg
+    """,
+)
+def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor counts through the standard pre-training filter chain
+    (ingested -> quality gates -> repetition filter -> language ID) — the
+    keep-rate funnel report of a C4/Gopher-style cleaning pipeline.
+
+    Scale shape: ONE scan computes all three flags as row-local array math;
+    a single 1-row aggregate (map-side partial sums) collapses 100 TB to four
+    counters; the 4-row funnel is expanded from that 1-row result with stack
+    (executor-side, no driver loop, no re-scan per stage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(_words(F.col("text")).alias("w")).select(
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        F.array_distinct("w").alias("dw"),
+        F.expr(_ngram_join_spark(2)).alias("bg"),
+    )
+    q_pass = (
+        F.col("n_words").between(20, 1000)
+        & (F.col("n_distinct").cast("double") / F.col("n_words") > 0.2)
+    ).cast("long")
+    dup_bg = 1.0 - F.size(F.array_distinct("bg")).cast("double") / (F.col("n_words") - 1)
+    r_pass = ((F.col("n_words") < 2) | (dup_bg < 0.6)).cast("long")
+    l_pass = (
+        F.size(F.array_intersect("dw", F.array(*[F.lit(s) for s in ALL_STOPWORDS]))) > 0
+    ).cast("long")
+    agg = d.select(
+        q_pass.alias("q"), r_pass.alias("r"), l_pass.alias("l")
+    ).agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum("q").alias("after_quality"),
+        F.sum(F.col("q") * F.col("r")).alias("after_repetition"),
+        F.sum(F.col("q") * F.col("r") * F.col("l")).alias("after_lang"),
+    )
+    return agg.selectExpr(
+        "stack(4, 1, 'ingested', total, 2, 'quality', after_quality, "
+        "3, 'repetition', after_repetition, 4, 'lang_id', after_lang) "
+        "AS (stage_no, stage, n_docs)"
+    )
+
+
 TFIDF_TOP_K = 3
 
 

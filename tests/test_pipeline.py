@@ -155,6 +155,17 @@ class TestTextStats:
             if r.dup_trigram_frac > 0:
                 assert r.dup_bigram_frac > 0
 
+    def test_filter_funnel_monotone(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.operators.textstats import (
+            pipeline_filter_funnel,
+        )
+
+        rows = sorted(pipeline_filter_funnel(spark, sf_dir).collect(), key=lambda r: r.stage_no)
+        assert [r.stage for r in rows] == ["ingested", "quality", "repetition", "lang_id"]
+        counts = [r.n_docs for r in rows]
+        assert counts[0] > 0
+        assert all(a >= b for a, b in zip(counts, counts[1:]))  # survivors only shrink
+
     def test_contamination_excludes_eval_split_and_bounds(self, spark, sf_dir):
         from datafusion_datasource_orc_spark.operators.textstats import (
             EVAL_MOD,
