@@ -487,6 +487,73 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- weighted training-mix sampling -----------------------------------------
+# Per-source sampling rate: 10% + 4% * (numeric suffix of the source id mod
+# 10) — a stand-in for the "quality-tiered mixture weights" table of a real
+# pipeline. The sample membership test is the same engine-portable Knuth
+# multiplicative hash as sample_hash; the threshold stays integer
+# (42949672 ~ 2^32/100) so both engines compare identical int64s.
+@query(
+    "training_mix_sample",
+    oracle="""
+    SELECT source,
+           10 + 4 * (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 10)
+               AS rate_pct,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS n_sampled,
+           SUM(CASE WHEN sampled THEN n_chars // 4 ELSE 0 END) AS sampled_tokens,
+           (SUM(CASE WHEN sampled THEN n_chars // 4 ELSE 0 END) + 2047) // 2048
+               AS est_packs
+    FROM (
+      SELECT source, n_chars,
+             (doc_id * 2654435761) % 4294967296 <
+               (10 + 4 * (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 10))
+               * 42949672 AS sampled
+      FROM documents
+    )
+    GROUP BY source
+    """,
+)
+def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training-mix construction: each source gets a deterministic
+    sampling rate (its mixture weight), membership is a portable
+    multiplicative hash over doc_id, and the output reports per-source docs
+    kept, token budget (chars/4 heuristic), and sequence-pack count at a
+    2048-token context.
+
+    Scale shape: rate lookup and hash test are row-local expressions (at
+    100 TB the rate table would be a broadcast dim instead of an inline
+    formula — same plan shape); one groupBy(source) with map-side partial
+    aggregation is the only shuffle. No RNG state: resampling with the same
+    constants reproduces the exact mixture on any cluster layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    tier = F.regexp_extract("source", r"([0-9]+)$", 1).cast("long") % 10
+    rate_pct = F.lit(10) + F.lit(4) * tier
+    sampled = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) < (
+        rate_pct * F.lit(42949672)
+    )
+    toks = F.expr("n_chars div 4")
+    d = docs.select(
+        "source",
+        rate_pct.alias("rate_pct"),
+        sampled.alias("sampled"),
+        toks.alias("toks"),
+    )
+    agg = d.groupBy("source", "rate_pct").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("sampled"), 1).otherwise(0)).alias("n_sampled"),
+        F.sum(F.when(F.col("sampled"), F.col("toks")).otherwise(0)).alias("sampled_tokens"),
+    )
+    return agg.select(
+        "source",
+        "rate_pct",
+        "n_docs",
+        "n_sampled",
+        "sampled_tokens",
+        F.expr("(sampled_tokens + 2047) div 2048").alias("est_packs"),
+    )
+
+
 TFIDF_TOP_K = 3
 
 

@@ -166,6 +166,26 @@ class TestTextStats:
         assert counts[0] > 0
         assert all(a >= b for a, b in zip(counts, counts[1:]))  # survivors only shrink
 
+    def test_training_mix_rates_and_reproducibility(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.operators.textstats import (
+            training_mix_sample,
+        )
+
+        rows = training_mix_sample(spark, sf_dir).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert 10 <= r.rate_pct <= 46
+            assert 0 <= r.n_sampled <= r.n_docs
+            assert r.est_packs == -(-r.sampled_tokens // 2048)
+        # deterministic: a rerun yields the identical mixture
+        again = {(r.source, r.n_sampled) for r in training_mix_sample(spark, sf_dir).collect()}
+        assert again == {(r.source, r.n_sampled) for r in rows}
+        # aggregate sample fraction tracks the configured rates (loose CLT bound)
+        tot = sum(r.n_docs for r in rows)
+        exp = sum(r.n_docs * r.rate_pct / 100.0 for r in rows)
+        got = sum(r.n_sampled for r in rows)
+        assert abs(got - exp) / tot < 0.10
+
     def test_contamination_excludes_eval_split_and_bounds(self, spark, sf_dir):
         from datafusion_datasource_orc_spark.operators.textstats import (
             EVAL_MOD,
