@@ -65,6 +65,22 @@ def stream_tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> Data
     )
 
 
+def stream_dedup_events(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming ingest dedup: at-least-once delivery re-sends events, so
+    drop re-deliveries whose idempotency key (event_id) was already seen
+    within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state to the watermark
+    window — the continuous-ingest analogue of the batch dedup family
+    (operators/dedup.py). Plain ``dropDuplicates`` on a stream would keep
+    every key ever seen in state and OOM a 100 TB/day feed; within-watermark
+    state stays proportional to event rate x horizon regardless of total
+    history."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def stream_user_running_totals(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Stateful per-user aggregate (complete-per-key semantics via update
     mode): event count + value total per user."""

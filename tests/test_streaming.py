@@ -148,3 +148,29 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, stream_dir):
 
     assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
     assert len(got) > 0
+
+
+def test_stream_dedup_within_watermark_drops_redeliveries(spark, sf_dir, stream_dir, tmp_path_factory):
+    """At-least-once ingest: a second file re-delivers 200 events; the
+    within-watermark dedup must emit each event_id exactly once and match
+    the batch dropDuplicates twin."""
+    from pyspark.sql import functions as F
+
+    from datafusion_datasource_orc_spark.streaming.events import stream_dedup_events
+
+    d = str(tmp_path_factory.mktemp("events_redelivered"))
+    ev = spark.read.parquet(stream_dir)
+    ev.write.mode("overwrite").parquet(d)
+    # simulate redelivery: append a duplicate slice as a later file
+    ev.orderBy("event_id").limit(200).write.mode("append").parquet(d)
+
+    stream = events_stream(spark, d, max_files_per_trigger=1)
+    got = run_stream_to_memory(
+        stream_dedup_events(stream), "dedup_stream", output_mode="append"
+    ).collect()
+
+    assert len(got) == ev.count()  # every original event exactly once
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids))
+    batch = ev.unionAll(ev.orderBy("event_id").limit(200)).dropDuplicates(["event_id"])
+    assert set(ids) == {r.event_id for r in batch.collect()}
