@@ -45,6 +45,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "simsearch_bruteforce",
     "text_token_count",
+    "text_repetition",
+    "contamination_eval_overlap",
+    "pipeline_filter_funnel",
+    "training_mix_sample",
     "events_tumbling_window",
     "events_session_window",
     "asof_join_last_order",

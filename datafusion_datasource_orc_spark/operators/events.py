@@ -332,3 +332,49 @@ def events_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.filter(F.col("p.k") > 90)
         .select("event_id", "event_type", F.col("p.k").alias("k"))
     )
+
+
+# Product-analytics conversion funnel: signup -> click -> purchase by
+# first-occurrence ordering. One groupBy(user_id) computes the three
+# conditional first-timestamps (map-side partial MIN), then a 1-row aggregate
+# counts stage survivors — two shuffles total, both shrinking, at any scale.
+@query(
+    "events_conversion_funnel",
+    oracle="""
+    SELECT COUNT(first_signup) AS n_signup,
+           SUM(CASE WHEN first_click > first_signup THEN 1 ELSE 0 END)
+               AS n_click_after_signup,
+           SUM(CASE WHEN first_click > first_signup AND first_purchase > first_click
+                    THEN 1 ELSE 0 END) AS n_purchase_funnel
+    FROM (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    """,
+)
+def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage survivor counts for the signup -> click -> purchase funnel
+    (first-occurrence ordering per user). Timestamps never leave the plan —
+    only counts are output, so engine timestamp representation is moot."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return per_user.agg(
+        F.count("first_signup").alias("n_signup"),
+        F.sum(
+            F.when(F.col("first_click") > F.col("first_signup"), 1).otherwise(0)
+        ).alias("n_click_after_signup"),
+        F.sum(
+            F.when(
+                (F.col("first_click") > F.col("first_signup"))
+                & (F.col("first_purchase") > F.col("first_click")),
+                1,
+            ).otherwise(0)
+        ).alias("n_purchase_funnel"),
+    )

@@ -230,16 +230,21 @@ def explode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- repetition filters (Gopher-style) --------------------------------------
-def _ngram_join_spark(n: int) -> str:
-    """Spark SQL expr producing word n-grams of array column ``w`` as joined
-    strings. element_at is 1-based; guarded by CASE so sequence() never sees
-    start > stop (Spark would count down)."""
-    concat = ", ' ', ".join(f"element_at(w, i + {j})" for j in range(n))
-    return (
-        f"CASE WHEN size(w) >= {n} THEN "
-        f"transform(sequence(1, size(w) - {n - 1}), i -> concat({concat})) "
-        f"ELSE array() END"
-    )
+def _ngrams_linear(w: Column, n: int) -> Column:
+    """Word n-gram MULTISET via slice + zip_with — structurally linear.
+
+    Deliberately NOT ``transform(sequence(...), i -> element_at(w, i+k))``:
+    CollapseProject inlines the generating ``split()`` into every element_at
+    of the lambda, making n-gramming O(words²) per document (measured 16.9s
+    for contamination at sf0.1 vs ~2s linear — the same trap documented at
+    dedup.shingles_of_words). zip_with over shifted slices evaluates each
+    input a constant number of times no matter what the optimizer inlines."""
+    m = F.size(w) - (n - 1)
+    shifted = [F.slice(w, k + 1, m) for k in range(n)]
+    zipped = shifted[0]
+    for nxt in shifted[1:]:
+        zipped = F.zip_with(zipped, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(m > 0, zipped).otherwise(F.array().cast("array<string>"))
 
 
 def _ngram_join_duckdb(n: int) -> str:
@@ -294,8 +299,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select("doc_id", _words(F.col("text")).alias("w"))
     d = d.select(
         "doc_id",
-        F.expr(_ngram_join_spark(2)).alias("bg"),
-        F.expr(_ngram_join_spark(3)).alias("tg"),
+        _ngrams_linear(F.col("w"), 2).alias("bg"),
+        _ngrams_linear(F.col("w"), 3).alias("tg"),
         F.greatest(F.size("w") - 1, F.lit(0)).alias("n_bigrams"),
         F.greatest(F.size("w") - 2, F.lit(0)).alias("n_trigrams"),
     )
@@ -305,8 +310,24 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_tg = F.when(F.col("n_trigrams") == 0, F.lit(0.0)).otherwise(
         1.0 - F.size(F.array_distinct("tg")).cast("double") / F.col("n_trigrams")
     )
-    top_bg_cnt = F.array_max(
-        F.expr("transform(array_distinct(bg), x -> size(filter(bg, y -> y = x)))")
+    # modal-bigram multiplicity = longest equal run in sorted order:
+    # O(n log n) per doc vs the O(distinct x total) transform/filter lambda
+    # (which quadratically re-scans bg per distinct element on long docs)
+    top_bg_cnt = F.aggregate(
+        F.array_sort("bg"),
+        F.struct(
+            F.lit(0).alias("best"),
+            F.lit(0).alias("cur"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            F.greatest(
+                acc.best, F.when(x == acc.prev, acc.cur + 1).otherwise(F.lit(1))
+            ).alias("best"),
+            F.when(x == acc.prev, acc.cur + 1).otherwise(F.lit(1)).alias("cur"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc.best,
     )
     top_bg = F.when(F.col("n_bigrams") == 0, F.lit(0.0)).otherwise(
         top_bg_cnt.cast("double") / F.col("n_bigrams")
@@ -377,7 +398,7 @@ def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select("doc_id", _words(F.col("text")).alias("w")).select(
         "doc_id",
-        F.array_distinct(F.expr(_ngram_join_spark(3))).alias("tg"),
+        F.array_distinct(_ngrams_linear(F.col("w"), 3)).alias("tg"),
     )
     eval_grams = (
         grams.filter(F.col("doc_id") % EVAL_MOD == 0)
@@ -461,7 +482,7 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("w").alias("n_words"),
         F.size(F.array_distinct("w")).alias("n_distinct"),
         F.array_distinct("w").alias("dw"),
-        F.expr(_ngram_join_spark(2)).alias("bg"),
+        _ngrams_linear(F.col("w"), 2).alias("bg"),
     )
     q_pass = (
         F.col("n_words").between(20, 1000)
