@@ -166,6 +166,28 @@ class TestTextStats:
         assert counts[0] > 0
         assert all(a >= b for a, b in zip(counts, counts[1:]))  # survivors only shrink
 
+    def test_ngrams_linear_edge_cases(self, spark):
+        from pyspark.sql import functions as F
+
+        from datafusion_datasource_orc_spark.operators.textstats import _ngrams_linear
+
+        df = spark.createDataFrame(
+            [(1, ["a"]), (2, ["a", "b"]), (3, ["a", "a", "a"]), (4, ["x", "y", "x", "y"])],
+            ["id", "w"],
+        )
+        rows = {
+            r.id: (r.bg, r.tg)
+            for r in df.select(
+                "id",
+                _ngrams_linear(F.col("w"), 2).alias("bg"),
+                _ngrams_linear(F.col("w"), 3).alias("tg"),
+            ).collect()
+        }
+        assert rows[1] == ([], [])  # below n -> empty, never an error
+        assert rows[2] == (["a b"], [])
+        assert rows[3] == (["a a", "a a"], ["a a a"])  # multiset preserved
+        assert rows[4] == (["x y", "y x", "x y"], ["x y x", "y x y"])
+
     def test_training_mix_rates_and_reproducibility(self, spark, sf_dir):
         from datafusion_datasource_orc_spark.operators.textstats import (
             training_mix_sample,
