@@ -1,0 +1,73 @@
+"""Registry-wide physical-plan lint.
+
+Every registered query's plan is screened for the operators that silently
+destroy 100 TB scalability: Cartesian products, unbounded nested-loop joins,
+and row-at-a-time Python evaluation. Anything intentional must be listed
+here WITH its justification — the allowlist is documentation, and a new
+query that trips the lint fails until its shape is either fixed or argued
+for below.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_datasource_orc_spark.operators import QUERIES
+from datafusion_datasource_orc_spark.plans.pushdown import explain_formatted
+
+# name -> (allowed node, why it is bounded at scale)
+ALLOWED_NESTED_LOOP = {
+    "simsearch_bruteforce": "query set (5 vectors) broadcast x corpus — the exact-scan ANN baseline",
+    "simsearch_knn_join": "query set broadcast x corpus, same baseline shape",
+    "simsearch_ivf": "probed-centroid set (tiny) broadcast to the corpus stream",
+    "dedup_embedding_cosine": "upper-triangle pair generation over the broadcast small side",
+    "tfidf_top_terms": "1-row corpus-size aggregate crossJoin'd into scoring",
+    "tpch_q11": "1-row scalar-subquery threshold joined below the HAVING",
+    "tpch_q22": "1-row average-balance scalar subquery",
+}
+ALLOWED_ROW_PYTHON = {
+    "udtf_sentences": "Python UDTF — UDTF evaluation is BatchEvalPython by engine design",
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name, fn in sorted(QUERIES.items()):
+        out[name] = explain_formatted(fn(spark, sf_dir))
+    return out
+
+
+def test_no_cartesian_products(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert offenders == [], f"CartesianProduct (all-pairs shuffle join) in: {offenders}"
+
+
+def test_nested_loop_joins_are_allowlisted(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in ALLOWED_NESTED_LOOP
+    ]
+    assert offenders == [], (
+        f"unreviewed BroadcastNestedLoopJoin in: {offenders} — broadcast a keyed "
+        "side or add an equi-condition; if the loop side is provably tiny, "
+        "document it in ALLOWED_NESTED_LOOP"
+    )
+
+
+def test_row_at_a_time_python_is_allowlisted(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if "BatchEvalPython" in p and n not in ALLOWED_ROW_PYTHON
+    ]
+    assert offenders == [], (
+        f"row-at-a-time Python UDF in: {offenders} — use built-in functions or "
+        "an Arrow-batched pandas UDF (ArrowEvalPython)"
+    )
+
+
+def test_allowlists_reference_live_queries():
+    dead = (set(ALLOWED_NESTED_LOOP) | set(ALLOWED_ROW_PYTHON)) - set(QUERIES)
+    assert dead == set(), f"allowlist entries for unregistered queries: {dead}"
