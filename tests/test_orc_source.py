@@ -96,6 +96,21 @@ class TestMetadata:
         with pytest.raises(FileNotFoundError):
             infer_merged_schema("/nonexistent/path/xyz")
 
+    def test_non_orc_file_errors(self, spark, tmp_path):
+        # reading garbage through the ORC reader must fail loudly, not
+        # return rows (basic_reading.rs non-ORC-dir error path)
+        bad = tmp_path / "bad"
+        bad.mkdir()
+        (bad / "data.orc").write_text("this is not an orc file")
+        with pytest.raises(Exception):
+            spark.read.orc(str(bad)).collect()
+
+    def test_empty_dir_schema_inference_errors(self, spark, tmp_path):
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        with pytest.raises(Exception):
+            spark.read.orc(str(empty)).collect()
+
 
 # ---- catalog registration (ListingTable flow) ---------------------------------
 class TestCatalog:
