@@ -141,3 +141,55 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.col("text"), F.col("frame_offset") + 1, 16).alias("frame"),
         )
     )
+
+
+# ---- decode-batch packing ----------------------------------------------------
+DECODE_BATCH = 32
+
+
+@query(
+    "multimodal_batch_packing",
+    oracle=f"""
+    SELECT lang, batch_id,
+           COUNT(*) AS n_items,
+           SUM(n_bytes) AS total_bytes,
+           MAX(n_bytes) AS max_bytes,
+           MIN(n_bytes) AS min_bytes
+    FROM (
+      SELECT lang, n_bytes,
+             (row_number() OVER (PARTITION BY lang
+                                 ORDER BY n_bytes DESC, doc_id) - 1)
+               // {DECODE_BATCH} AS batch_id
+      FROM (SELECT doc_id, lang, octet_length(encode(text)) AS n_bytes
+            FROM documents)
+    )
+    GROUP BY lang, batch_id
+    """,
+)
+def multimodal_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic decode-batch assignment: within each lang partition,
+    payloads are ordered by size (unique doc_id tie-break) and packed into
+    fixed-count batches — size-sorted packing keeps per-batch byte totals
+    even, which is what a GPU decode stage wants fed.
+
+    Scale shape: the window partitions by a bounded-cardinality key so no
+    global sort exists; at 100 TB swap the partition key for a hash shard
+    (``pmod(hash(doc_id), N)``) to bound partition width — identical plan.
+    The output is the per-batch manifest (counts + byte totals), i.e. the
+    scheduler's input, not the payload bytes."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = with_payload(docs).select(
+        "doc_id", F.col("meta.lang").alias("lang"), F.col("meta.n_bytes").alias("n_bytes")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n_bytes").desc(), F.col("doc_id"))
+    batched = sized.withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / DECODE_BATCH).cast("long")
+    )
+    return batched.groupBy("lang", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+        F.min("n_bytes").alias("min_bytes"),
+    )

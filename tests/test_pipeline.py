@@ -224,6 +224,26 @@ class TestTextStats:
 
 
 class TestMultimodal:
+    def test_batch_packing_shape(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.operators.multimodal import (
+            DECODE_BATCH,
+            multimodal_batch_packing,
+        )
+
+        rows = multimodal_batch_packing(spark, sf_dir).collect()
+        assert len(rows) > 0
+        for r in rows:
+            assert 1 <= r.n_items <= DECODE_BATCH
+            assert r.min_bytes <= r.max_bytes <= r.total_bytes
+        # size-sorted packing: within a lang, later batches hold smaller items
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r.lang, []).append(r)
+        for batches in by_lang.values():
+            batches.sort(key=lambda r: r.batch_id)
+            for a, b in zip(batches, batches[1:]):
+                assert a.min_bytes >= b.max_bytes
+
     def test_payload_schema(self, spark, sf_dir):
         docs = load_table(spark, sf_dir, "documents")
         p = with_payload(docs)
