@@ -390,11 +390,11 @@ def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the eval side is tiny by construction (~1% of docs,
     distinct trigrams only) -> aggregated then BROADCAST to the trigram
-    stream of the training side; no shuffle touches the 100 TB side except
-    the per-doc count groupBy, which AQE coalesces. Distinct-per-doc is
-    array_distinct inside the row (free), never a corpus-wide DISTINCT. The
-    zero-overlap docs are restored by a final left join against the slim
-    (doc_id, n_grams) projection."""
+    stream of the training side; the ONLY shuffle on the 100 TB side is the
+    per-doc count groupBy (AQE-coalesced). Distinct-per-doc is
+    array_distinct inside the row (free), never a corpus-wide DISTINCT.
+    explode_outer keeps zero-gram docs in the same single pass (NULL gram,
+    never matches), so no second scan or join-back exists."""
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select("doc_id", _words(F.col("text")).alias("w")).select(
         "doc_id",
@@ -404,19 +404,16 @@ def contamination_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         grams.filter(F.col("doc_id") % EVAL_MOD == 0)
         .select(F.explode("tg").alias("g"))
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
     train = grams.filter(F.col("doc_id") % EVAL_MOD != 0)
-    hits = (
-        train.select("doc_id", F.explode("tg").alias("g"))
-        .join(F.broadcast(eval_grams), "g")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    exploded = train.select(
+        "doc_id", F.size("tg").cast("long").alias("n_grams"), F.explode_outer("tg").alias("g")
     )
-    base = train.select("doc_id", F.size("tg").cast("long").alias("n_grams"))
-    joined = base.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_grams",
-        F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+    joined = (
+        exploded.join(F.broadcast(eval_grams), "g", "left")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"))
     )
     frac = F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
         F.col("n_overlap").cast("double") / F.col("n_grams")

@@ -164,7 +164,9 @@ class TestExtrasPlans:
     def test_contamination_eval_side_is_broadcast(self, spark, sf_dir):
         """The eval n-gram set must broadcast to the training trigram stream —
         the 100 TB side never shuffles for the membership probe; the only
-        shuffles are the per-doc count groupBy and the left join back."""
+        shuffles are the tiny eval-side DISTINCT and the per-doc count
+        groupBy (explode_outer keeps zero-gram docs in the same pass, so no
+        join-back exists)."""
         from datafusion_datasource_orc_spark.operators.textstats import (
             contamination_eval_overlap,
         )
@@ -172,7 +174,7 @@ class TestExtrasPlans:
 
         s = scan_summary(contamination_eval_overlap(spark, sf_dir))
         assert s["broadcast_joins"] >= 1
-        assert s["shuffles"] <= 4
+        assert s["shuffles"] <= 2
 
     def test_text_repetition_is_shuffle_free(self, spark, sf_dir):
         """Repetition metrics are pure per-row array math: no exchange
