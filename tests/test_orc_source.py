@@ -169,6 +169,40 @@ class TestWriter:
         assert stats["num_files"] >= 3  # 1500 rows / 500 per file
         assert all(s.num_rows <= 500 for s in stats["files"])
 
+    def test_clustered_write_enables_file_pruning(self, spark, sf_dir, tmp_path):
+        """After range-clustering on l_shipdate, a narrow date filter must
+        touch a strict subset of files (file-level pruning via disjoint
+        min/max ranges), and file row-ranges must not overlap."""
+        from pyspark.sql import functions as F
+
+        from datafusion_datasource_orc_spark.sources.orc import write_orc_clustered
+
+        df = load_table(spark, sf_dir, "lineitem")
+        out = str(tmp_path / "li_clustered")
+        write_orc_clustered(df, out, ["l_shipdate"], num_files=6)
+
+        back = spark.read.orc(out)
+        total_files = back.select(F.input_file_name()).distinct().count()
+        assert total_files >= 4  # range partitioner produced a real spread
+
+        lo, hi = df.agg(F.min("l_shipdate"), F.max("l_shipdate")).first()
+        span = (hi - lo).days
+        narrow = back.filter(
+            (F.col("l_shipdate") >= F.lit(lo))
+            & (F.col("l_shipdate") <= F.lit(lo) + F.expr(f"INTERVAL {span // 10} DAYS"))
+        )
+        touched = narrow.select(F.input_file_name()).distinct().count()
+        assert touched < total_files  # pruning, not a full-dir scan
+        # disjoint ranges: per-file [min, max] intervals must not interleave
+        ranges = sorted(
+            back.groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("l_shipdate").alias("lo"), F.max("l_shipdate").alias("hi"))
+            .collect(),
+            key=lambda r: r.lo,
+        )
+        for a, b in zip(ranges, ranges[1:]):
+            assert a.hi <= b.lo
+
     def test_compact_orc_merges_small_files(self, spark, sf_dir, tmp_path):
         from datafusion_datasource_orc_spark.sources.orc import compact_orc
 
