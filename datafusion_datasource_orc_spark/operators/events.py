@@ -378,3 +378,61 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_purchase_funnel"),
     )
+
+
+# Per-user anomaly detection: standardize each event's value against its
+# user's own distribution (window aggregates over the user partition — one
+# shuffle, no join-back) and flag |z| > 2 outliers. Stddev is computed from
+# exact power sums so both engines derive the identical double; z-scores are
+# floor-truncated at 1e-6 (see oracle-determinism conventions).
+@query(
+    "events_zscore_anomaly",
+    oracle="""
+    SELECT event_id, user_id,
+           floor((v - mu) / sigma * 1e6) / 1e6 AS zscore
+    FROM (
+      SELECT event_id, user_id,
+             CAST(vd AS DOUBLE) AS v,
+             CAST(SUM(vd) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS mu,
+             CASE WHEN COUNT(*) OVER w > 1 THEN
+               sqrt((CAST(SUM(vd * vd) OVER w AS DOUBLE)
+                     - CAST(SUM(vd) OVER w AS DOUBLE)
+                       * CAST(SUM(vd) OVER w AS DOUBLE) / (COUNT(*) OVER w))
+                    / (COUNT(*) OVER w - 1))
+             END AS sigma
+      FROM (SELECT event_id, user_id, CAST(value AS DECIMAL(18,4)) AS vd FROM events)
+      WINDOW w AS (PARTITION BY user_id)
+    )
+    WHERE sigma > 0 AND abs((v - mu) / sigma) > 2
+    """,
+)
+def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is a >2-sigma outlier within their own user's
+    history. The power sums run over decimal(18,4) so they are exact and
+    order-independent (see functions.portable — raw double window sums vary
+    with partition split order and would flip marginal |z|>2 rows between
+    engines); every subsequent double op is deterministic IEEE on identical
+    inputs. One unbounded window over the user partition — at 100 TB a
+    single shuffle on user_id, no self-join."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(18,4)")
+    d = ev.select("event_id", "user_id", vd.alias("vd"))
+    w = Window.partitionBy("user_id")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("vd").over(w).cast("double")
+    s2 = F.sum(F.col("vd") * F.col("vd")).over(w).cast("double")
+    mu = s1 / n
+    sigma = F.when(n > 1, F.sqrt((s2 - s1 * s1 / n) / (n - 1)))
+    z = (F.col("vd").cast("double") - mu) / sigma
+    return (
+        d.select("event_id", "user_id", F.col("vd").cast("double").alias("v"),
+                 mu.alias("mu"), sigma.alias("sigma"))
+        .filter((F.col("sigma") > 0) & (F.abs((F.col("v") - F.col("mu")) / F.col("sigma")) > 2))
+        .select(
+            "event_id",
+            "user_id",
+            (F.floor((F.col("v") - F.col("mu")) / F.col("sigma") * 1e6) / 1e6).alias("zscore"),
+        )
+    )
