@@ -774,3 +774,56 @@ def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq.select(
         F.explode(F.sort_array(F.col("p_brand_freqItems"))).alias("brand")
     )
+
+
+# Market-basket co-occurrence: parts ordered together. The inverted-index
+# self-join algebra of the dedup family, applied as analytics: distinct
+# (order, part) postings self-joined on the order key produce C(k,2) pairs
+# per basket — bounded by basket size, never all-parts x all-parts. At
+# 100 TB, cap basket size (huge orders are C(k,2)-quadratic) and drop
+# ubiquitous parts (a df-cap like the shingle posting cap) before pairing;
+# the top-k is a TopK (takeOrdered), never a full sort of the pair space.
+COOCCUR_TOP_K = 20
+
+
+@query(
+    "basket_part_pairs",
+    oracle=f"""
+    WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT part_a, part_b, n_orders, rk FROM (
+      SELECT part_a, part_b, n_orders,
+             row_number() OVER (ORDER BY n_orders DESC, part_a, part_b) AS rk
+      FROM (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_orders
+        FROM po a JOIN po b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+      )
+    ) WHERE rk <= {COOCCUR_TOP_K}
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} part pairs by number of orders containing both — market-basket
+    co-occurrence mining via the posting self-join. Deterministic under the
+    massive count ties via the (part_a, part_b) tie-break."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    po = li.select("l_orderkey", "l_partkey").distinct()
+    a = po.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = po.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    # distributed TopK first (TakeOrderedAndProject — per-partition heaps,
+    # never a global sort/window over the full pair space), THEN rank the
+    # k survivors with a window that only ever sees k rows
+    top = pairs.orderBy(F.col("n_orders").desc(), "part_a", "part_b").limit(
+        COOCCUR_TOP_K
+    )
+    w = Window.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+    return top.withColumn("rk", F.row_number().over(w))
