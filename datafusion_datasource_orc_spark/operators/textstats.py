@@ -639,3 +639,77 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TFIDF_TOP_K)
     )
+
+
+# ---- character-entropy quality signal ---------------------------------------
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, substr(text, i, 1) AS ch
+      FROM documents, UNNEST(generate_series(1, length(text))) AS t(i)
+    ),
+    runs AS (
+      SELECT doc_id, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+    ),
+    terms AS (
+      SELECT doc_id,
+             SUM(CAST(floor(c * log2(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)) AS acc,
+             SUM(c) AS n
+      FROM runs GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars_counted,
+           floor((log2(CAST(n AS DOUBLE)) - (CAST(acc AS DOUBLE) / 1e9) / n) * 1e6)
+             / 1e6 AS char_entropy
+    FROM terms WHERE n > 0
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's character distribution — the
+    cheap information-theoretic quality signal (low entropy = repeated
+    filler/boilerplate, high = random noise; natural text sits in a band).
+
+    Engine-portable by construction: entropy = log2(n) - (SUM_c c*log2(c))/n
+    where each per-character term is floor-scaled to an INTEGER (1e9) before
+    summing, so the sum is exact and order-independent in both engines; the
+    two inputs to every float op are therefore identical.
+
+    Scale shape: Spark side is ONE row-local aggregate over the doc's own
+    sorted char array (run-length pass, no explode — a 100 TB corpus would
+    otherwise become one shuffle row per character); the oracle uses the
+    explode+groupBy formulation to prove the algebra from a second
+    direction."""
+    docs = load_table(spark, sf_dir, "documents")
+    cs = F.array_sort(F.filter(F.split(F.col("text"), ""), lambda c: c != ""))
+    term = lambda run: F.floor(  # noqa: E731
+        run.cast("double") * F.log2(run.cast("double")) * F.lit(1e9)
+    ).cast("long")
+    acc = F.aggregate(
+        cs,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("acc"),
+        ),
+        lambda st, x: F.struct(
+            x.alias("prev"),
+            F.when(x == st.prev, st.run + 1).otherwise(F.lit(1)).alias("run"),
+            (
+                F.when(x == st.prev, st.acc).otherwise(
+                    st.acc + F.when(st.run > 0, term(st.run)).otherwise(F.lit(0))
+                )
+            ).alias("acc"),
+        ),
+        lambda st: st.acc + F.when(st.run > 0, term(st.run)).otherwise(F.lit(0)),
+    )
+    d = docs.select(
+        "doc_id", F.size(cs).cast("long").alias("n_chars_counted"), acc.alias("acc")
+    ).filter(F.col("n_chars_counted") > 0)
+    ent = F.log2(F.col("n_chars_counted").cast("double")) - (
+        F.col("acc").cast("double") / 1e9
+    ) / F.col("n_chars_counted")
+    return d.select(
+        "doc_id",
+        "n_chars_counted",
+        (F.floor(ent * 1e6) / 1e6).alias("char_entropy"),
+    )
