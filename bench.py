@@ -49,9 +49,13 @@ HEADLINE = [
     "contamination_eval_overlap",
     "pipeline_filter_funnel",
     "training_mix_sample",
+    "text_char_entropy",
     "events_tumbling_window",
     "events_session_window",
+    "events_zscore_anomaly",
     "asof_join_last_order",
+    "basket_part_pairs",
+    "multimodal_batch_packing",
 ]
 
 
