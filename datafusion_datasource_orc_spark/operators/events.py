@@ -436,3 +436,40 @@ def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor((F.col("v") - F.col("mu")) / F.col("sigma") * 1e6) / 1e6).alias("zscore"),
         )
     )
+
+
+# Cohort retention matrix: users grouped by first-activity week, counted per
+# week offset. Weeks are integer epoch-day arithmetic (epoch_days // 7) so
+# both engines bucket identically with no calendar/locale semantics. Shape:
+# one groupBy(user) for cohort assignment, one distinct + groupBy for the
+# matrix — all keys low-cardinality after the first aggregate.
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH ud AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+      FROM events GROUP BY user_id, CAST(floor(epoch(ts)) AS BIGINT) // 604800
+    ),
+    cohorts AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ud GROUP BY user_id)
+    SELECT c.cohort_wk, u.wk - c.cohort_wk AS week_offset,
+           COUNT(*) AS n_active_users
+    FROM ud u JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: for each cohort (week of first activity),
+    how many of its users were active 0, 1, 2... weeks later. ud is already
+    distinct per (user, week), so COUNT(*) counts users exactly once per
+    cell. The cohort table is per-user (small after aggregation) and joins
+    back broadcast-or-shuffled on user_id — at 100 TB both aggregates are
+    map-side-partial shuffles on user_id and the matrix itself is tiny."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.expr("unix_timestamp(ts) div 604800")
+    ud = ev.select("user_id", wk.alias("wk")).distinct()
+    cohorts = ud.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        ud.join(cohorts, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
