@@ -473,3 +473,45 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+# Inter-arrival gap statistics per user: lag window + integer epoch-second
+# diffs -> exact aggregates (mean gap emitted as an exact integer-ratio
+# double). One window + one groupBy, both on user_id — a single shuffle
+# since the partitioning is reused across the two.
+@query(
+    "events_interarrival_stats",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_gaps,
+           MIN(gap_s) AS min_gap_s, MAX(gap_s) AS max_gap_s,
+           CAST(SUM(gap_s) AS DOUBLE) / COUNT(*) AS mean_gap_s
+    FROM (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    )
+    WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap stats (burstiness / bot-detection signal).
+    Gaps are integer epoch-second diffs ordered by (ts, event_id) — unique
+    tie-break, exact arithmetic; the mean is an exact int-sum over count
+    division, deterministic IEEE in both engines."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    es = F.expr("unix_timestamp(ts)")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", (es - F.lag(es).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_s").alias("min_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+        (F.sum("gap_s").cast("double") / F.count(F.lit(1))).alias("mean_gap_s"),
+    )
