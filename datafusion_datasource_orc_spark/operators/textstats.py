@@ -713,3 +713,67 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars_counted",
         (F.floor(ent * 1e6) / 1e6).alias("char_entropy"),
     )
+
+
+# ---- source-level vocabulary overlap ----------------------------------------
+@query(
+    "source_vocab_overlap",
+    oracle="""
+    WITH st AS (
+      SELECT DISTINCT source, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source)
+    SELECT a.source AS source_a, b.source AS source_b,
+           sa.n AS vocab_a, sb.n AS vocab_b, COUNT(*) AS shared,
+           CAST(COUNT(*) AS DOUBLE) / (sa.n + sb.n - COUNT(*)) AS jaccard
+    FROM st a
+    JOIN st b ON a.tok = b.tok AND a.source < b.source
+    JOIN sizes sa ON sa.source = a.source
+    JOIN sizes sb ON sb.source = b.source
+    GROUP BY a.source, b.source, sa.n, sb.n
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the container-level
+    similarity matrix (which crawls/dumps duplicate each other?), the
+    coarse screen run before doc-level dedup across source pairs.
+
+    Same inverted-index algebra as the dedup family, one level up: distinct
+    (source, token) postings self-join on the token, shared counts per
+    source pair, set sizes broadcast in. Pairs are bounded by
+    sources-per-token (cap ubiquitous tokens at scale — the df-cap
+    pattern); the matrix is |sources|² at most, trivially small. Jaccard is
+    a ratio of identical integers: deterministic double, no rounding
+    needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(_words(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = st.select(F.col("source").alias("source_a"), "tok")
+    b = st.select(F.col("source").alias("source_b"), "tok")
+    shared = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("vocab_b"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "shared",
+            (
+                F.col("shared").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+    )
