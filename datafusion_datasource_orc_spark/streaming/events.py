@@ -214,3 +214,35 @@ def stream_stream_click_purchase(
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("click_id", "purchase_id", "c_user", "click_ts", "purchase_ts")
+
+
+def stream_to_orc(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    query_name: str = "orc_sink",
+    compression: str = "snappy",
+):
+    """Streaming ORC sink: continuous ingest writing the ORC lake the batch
+    engine reads — the streaming half of the connector surface (the
+    reference's writer is a stub, src/writer.rs:18-23; Spark gives us an
+    exactly-once file sink for free).
+
+    Exactly-once comes from the checkpoint + file-sink manifest (_spark_
+    metadata): a restarted query never re-commits a batch's files. At
+    100 TB/day pair this with `compact_orc` on a schedule — micro-batches
+    produce many small files by design, and compaction restores
+    scan-friendly sizes downstream.
+
+    Returns the started StreamingQuery (caller awaits / stops); processes
+    all currently-available input per trigger.
+    """
+    return (
+        stream_df.writeStream.format("orc")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .option("compression", compression)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -174,3 +174,28 @@ def test_stream_dedup_within_watermark_drops_redeliveries(spark, sf_dir, stream_
     assert len(ids) == len(set(ids))
     batch = ev.unionAll(ev.orderBy("event_id").limit(200)).dropDuplicates(["event_id"])
     assert set(ids) == {r.event_id for r in batch.collect()}
+
+
+def test_stream_to_orc_sink_exactly_once(spark, sf_dir, stream_dir, tmp_path_factory):
+    """Streaming ORC sink lands every event exactly once; rerunning the same
+    query over the same checkpoint commits nothing new."""
+    from datafusion_datasource_orc_spark.streaming.events import stream_to_orc
+
+    base = tmp_path_factory.mktemp("orc_sink")
+    out, ckpt = str(base / "data"), str(base / "ckpt")
+
+    stream = events_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = stream_to_orc(stream, out, ckpt)
+    q.awaitTermination()
+
+    ev = spark.read.parquet(stream_dir)
+    back = spark.read.orc(out)
+    assert back.count() == ev.count()
+    assert {r.event_id for r in back.select("event_id").collect()} == {
+        r.event_id for r in ev.select("event_id").collect()
+    }
+
+    # restart over the same checkpoint: no input left -> no new rows
+    q2 = stream_to_orc(events_stream(spark, stream_dir), out, ckpt)
+    q2.awaitTermination()
+    assert spark.read.orc(out).count() == ev.count()
