@@ -343,3 +343,44 @@ def simsearch_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+# Per-dimension corpus statistics — the whitening / normalization precursor
+# (mean-center + scale before IVF or PQ quantization). posexplode fans each
+# vector into (dim, value) rows — dim x rows total, the idiomatic Spark form
+# for elementwise corpus reductions; one groupBy(dim) with map-side partial
+# sums is the only shuffle, and the result is |dims| rows. Elements are
+# floor-truncated at 1e-6 (float32->double is exact; floor depends only on
+# that double) and power sums run over exact decimals, so both engines
+# aggregate identical values in any order.
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    SELECT dim, COUNT(*) AS n,
+           CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_v,
+           sqrt((CAST(SUM(CAST(t * t AS DECIMAL(28,12))) AS DOUBLE)
+                 - CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE)
+                   * CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)) AS std_v
+    FROM (
+      SELECT i - 1 AS dim,
+             floor(CAST(embedding[i] AS DOUBLE) * 1e6) / 1e6 AS t
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+    )
+    GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean and sample-std per embedding dimension across the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", (F.floor(F.col("x").cast("double") * 1e6) / 1e6).alias("t")
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum(F.col("t").cast("decimal(18,6)")).cast("double")
+    s2 = F.sum((F.col("t") * F.col("t")).cast("decimal(28,12)")).cast("double")
+    return d.groupBy("dim").agg(
+        n.alias("n"),
+        (s1 / n).alias("mean_v"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("std_v"),
+    )
