@@ -249,3 +249,38 @@ def orc_offset_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(10)
         .limit(5)
     )
+
+
+# Entry point 1 parity — SQL-string execution (SURVEY §3: ctx.sql(...) is
+# the reference's primary entry, README.md:121-137 + tpcds_bench.rs:545-546).
+# Every other registry entry is DataFrame-built; this one registers temp
+# views and runs a literal SQL string through spark.sql so the parser →
+# analyzer → optimizer path itself is exercised and oracle-checked. The
+# plan is identical to the DataFrame form — Catalyst converges both.
+@query(
+    "sql_string_entry",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def sql_string_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal-SQL execution over registered views (the reference's
+    ctx.sql() entry point): nation-level order rollup with the exact-decimal
+    money sum, written as one SQL string."""
+    for t in ("orders", "customer", "nation"):
+        load_orc_table(spark, sf_dir, t).createOrReplaceTempView(f"sqlv_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+        FROM sqlv_orders o
+        JOIN sqlv_customer c ON o.o_custkey = c.c_custkey
+        JOIN sqlv_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )

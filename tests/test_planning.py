@@ -196,6 +196,49 @@ class TestExtrasPlans:
         assert "Generate explode" in plan or "explode" in plan
 
 
+class TestJoinStrategySelection:
+    """B15 parity: the reference harness flips prefer_hash_join
+    (tpcds_bench.rs:429-432, :452) to choose hash vs sort-merge execution.
+    Spark exposes the same three strategies per-join via hints; prove each
+    is selectable on the identical query."""
+
+    def _orders_customer(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.sources.tables import load_table
+
+        o = load_table(spark, sf_dir, "orders")
+        c = load_table(spark, sf_dir, "customer")
+        return o, c
+
+    def test_shuffled_hash_join_hint(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.plans.pushdown import explain_formatted
+
+        o, c = self._orders_customer(spark, sf_dir)
+        plan = explain_formatted(o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey))
+        assert "ShuffledHashJoin" in plan
+
+    def test_sort_merge_join_hint(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.plans.pushdown import explain_formatted
+
+        o, c = self._orders_customer(spark, sf_dir)
+        plan = explain_formatted(o.join(c.hint("merge"), o.o_custkey == c.c_custkey))
+        assert "SortMergeJoin" in plan
+
+    def test_broadcast_join_hint(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.plans.pushdown import explain_formatted
+
+        o, c = self._orders_customer(spark, sf_dir)
+        plan = explain_formatted(o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey))
+        assert "BroadcastHashJoin" in plan
+
+    def test_all_three_strategies_agree_on_results(self, spark, sf_dir):
+        o, c = self._orders_customer(spark, sf_dir)
+        counts = {
+            h: o.join(c.hint(h), o.o_custkey == c.c_custkey).count()
+            for h in ("shuffle_hash", "merge", "broadcast")
+        }
+        assert len(set(counts.values())) == 1
+
+
 class TestTpchHeavyPlans:
     def test_q8_broadcasts_every_dim(self, spark, sf_dir):
         from datafusion_datasource_orc_spark.operators.tpch_more import tpch_q8
