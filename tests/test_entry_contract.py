@@ -1,0 +1,46 @@
+"""Driver-contract shape tests for __spark_entry__.
+
+The external driver imports entry/queries/oracle_sql and relies on: a stable
+entry() schema, every queries() value being a (spark, sf_dir) callable, and
+oracle keys being a subset of query names. A regression here fails the
+driver's gate before any correctness comparison even runs — cheapest
+possible guard.
+"""
+
+from __future__ import annotations
+
+import inspect
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_stable_schema(spark):
+    df = entrymod.entry(spark)
+    assert df.schema.simpleString() == "struct<l_returnflag:string,cnt:bigint>"
+    assert len(df.collect()) >= 1
+
+
+def test_queries_are_two_arg_callables():
+    q = entrymod.queries()
+    assert len(q) >= 144
+    for name, fn in q.items():
+        assert callable(fn), name
+        params = [
+            p
+            for p in inspect.signature(fn).parameters.values()
+            if p.default is inspect.Parameter.empty
+            and p.kind
+            in (inspect.Parameter.POSITIONAL_ONLY, inspect.Parameter.POSITIONAL_OR_KEYWORD)
+        ]
+        assert len(params) == 2, f"{name} must take exactly (spark, sf_dir)"
+
+
+def test_oracle_keys_subset_of_queries_and_nonempty_sql():
+    q, o = entrymod.queries(), entrymod.oracle_sql()
+    assert set(o) <= set(q)
+    assert all(isinstance(s, str) and s.strip().upper().startswith(("SELECT", "WITH")) for s in o.values())
+
+
+def test_query_names_are_identifier_like():
+    for name in entrymod.queries():
+        assert name.replace("_", "").isalnum() and name == name.lower(), name
