@@ -39,10 +39,20 @@ _ORC_ROOT: str | None = None
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet read of one testdata table (lazy; metadata only).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    outright (PARQUET_TYPE_ILLEGAL). We read it as raw nanos via the
-    ``nanosAsLong`` conf and truncate to microseconds — exactly what DuckDB's
-    TIMESTAMP_NS → TIMESTAMP coercion does, so the oracle agrees."""
+    Timestamp columns are pinned to TIMESTAMP (LTZ, UTC instants), never
+    TIMESTAMP_NTZ: the testdata's parquet timestamps are naive
+    (isAdjustedToUTC=false), which Spark 4 would infer as NTZ — a type that
+    cannot be cast to double/long and that DuckDB's naive TIMESTAMP does not
+    round-trip with. Disabling ``inferTimestampNTZ`` reads the stored
+    microseconds as UTC instants, exactly DuckDB's interpretation, and keeps
+    predicate pushdown on the raw column (no cast wrapper in the plan).
+
+    ``events.ts`` as parquet TIMESTAMP(NANOS) (earlier testdata generations)
+    is rejected by Spark's reader outright (PARQUET_TYPE_ILLEGAL); we read it
+    as raw nanos via the ``nanosAsLong`` conf and truncate to microseconds —
+    what DuckDB's TIMESTAMP_NS → TIMESTAMP coercion does, so the oracle
+    agrees."""
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
