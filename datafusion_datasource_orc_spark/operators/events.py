@@ -96,7 +96,7 @@ def events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS cnt,
-           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
     FROM events GROUP BY event_type
@@ -189,7 +189,7 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_sessionize",
     oracle="""
-    SELECT user_id, session_seq, COUNT(*) AS n_events,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
            CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start_epoch
     FROM (
         SELECT user_id, ts,
@@ -342,10 +342,10 @@ def events_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_conversion_funnel",
     oracle="""
     SELECT COUNT(first_signup) AS n_signup,
-           SUM(CASE WHEN first_click > first_signup THEN 1 ELSE 0 END)
-               AS n_click_after_signup,
-           SUM(CASE WHEN first_click > first_signup AND first_purchase > first_click
-                    THEN 1 ELSE 0 END) AS n_purchase_funnel
+           CAST(SUM(CASE WHEN first_click > first_signup THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click_after_signup,
+           CAST(SUM(CASE WHEN first_click > first_signup AND first_purchase > first_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_funnel
     FROM (
       SELECT user_id,
              MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,

@@ -493,8 +493,8 @@ def rank_nations_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY 1, 2
     )
     SELECT o_orderpriority,
-           list(o_orderstatus ORDER BY o_orderstatus) AS statuses,
-           list(cnt ORDER BY o_orderstatus) AS counts,
+           array_to_string(list(o_orderstatus ORDER BY o_orderstatus), ',') AS statuses,
+           array_to_string(list(cnt ORDER BY o_orderstatus), ',') AS counts,
            MAX(CASE WHEN o_orderstatus = 'F' THEN cnt END) AS f_count
     FROM c GROUP BY o_orderpriority
     """,
@@ -512,10 +512,14 @@ def map_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("o_orderstatus", "cnt")))
         ).alias("m")
     )
+    # keys/values serialized at the output boundary: the driver's pandas
+    # comparator cannot hash list cells (oracle-determinism conventions)
     return m.select(
         "o_orderpriority",
-        F.map_keys("m").alias("statuses"),
-        F.map_values("m").alias("counts"),
+        F.array_join(F.map_keys("m"), ",").alias("statuses"),
+        F.array_join(
+            F.transform(F.map_values("m"), lambda x: x.cast("string")), ","
+        ).alias("counts"),
         F.element_at("m", F.lit("F")).alias("f_count"),
     )
 

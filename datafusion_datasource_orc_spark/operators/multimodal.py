@@ -111,10 +111,15 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full multimodal pipeline: binary payload → mapInPandas decode →
     typed feature column. Repartitions by doc_id so decode parallelism is
     data-size-driven, not file-layout-driven (at 100 TB the payload files are
-    few and huge; decode wants even CPU-bound splits)."""
+    few and huge; decode wants even CPU-bound splits).
+
+    The feature vector is serialized to a string at the output boundary —
+    the driver's pandas comparator cannot hash list cells; the typed
+    array<float> shape is covered in tests/test_pipeline.py."""
     docs = load_table(spark, sf_dir, "documents")
     p = with_payload(docs).repartition("doc_id")
-    return p.mapInPandas(decode_features, schema=_DECODE_SCHEMA)
+    decoded = p.mapInPandas(decode_features, schema=_DECODE_SCHEMA)
+    return decoded.withColumn("feature", F.col("feature").cast("string"))
 
 
 # ---- frame-sampling shape: explode fixed-stride samples ----------------------
@@ -152,7 +157,7 @@ DECODE_BATCH = 32
     oracle=f"""
     SELECT lang, batch_id,
            COUNT(*) AS n_items,
-           SUM(n_bytes) AS total_bytes,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
            MAX(n_bytes) AS max_bytes,
            MIN(n_bytes) AS min_bytes
     FROM (

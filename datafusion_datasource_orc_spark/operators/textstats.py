@@ -182,7 +182,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus_stats_by_source",
     oracle="""
     SELECT source, lang, COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
     FROM documents GROUP BY source, lang
     """,
@@ -372,7 +372,7 @@ EVAL_MOD = 97  # doc_id % 97 == 0 -> held-out "benchmark" split (~1%)
     )
     SELECT g.doc_id,
            CAST(len(g.tg) AS BIGINT) AS n_grams,
-           COALESCE(h.n_overlap, 0) AS n_overlap,
+           CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
            floor(CASE WHEN len(g.tg) = 0 THEN 0.0
                  ELSE CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / len(g.tg) END
                  * 1e6) / 1e6 AS overlap_frac,
@@ -518,10 +518,11 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
            10 + 4 * (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 10)
                AS rate_pct,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS n_sampled,
-           SUM(CASE WHEN sampled THEN n_chars // 4 ELSE 0 END) AS sampled_tokens,
-           (SUM(CASE WHEN sampled THEN n_chars // 4 ELSE 0 END) + 2047) // 2048
-               AS est_packs
+           CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN sampled THEN n_chars // 4 ELSE 0 END) AS BIGINT)
+               AS sampled_tokens,
+           CAST((SUM(CASE WHEN sampled THEN n_chars // 4 ELSE 0 END) + 2047) // 2048
+                AS BIGINT) AS est_packs
     FROM (
       SELECT source, n_chars,
              (doc_id * 2654435761) % 4294967296 <

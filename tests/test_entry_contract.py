@@ -44,3 +44,20 @@ def test_oracle_keys_subset_of_queries_and_nonempty_sql():
 def test_query_names_are_identifier_like():
     for name in entrymod.queries():
         assert name.replace("_", "").isalnum() and name == name.lower(), name
+
+
+def test_no_nested_output_columns(spark, sf_dir):
+    """Driver-comparator convention: the pandas-based canonicalizer crashes
+    on list/dict cells (`TypeError: unhashable type: 'list'`), so no
+    registered query may emit array/map/struct output columns — serialize at
+    the output boundary (array_join/to_json) instead. Schema-only check:
+    plans are built, never executed."""
+    from pyspark.sql import types as T
+
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, offenders

@@ -24,13 +24,17 @@ _ORACLES = entrymod.oracle_sql()
 
 @pytest.mark.parametrize("name", sorted(_ORACLES))
 def test_oracle_parity(name, spark, sf_dir, ddb):
+    # pandas on BOTH sides — the driver's comparator converts to pandas
+    # frames, which changes cell types (DuckDB HUGEINT -> float64, NULLable
+    # ints -> float64/NaN); fetchall()/collect() would hide those mismatches.
     sdf = _QUERIES[name](spark, sf_dir)
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = sdf.columns
+    spdf = sdf.toPandas()
+    srows = list(spdf.itertuples(index=False, name=None))
+    scols = list(spdf.columns)
 
-    cur = ddb.execute(_ORACLES[name])
-    ocols = [d[0] for d in cur.description]
-    orows = cur.fetchall()
+    opdf = ddb.execute(_ORACLES[name]).df()
+    ocols = list(opdf.columns)
+    orows = list(opdf.itertuples(index=False, name=None))
 
     assert len(srows) == len(orows), f"rowcount spark={len(srows)} duckdb={len(orows)}"
     assert sorted(scols) == sorted(ocols)

@@ -28,14 +28,29 @@ def _norm_cell(v):
     import datetime
     import decimal
 
+    import numpy as np
+    import pandas as pd
+
     if v is None:
         return "NULL"
+    if isinstance(v, np.ndarray):
+        return _norm_cell(v.tolist())
+    if not isinstance(v, (list, tuple, dict)) and pd.isna(v):
+        # pandas renders NULLs in numeric columns as NaN on BOTH engines'
+        # frames, so NaN is the canonical null for the pandas-based path.
+        return "nan"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.9g}"
+        s = f"{v:.9g}"
+        # Keep float-typed cells distinct from integer cells ("3.0" vs "3"):
+        # the driver's pandas-based comparator preserves dtype, so a DuckDB
+        # HUGEINT (rendered float64) must NOT silently match a Spark BIGINT.
+        if "." not in s and "e" not in s and "n" not in s:
+            s += ".0"
+        return s
     if isinstance(v, decimal.Decimal):
-        return f"{float(v):.9g}"
+        return _norm_cell(float(v))
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     if isinstance(v, datetime.date):
@@ -82,8 +97,12 @@ def main() -> int:
         t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sdf.columns
+            # pandas path, NOT collect(): the driver's comparator converts
+            # both sides to pandas frames, which changes cell types (DuckDB
+            # HUGEINT -> float64, NULL-able ints -> float64/NaN). Replicate.
+            spdf = sdf.toPandas()
+            srows = list(spdf.itertuples(index=False, name=None))
+            scols = list(spdf.columns)
         except Exception as e:
             failures.append((name, f"SPARK ERROR {type(e).__name__}: {e}"))
             print(f"FAIL  {name:28s} spark error: {str(e)[:200]}")
@@ -94,9 +113,9 @@ def main() -> int:
                 failures.append((name, "weak check returned 0 rows"))
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            opdf = con.execute(oracles[name]).df()
+            ocols = list(opdf.columns)
+            orows = list(opdf.itertuples(index=False, name=None))
         except Exception as e:
             failures.append((name, f"ORACLE ERROR: {e}"))
             print(f"FAIL  {name:28s} oracle error: {str(e)[:200]}")
