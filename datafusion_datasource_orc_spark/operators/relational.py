@@ -525,12 +525,56 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
-        "c_custkey",
-        F.ntile(4).over(w).alias("balance_quartile"),
-        (F.floor(F.percent_rank().over(w) * 1e8) / 1e8).alias("pct_rank"),
+    """NTILE / PERCENT_RANK over a total order WITHOUT a global single-task
+    window (`Window.orderBy` with no partition funnels the whole table
+    through one task — the classic 100 TB scale-killer, and a plan-lint
+    violation; see tests/test_plan_lint.py).
+
+    Two-pass distributed rank instead: (1) repartitionByRange on the order
+    key gives contiguous, ordered partitions; row_number within each
+    partition is a local sort. (2) per-partition row counts (one tiny
+    metadata aggregate, P values to the driver) turn local ranks into global
+    ranks via cumulative offsets broadcast back. NTILE and PERCENT_RANK are
+    then closed-form expressions of (global rank, n)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    p = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    ranged = (
+        c.repartitionByRange(p, F.col("c_acctbal"), F.col("c_custkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # counts and ranks must see ONE materialization
+    )
+    wloc = Window.partitionBy("pid").orderBy("c_acctbal", "c_custkey")
+    local = ranged.withColumn("lr", F.row_number().over(wloc))
+    counts = sorted(
+        (r["pid"], r["cnt"])
+        for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    n = sum(cnt for _, cnt in counts)
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    off = spark.createDataFrame(offsets, "pid int, off long")
+    rk = F.col("off") + F.col("lr")
+    # NTILE(4): first (n % 4) tiles hold ceil(n/4) rows, the rest floor(n/4)
+    q, rem = divmod(n, 4)
+    big = rem * (q + 1)
+    tile_small = (
+        F.lit(rem) + F.floor((rk - 1 - big) / q) + 1 if q > 0 else F.lit(None)
+    )
+    tile = F.when(rk <= big, F.floor((rk - 1) / (q + 1)) + 1).otherwise(tile_small)
+    pct = (
+        (F.floor((rk - 1).cast("double") / (n - 1) * 1e8) / 1e8)
+        if n > 1
+        else F.lit(0.0)
+    )
+    return (
+        local.join(F.broadcast(off), "pid")
+        .select(
+            "c_custkey",
+            tile.cast("int").alias("balance_quartile"),
+            pct.alias("pct_rank"),
+        )
     )
 
 

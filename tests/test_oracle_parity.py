@@ -44,15 +44,14 @@ def test_oracle_parity(name, spark, sf_dir, ddb):
 def test_every_query_has_oracle_or_documented_weak_check():
     weak = set(_QUERIES) - set(_ORACLES)
     # only genuinely non-SQL-expressible ops may skip the oracle
+    # (minhash-LSH and the approx sketches carry oracle shadows now:
+    # exact-twin output + boolean bound columns)
     assert weak <= {
-        "dedup_minhash_lsh",
         "dedup_simhash",
         "simsearch_lsh",
         "simsearch_ivf",
         "multimodal_decode",
         "approx_distinct",
-        "approx_percentile_prices",
-        "approx_heavy_hitters",
     }, f"unexpected weak-check queries: {weak}"
 
 

@@ -24,9 +24,15 @@ ALLOWED_NESTED_LOOP = {
     "tfidf_top_terms": "1-row corpus-size aggregate crossJoin'd into scoring",
     "tpch_q11": "1-row scalar-subquery threshold joined below the HAVING",
     "tpch_q22": "1-row average-balance scalar subquery",
+    "approx_heavy_hitters": "1-row total-count aggregate crossJoin'd into the support filter",
 }
 ALLOWED_ROW_PYTHON = {
     "udtf_sentences": "Python UDTF — UDTF evaluation is BatchEvalPython by engine design",
+}
+# Partition-less windows move the WHOLE input through one task. Only queries
+# whose window provably sees a bounded row count may carry one.
+ALLOWED_GLOBAL_WINDOW = {
+    "basket_part_pairs": "window ranks only the TopK (20) survivors of a distributed TakeOrdered",
 }
 
 
@@ -68,6 +74,58 @@ def test_row_at_a_time_python_is_allowlisted(plans):
     )
 
 
+def _has_global_window(plan: str) -> bool:
+    """True if any windowspecdefinition in the plan has sort specs but NO
+    partition expressions — i.e. every argument before the frame spec is a
+    sort spec (`... ASC/DESC NULLS ...`). Partitioned windows lead with
+    plain partition expressions; WindowGroupLimit nodes carry no
+    windowspecdefinition at all."""
+    marker = "windowspecdefinition("
+    i = 0
+    while True:
+        i = plan.find(marker, i)
+        if i < 0:
+            return False
+        # balanced-paren scan of the argument list
+        depth, j = 1, i + len(marker)
+        args, cur = [], []
+        while j < len(plan) and depth:
+            ch = plan[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            if ch == "," and depth == 1:
+                args.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+            j += 1
+        args.append("".join(cur).strip())
+        pre_frame = [a for a in args if not a.startswith("specifiedwindowframe")]
+        if pre_frame and all(" ASC " in a or " DESC " in a for a in pre_frame):
+            return True
+        i = j
+
+
+def test_global_windows_are_allowlisted(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if _has_global_window(p) and n not in ALLOWED_GLOBAL_WINDOW
+    ]
+    assert offenders == [], (
+        f"partition-less Window (single-task total order) in: {offenders} — "
+        "partition the window, or use the two-pass range-partitioned rank "
+        "(see window_ntile); a provably-bounded input belongs in "
+        "ALLOWED_GLOBAL_WINDOW with its justification"
+    )
+
+
 def test_allowlists_reference_live_queries():
-    dead = (set(ALLOWED_NESTED_LOOP) | set(ALLOWED_ROW_PYTHON)) - set(QUERIES)
+    dead = (
+        set(ALLOWED_NESTED_LOOP) | set(ALLOWED_ROW_PYTHON) | set(ALLOWED_GLOBAL_WINDOW)
+    ) - set(QUERIES)
     assert dead == set(), f"allowlist entries for unregistered queries: {dead}"
