@@ -841,11 +841,16 @@ def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Market-basket co-occurrence: parts ordered together. The inverted-index
 # self-join algebra of the dedup family, applied as analytics: distinct
 # (order, part) postings self-joined on the order key produce C(k,2) pairs
-# per basket — bounded by basket size, never all-parts x all-parts. At
-# 100 TB, cap basket size (huge orders are C(k,2)-quadratic) and drop
-# ubiquitous parts (a df-cap like the shingle posting cap) before pairing;
-# the top-k is a TopK (takeOrdered), never a full sort of the pair space.
+# per basket — bounded by basket size, never all-parts x all-parts; the
+# top-k is a TopK (takeOrdered), never a full sort of the pair space.
 COOCCUR_TOP_K = 20
+# Skew guard: a basket of k parts emits C(k,2) pairs, so one pathological
+# mega-order (a bot cart, a bulk import) is quadratic on its own. Baskets
+# beyond the cap are dropped whole before pairing — at 100 TB they are
+# noise for co-occurrence mining, not signal. The cap sits far above the
+# testdata's max basket size (asserted in tests/test_pipeline.py), so
+# sf-scale results are bit-identical with or without it.
+BASKET_SIZE_CAP = 1_000
 
 
 @query(
@@ -868,11 +873,21 @@ COOCCUR_TOP_K = 20
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{k} part pairs by number of orders containing both — market-basket
     co-occurrence mining via the posting self-join. Deterministic under the
-    massive count ties via the (part_a, part_b) tie-break."""
+    massive count ties via the (part_a, part_b) tie-break. Mega-baskets are
+    dropped by BASKET_SIZE_CAP before pairing (C(k,2) skew guard); the
+    basket-size aggregate is map-side combinable and its over-cap survivor
+    set is a broadcast-size anti-join input."""
     from pyspark.sql.window import Window
 
     li = load_table(spark, sf_dir, "lineitem")
     po = li.select("l_orderkey", "l_partkey").distinct()
+    oversized = (
+        po.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") > BASKET_SIZE_CAP)
+        .select("l_orderkey")
+    )
+    po = po.join(oversized, "l_orderkey", "left_anti")
     a = po.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
     b = po.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
     pairs = (

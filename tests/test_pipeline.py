@@ -43,6 +43,52 @@ class TestDedup:
         assert all(r.jaccard >= JACCARD_THRESHOLD for r in rows)
         assert all(r.doc_a < r.doc_b for r in rows)
 
+    def test_shingle_df_cap_headroom_and_mechanism(self, spark, sf_dir):
+        """The skew guard must (a) sit far above the testdata's max shingle
+        document-frequency, so capped and uncapped postings are identical at
+        test scale (the oracle-parity gate then proves the capped form), and
+        (b) actually drop ubiquitous shingles when the cap is lowered."""
+        from datafusion_datasource_orc_spark.operators.dedup import (
+            SHINGLE_DF_CAP,
+            shingle_postings,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        uncapped = shingle_postings(docs, df_cap=None)
+        max_df = (
+            uncapped.groupBy("shingle")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+        )
+        assert max_df < SHINGLE_DF_CAP, (
+            f"testdata max shingle df {max_df} reaches the cap — results would change"
+        )
+        assert shingle_postings(docs).count() == uncapped.count()
+        # lower the cap below max_df: every surviving shingle obeys it
+        tight = shingle_postings(docs, df_cap=max_df - 1)
+        worst = (
+            tight.groupBy("shingle").count().agg(F.max("count").alias("m")).first()["m"]
+        )
+        assert worst <= max_df - 1
+        assert tight.count() < uncapped.count()
+
+    def test_basket_size_cap_headroom(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.operators.extras import BASKET_SIZE_CAP
+
+        li = load_table(spark, sf_dir, "lineitem")
+        max_basket = (
+            li.select("l_orderkey", "l_partkey")
+            .distinct()
+            .groupBy("l_orderkey")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+        )
+        assert max_basket < BASKET_SIZE_CAP, (
+            f"testdata max basket {max_basket} reaches the cap — results would change"
+        )
+
     def test_minhash_lsh_recall_and_precision(self, spark, sf_dir):
         exact = {(r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
         approx_rows = dedup_minhash_lsh(spark, sf_dir).collect()
@@ -253,13 +299,26 @@ class TestMultimodal:
         assert row.meta.n_bytes == len(row.payload)
 
     def test_decode_stub_batch_shape(self, spark, sf_dir):
-        out = multimodal_decode(spark, sf_dir)
-        rows = out.limit(20).collect()
+        # the TYPED array<float> pipeline (the registered query serializes
+        # the feature column at the output boundary — driver convention)
+        from datafusion_datasource_orc_spark.operators.multimodal import (
+            _DECODE_SCHEMA,
+            decode_features,
+            with_payload,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        typed = with_payload(docs).mapInPandas(decode_features, schema=_DECODE_SCHEMA)
+        assert dict(typed.dtypes)["feature"] == "array<float>"
+        rows = typed.limit(20).collect()
         assert len(rows) == 20
         for r in rows:
             assert len(r.feature) == 4
             assert r.feature[0] == float(r.n_bytes)  # moment[0] is length
             assert 0 <= r.byte_checksum < 2**31
+        # registered form: same rows, feature serialized to one string cell
+        out = multimodal_decode(spark, sf_dir).limit(5).collect()
+        assert all(isinstance(r.feature, str) and r.feature.startswith("[") for r in out)
 
     def test_real_decoder_is_marked_unimplemented(self):
         with pytest.raises(NotImplementedError):
