@@ -11,6 +11,7 @@ from datafusion_datasource_orc_spark.operators import (  # noqa: F401
     scan,
     simsearch,
     textstats,
+    tpcds,
     tpch,
     tpch_more,
 )
