@@ -64,7 +64,11 @@ def _item(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         F.col("p_partkey").alias("i_item_sk"),
         F.concat(F.lit("ITEM_"), F.col("p_partkey").cast("string")).alias("i_item_id"),
-        F.col("p_name").alias("i_item_desc"),
+        # unique desc (partkey suffix): q65's verbatim ORDER BY + LIMIT ends
+        # on i_item_desc — duplicated descs would make the cut nondeterministic
+        F.concat(F.col("p_name"), F.lit(" #"), F.col("p_partkey").cast("string")).alias(
+            "i_item_desc"
+        ),
         F.col("p_brand").alias("i_brand"),
         F.regexp_extract("p_brand", r"([0-9]+)$", 1).cast("int").alias("i_brand_id"),
         F.split(F.col("p_name"), " ")[1].alias("i_class"),
@@ -164,7 +168,7 @@ date_dim AS (
 item AS (
     SELECT p_partkey AS i_item_sk,
            'ITEM_' || CAST(p_partkey AS VARCHAR) AS i_item_id,
-           p_name AS i_item_desc,
+           p_name || ' #' || CAST(p_partkey AS VARCHAR) AS i_item_desc,
            p_brand AS i_brand,
            CAST(regexp_extract(p_brand, '([0-9]+)$', 1) AS INTEGER) AS i_brand_id,
            split_part(p_name, ' ', 2) AS i_class,
