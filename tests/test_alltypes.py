@@ -1,8 +1,11 @@
 """Type-system parity: recreate the reference's fixtures and golden-test the
 ORC roundtrip through Spark.
 
-- alltypes: 11 rows x 11 cols, NULL first/last rows, type extremes, ±inf,
-  decimal(15,5), unicode CJK + emoji, dates 1582-10-15..9999-12-31
+- alltypes: 11 rows x 12 cols, NULL first/last rows, type extremes, ±inf,
+  decimal(15,5), unicode CJK + emoji, dates 1582-10-15..9999-12-31, and a
+  TIMESTAMP column with sub-second precision — the reference doc-claims
+  TIMESTAMP support (src/lib.rs:153) but ships no fixture for it; this
+  roundtrip + pushed timestamp predicate closes that type-table row
   (FIXTURES.md A1; reference goldens tests/basic_reading.rs:192, :259-275).
 - map_list: map/list/struct nested types (FIXTURES.md A2,
   tests/basic_reading.rs:233, :402-410).
@@ -31,34 +34,48 @@ ALLTYPES_SCHEMA = T.StructType(
         T.StructField("binary", T.BinaryType()),
         T.StructField("utf8", T.StringType()),
         T.StructField("date32", T.DateType()),
+        T.StructField("ts", T.TimestampType()),
     ]
 )
 
-_NULL = Row(*[None] * 11)
+_NULL = Row(*[None] * 12)
+
+
+def _ts(y, mo, dy, h=0, m=0, s=0, us=0):
+    return datetime.datetime(y, mo, dy, h, m, s, us)
 
 
 def _alltypes_rows():
     d = datetime.date
     return [
         tuple(_NULL),
-        (True, 0, 0, 0, 0, 0.0, 0.0, Decimal("0.00000"), b"\x00", "", d(1970, 1, 1)),
-        (False, 1, 1, 1, 1, 1.0, 1.0, Decimal("1.00000"), b"a", "a", d(1970, 1, 2)),
-        (True, -1, -1, -1, -1, -1.0, -1.0, Decimal("-1.00000"), b"b", "b", d(1969, 12, 31)),
+        (True, 0, 0, 0, 0, 0.0, 0.0, Decimal("0.00000"), b"\x00", "", d(1970, 1, 1),
+         _ts(1970, 1, 1)),
+        (False, 1, 1, 1, 1, 1.0, 1.0, Decimal("1.00000"), b"a", "a", d(1970, 1, 2),
+         _ts(1970, 1, 2, 0, 0, 1)),
+        (True, -1, -1, -1, -1, -1.0, -1.0, Decimal("-1.00000"), b"b", "b", d(1969, 12, 31),
+         _ts(1969, 12, 31, 23, 59, 59)),
         (
             False, 127, 32767, 2**31 - 1, 2**63 - 1, float("inf"), float("inf"),
             Decimal("123456789.12345"), b"max", "max", d(9999, 12, 31),
+            _ts(2262, 4, 11, 23, 47, 16, 854775),
         ),
         (
             True, -128, -32768, -(2**31), -(2**63), float("-inf"), float("-inf"),
             Decimal("-999999999.99999"), b"min", "min", d(1582, 10, 15),
+            _ts(1900, 1, 1),
         ),
         (
             False, 3, 3, 3, 3, 3.1415927, 3.141592653589793,
             Decimal("3.14159"), b"pi", "pi", d(2024, 3, 14),
+            _ts(2024, 3, 14, 15, 9, 26, 535898),
         ),
-        (True, 10, 10, 10, 10, 1.5, 1.5, Decimal("1.50000"), b"\xde\xad", "大熊和奏", d(2020, 1, 1)),
-        (False, 11, 11, 11, 11, 2.5, 2.5, Decimal("2.50000"), b"\xbe\xef", "斉藤朱夏", d(2021, 6, 15)),
-        (True, 12, 12, 12, 12, -2.5, -2.5, Decimal("-2.50000"), b"ok", "鈴原希実🤔", d(2022, 12, 31)),
+        (True, 10, 10, 10, 10, 1.5, 1.5, Decimal("1.50000"), b"\xde\xad", "大熊和奏", d(2020, 1, 1),
+         _ts(2020, 1, 1, 12, 0, 0, 1)),
+        (False, 11, 11, 11, 11, 2.5, 2.5, Decimal("2.50000"), b"\xbe\xef", "斉藤朱夏", d(2021, 6, 15),
+         _ts(2021, 6, 15, 6, 30, 0, 500000)),
+        (True, 12, 12, 12, 12, -2.5, -2.5, Decimal("-2.50000"), b"ok", "鈴原希実🤔", d(2022, 12, 31),
+         _ts(2022, 12, 31, 23, 59, 59, 999999)),
         tuple(_NULL),
     ]
 
@@ -115,6 +132,32 @@ class TestAlltypesRoundtrip:
     def test_unicode_equality_filter(self, spark, alltypes_orc):
         back = spark.read.orc(alltypes_orc)
         assert back.filter(F.col("utf8") == "大熊和奏").count() == 1
+
+    def test_timestamp_roundtrip_microseconds(self, spark, alltypes_orc):
+        # TIMESTAMP with sub-second (µs) precision survives the ORC
+        # roundtrip bit-exactly (reference doc-claim src/lib.rs:153)
+        back = spark.read.orc(alltypes_orc)
+        by_utf8 = {r.utf8: r for r in back.collect() if r.utf8 is not None}
+        assert by_utf8["pi"].ts == _ts(2024, 3, 14, 15, 9, 26, 535898)
+        assert by_utf8["鈴原希実🤔"].ts == _ts(2022, 12, 31, 23, 59, 59, 999999)
+        assert by_utf8["b"].ts == _ts(1969, 12, 31, 23, 59, 59)  # pre-epoch
+        nulls = [r for r in back.collect() if r.utf8 is None]
+        assert all(r.ts is None for r in nulls)
+
+    def test_timestamp_predicate_pushed_and_correct(self, spark, alltypes_orc):
+        from datafusion_datasource_orc_spark.plans import pushed_filters
+
+        back = spark.read.orc(alltypes_orc)
+        cutoff = _ts(2021, 1, 1)
+        q = back.filter(F.col("ts") > cutoff)
+        pushed = pushed_filters(q)
+        assert any("ts" in p for p in pushed), f"timestamp filter not pushed: {pushed}"
+        got = {r.utf8 for r in q.collect()}
+        assert got == {"max", "pi", "斉藤朱夏", "鈴原希実🤔"}
+        # equality on a µs-precision value also pushes and matches exactly one
+        eq = back.filter(F.col("ts") == _ts(2020, 1, 1, 12, 0, 0, 1))
+        assert any("ts" in p for p in pushed_filters(eq))
+        assert [r.utf8 for r in eq.collect()] == ["大熊和奏"]
 
 
 MAP_LIST_SCHEMA = T.StructType(
