@@ -84,6 +84,38 @@ def per_file_row_counts(df: DataFrame) -> dict[str, int]:
     return {r.file: r["count"] for r in rows if r.file}
 
 
+def scan_sql_metrics(df: DataFrame) -> list[dict]:
+    """Per-scan SQL metrics from the df's LAST execution — the A14 counters
+    Spark does expose (the reference's stripes_pruned / io_requests have no
+    Spark equivalent; what the SQL metrics store gives per scan node is
+    ``numOutputRows`` — rows the reader actually DECODED after pushed-filter
+    stripe/row-group skipping — plus ``numFiles``/``filesSize``/
+    ``metadataTime`` on file scans, src/metrics.rs:57-118 parity axis).
+
+    Execute an action on ``df`` first (e.g. ``collect``); metrics accumulate
+    on that DataFrame's query execution. AQE-wrapped plans are unwrapped to
+    the final physical plan. Returns one dict per leaf scan node:
+    ``{"node": ..., "metrics": {name: value}}``; [] if the JVM surface is
+    unavailable."""
+    out: list[dict] = []
+    try:
+        plan = df._jdf.queryExecution().executedPlan()
+        if "AdaptiveSparkPlan" in plan.getClass().getSimpleName():
+            plan = plan.executedPlan()
+        leaves = plan.collectLeaves()
+        for i in range(leaves.size()):
+            node = leaves.apply(i)
+            metrics = {}
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                metrics[kv._1()] = kv._2().value()
+            out.append({"node": node.nodeName(), "metrics": metrics})
+    except Exception:
+        return []
+    return out
+
+
 def scan_efficiency(bytes_scanned: int, file_size: int) -> float | None:
     """Derived ratio, reference src/metrics.rs:203-217 (None when file_size
     is unknown/zero, same contract)."""
