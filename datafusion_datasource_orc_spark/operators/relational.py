@@ -497,7 +497,7 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            LAG(o_orderkey) OVER w AS prev_orderkey,
            LEAD(o_orderkey) OVER w AS next_orderkey,
-           CAST(o_orderdate AS DATE) AS orderdate
+           CAST(o_orderdate AS TIMESTAMP) AS orderdate
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """,
@@ -510,7 +510,7 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.lag("o_orderkey").over(w).alias("prev_orderkey"),
         F.lead("o_orderkey").over(w).alias("next_orderkey"),
-        F.col("o_orderdate").cast("date").alias("orderdate"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("orderdate"),
     )
 
 
@@ -600,9 +600,9 @@ def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "date_arithmetic",
     oracle="""
     SELECT o_orderkey,
-           CAST(CAST(o_orderdate AS DATE) + 90 AS DATE) AS due_date,
+           CAST(CAST(o_orderdate AS DATE) + 90 AS TIMESTAMP) AS due_date,
            datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
            dayofweek(o_orderdate) + 1 AS dow  -- duckdb: Sun=0; spark: Sun=1
     FROM orders
     """,
@@ -612,9 +612,9 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = F.col("o_orderdate").cast("date")
     return o.select(
         "o_orderkey",
-        F.date_add(d, 90).alias("due_date"),
+        F.date_add(d, 90).cast("timestamp_ntz").alias("due_date"),
         F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch_start"),
-        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("order_month"),
         F.dayofweek("o_orderdate").alias("dow"),
     )
 

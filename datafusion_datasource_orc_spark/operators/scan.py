@@ -171,8 +171,8 @@ def orc_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orc_minmax",
     oracle="""
     SELECT MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
-           CAST(MIN(l_shipdate) AS DATE) AS min_ship,
-           CAST(MAX(l_shipdate) AS DATE) AS max_ship
+           CAST(MIN(l_shipdate) AS TIMESTAMP) AS min_ship,
+           CAST(MAX(l_shipdate) AS TIMESTAMP) AS max_ship
     FROM lineitem
     """,
 )
@@ -181,8 +181,8 @@ def orc_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
-        F.min(F.col("l_shipdate").cast("date")).alias("min_ship"),
-        F.max(F.col("l_shipdate").cast("date")).alias("max_ship"),
+        F.min(F.col("l_shipdate")).cast("timestamp_ntz").alias("min_ship"),
+        F.max(F.col("l_shipdate")).cast("timestamp_ntz").alias("max_ship"),
     )
 
 

@@ -88,7 +88,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT o_orderkey,
            {money_sum_sql(_DISC_PRICE, 6)} AS revenue,
-           CAST(o_orderdate AS DATE) AS orderdate
+           CAST(o_orderdate AS TIMESTAMP) AS orderdate
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -113,7 +113,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(money_sum(_disc_price(), 6).alias("revenue"))
-        .select("o_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("orderdate"))
+        .select("o_orderkey", "revenue", F.col("o_orderdate").cast("timestamp_ntz").alias("orderdate"))
         .orderBy(F.col("revenue").desc(), "o_orderkey")
         .limit(10)
     )
@@ -251,7 +251,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q18",
     oracle=f"""
     SELECT c_custkey, c_name, o_orderkey,
-           CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(o_orderdate AS TIMESTAMP) AS orderdate,
            o_totalprice,
            {money_sum_sql('l_quantity', 2)} AS sum_qty
     FROM customer
@@ -288,7 +288,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_orderdate").cast("timestamp_ntz").alias("orderdate"),
             "o_totalprice",
             "sum_qty",
         )

@@ -46,18 +46,24 @@ def test_query_names_are_identifier_like():
         assert name.replace("_", "").isalnum() and name == name.lower(), name
 
 
-def test_no_nested_output_columns(spark, sf_dir):
-    """Driver-comparator convention: the pandas-based canonicalizer crashes
-    on list/dict cells (`TypeError: unhashable type: 'list'`), so no
-    registered query may emit array/map/struct output columns — serialize at
-    the output boundary (array_join/to_json) instead. Schema-only check:
-    plans are built, never executed."""
+def test_no_nested_or_date_output_columns(spark, sf_dir):
+    """Driver-comparator conventions, enforced at the schema level (plans
+    are built, never executed):
+
+    - no array/map/struct outputs — the pandas-based canonicalizer crashes
+      on list/dict cells; serialize at the boundary (array_join/to_json);
+    - no DATE outputs — Spark dates reach pandas as datetime.date objects
+      while DuckDB DATE becomes datetime64 midnight Timestamps, which can
+      never hash-match; emit TIMESTAMP_NTZ (Spark) / TIMESTAMP (DuckDB)
+      instead (naive datetime64 on both engines)."""
     from pyspark.sql import types as T
 
     offenders = []
     for name, fn in entrymod.queries().items():
         df = fn(spark, sf_dir)
         for f in df.schema.fields:
-            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            if isinstance(
+                f.dataType, (T.ArrayType, T.MapType, T.StructType, T.DateType)
+            ):
                 offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not offenders, offenders
