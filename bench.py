@@ -39,7 +39,11 @@ HEADLINE = [
     "tpch_q8",
     "tpch_q18",
     "tpch_q21",
+    "tpcds_q1",
+    "tpcds_q65",
+    "tpcds_q98",
     "window_rank",
+    "window_ntile",
     "rollup_agg",
     "dedup_exact_norm",
     "dedup_minhash_lsh",

@@ -13,6 +13,22 @@ Both the Spark expression and the oracle SQL use the identical formula.
 
 At 100 TB this costs nothing: Spark's decimal sum is still a map-side partial
 aggregate (whole-stage codegen, no extra shuffle).
+
+Driver-comparator conventions (the gate converts BOTH result sets to pandas
+frames before hashing — tools/check_oracles.py replicates this; the schema
+rules are enforced by tests/test_entry_contract.py):
+
+- integer SUM / integer-division outputs: wrap the ORACLE side in
+  ``CAST(... AS BIGINT)`` — DuckDB returns HUGEINT, which pandas renders as
+  float64 ("3.0") against Spark's int64 ("3").
+- array/map/struct outputs: never — pandas' canonicalizer cannot hash list
+  cells. Serialize at the output boundary (``array_join``/``to_json`` on
+  Spark, ``array_to_string``/``list_string_agg`` on DuckDB).
+- DATE outputs: never — Spark dates become datetime.date objects, DuckDB
+  dates become midnight datetime64 Timestamps. Emit TIMESTAMP_NTZ (Spark) /
+  TIMESTAMP (DuckDB): naive datetime64 on both engines.
+- decimal outputs: cast to DOUBLE on both sides — DuckDB decimals reach
+  pandas as float64, Spark decimals as object Decimal.
 """
 
 from __future__ import annotations

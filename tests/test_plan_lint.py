@@ -30,10 +30,10 @@ ALLOWED_ROW_PYTHON = {
     "udtf_sentences": "Python UDTF — UDTF evaluation is BatchEvalPython by engine design",
 }
 # Partition-less windows move the WHOLE input through one task. Only queries
-# whose window provably sees a bounded row count may carry one.
-ALLOWED_GLOBAL_WINDOW = {
-    "basket_part_pairs": "window ranks only the TopK (20) survivors of a distributed TakeOrdered",
-}
+# whose window provably sees a bounded row count may carry one. (Currently
+# empty: basket_part_pairs' post-TopK rank got a constant-but-unfoldable
+# partition key instead, silencing WindowExec's scale warning too.)
+ALLOWED_GLOBAL_WINDOW: dict[str, str] = {}
 
 
 @pytest.fixture(scope="module")
