@@ -53,6 +53,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     what DuckDB's TIMESTAMP_NS → TIMESTAMP coercion does, so the oracle
     agrees."""
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # UTC pin at the data boundary: the caller may hand us a session with any
+    # timezone (the driver uses its own SparkSession); date extraction /
+    # epoch arithmetic over the LTZ timestamps must match the tz-naive DuckDB
+    # oracle, which reads the stored values as-is.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
