@@ -10,6 +10,10 @@ the public TPC-DS query templates runs VERBATIM over it on both engines:
 
   q1   CTE + correlated average subquery + 4-table join
   q3   classic star-join aggregate with year rollup
+  q44  best/worst item ranking: two rank() windows over per-item averages,
+       correlated HAVING against the walk-in (NULL-customer) baseline,
+       self-join on the rank
+  q52  brand revenue by year (manager/month parameters)
   q55  brand revenue TopN (manager/month parameters)
   q65  nested aggregate-over-aggregate store/item join
   q98  windowed revenue-ratio over class partitions
@@ -69,6 +73,9 @@ def _item(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("p_name"), F.lit(" #"), F.col("p_partkey").cast("string")).alias(
             "i_item_desc"
         ),
+        F.concat(F.col("p_name"), F.lit(" #"), F.col("p_partkey").cast("string")).alias(
+            "i_product_name"
+        ),
         F.col("p_brand").alias("i_brand"),
         F.regexp_extract("p_brand", r"([0-9]+)$", 1).cast("int").alias("i_brand_id"),
         F.split(F.col("p_name"), " ")[1].alias("i_class"),
@@ -113,7 +120,11 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ss_sold_date_sk"
         ),
         F.col("l_partkey").alias("ss_item_sk"),
-        F.col("o_custkey").alias("ss_customer_sk"),
+        # walk-in sales (no customer) — TPC-DS's nullable ss_customer_sk;
+        # q44's correlated baseline averages exactly these rows
+        F.when(F.col("o_custkey") % 40 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("ss_customer_sk"),
         (F.col("l_suppkey") % 25).alias("ss_store_sk"),
         F.col("l_orderkey").alias("ss_ticket_number"),
         F.col("l_quantity").cast("int").alias("ss_quantity"),
@@ -125,6 +136,11 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
         ).alias("ss_sales_price"),
         F.col("l_extendedprice").cast("decimal(12,2)").alias("ss_ext_sales_price"),
+        # exact decimal, sign varies with discount around the 5% midpoint
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.col("l_discount").cast("decimal(6,4)") - F.lit(0.05).cast("decimal(6,4)"))
+        ).alias("ss_net_profit"),
     )
 
 
@@ -169,6 +185,7 @@ item AS (
     SELECT p_partkey AS i_item_sk,
            'ITEM_' || CAST(p_partkey AS VARCHAR) AS i_item_id,
            p_name || ' #' || CAST(p_partkey AS VARCHAR) AS i_item_desc,
+           p_name || ' #' || CAST(p_partkey AS VARCHAR) AS i_product_name,
            p_brand AS i_brand,
            CAST(regexp_extract(p_brand, '([0-9]+)$', 1) AS INTEGER) AS i_brand_id,
            split_part(p_name, ' ', 2) AS i_class,
@@ -193,13 +210,17 @@ store AS (
 store_sales AS (
     SELECT datediff('day', DATE '{_EPOCH}', CAST(o_orderdate AS DATE)) AS ss_sold_date_sk,
            l_partkey AS ss_item_sk,
-           o_custkey AS ss_customer_sk,
+           CASE WHEN o_custkey % 40 = 0 THEN NULL ELSE o_custkey END
+               AS ss_customer_sk,
            l_suppkey % 25 AS ss_store_sk,
            l_orderkey AS ss_ticket_number,
            CAST(l_quantity AS INTEGER) AS ss_quantity,
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(1 - l_discount AS DECIMAL(6,4)) AS ss_sales_price,
-           CAST(l_extendedprice AS DECIMAL(12,2)) AS ss_ext_sales_price
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS ss_ext_sales_price,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(l_discount AS DECIMAL(6,4)) - CAST(0.05 AS DECIMAL(6,4)))
+               AS ss_net_profit
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
 store_returns AS (
@@ -267,6 +288,54 @@ ORDER BY ext_price DESC, brand_id
 LIMIT 100
 """
 
+_Q44 = """
+SELECT asceding.rnk, i1.i_product_name best_performing,
+       i2.i_product_name worst_performing
+FROM (SELECT *
+      FROM (SELECT item_sk, rank() OVER (ORDER BY rank_col ASC) rnk
+            FROM (SELECT ss_item_sk item_sk, AVG(ss_net_profit) rank_col
+                  FROM store_sales ss1
+                  WHERE ss_store_sk = 4
+                  GROUP BY ss_item_sk
+                  HAVING AVG(ss_net_profit) > 0.9 * (SELECT AVG(ss_net_profit) rank_col
+                                                     FROM store_sales
+                                                     WHERE ss_store_sk = 4
+                                                       AND ss_customer_sk IS NULL
+                                                     GROUP BY ss_store_sk)) V1) V11
+      WHERE rnk < 11) asceding,
+     (SELECT *
+      FROM (SELECT item_sk, rank() OVER (ORDER BY rank_col DESC) rnk
+            FROM (SELECT ss_item_sk item_sk, AVG(ss_net_profit) rank_col
+                  FROM store_sales ss1
+                  WHERE ss_store_sk = 4
+                  GROUP BY ss_item_sk
+                  HAVING AVG(ss_net_profit) > 0.9 * (SELECT AVG(ss_net_profit) rank_col
+                                                     FROM store_sales
+                                                     WHERE ss_store_sk = 4
+                                                       AND ss_customer_sk IS NULL
+                                                     GROUP BY ss_store_sk)) V2) V21
+      WHERE rnk < 11) descending,
+     item i1, item i2
+WHERE asceding.rnk = descending.rnk
+  AND i1.i_item_sk = asceding.item_sk
+  AND i2.i_item_sk = descending.item_sk
+ORDER BY asceding.rnk
+"""
+
+_Q52 = """
+SELECT dt.d_year, item.i_brand_id brand_id, item.i_brand brand,
+       SUM(ss_ext_sales_price) ext_price
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+  AND store_sales.ss_item_sk = item.i_item_sk
+  AND item.i_manager_id = 1
+  AND dt.d_moy = 11
+  AND dt.d_year = 2000
+GROUP BY dt.d_year, item.i_brand_id, item.i_brand
+ORDER BY dt.d_year, ext_price DESC, brand_id
+LIMIT 100
+"""
+
 _Q65 = """
 SELECT s_store_name, i_item_desc, sc.revenue, i_current_price,
        i_wholesale_cost, i_brand
@@ -313,6 +382,11 @@ _WRAPPED = {
     "tpcds_q3": (
         "SELECT d_year, brand_id, brand, CAST(sum_agg AS DOUBLE) AS sum_agg "
         f"FROM ({_Q3}) v"
+    ),
+    "tpcds_q44": f"SELECT rnk, best_performing, worst_performing FROM ({_Q44}) v",
+    "tpcds_q52": (
+        "SELECT d_year, brand_id, brand, CAST(ext_price AS DOUBLE) AS ext_price "
+        f"FROM ({_Q52}) v"
     ),
     "tpcds_q55": (
         "SELECT brand_id, brand, CAST(ext_price AS DOUBLE) AS ext_price "

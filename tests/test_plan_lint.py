@@ -30,10 +30,13 @@ ALLOWED_ROW_PYTHON = {
     "udtf_sentences": "Python UDTF — UDTF evaluation is BatchEvalPython by engine design",
 }
 # Partition-less windows move the WHOLE input through one task. Only queries
-# whose window provably sees a bounded row count may carry one. (Currently
-# empty: basket_part_pairs' post-TopK rank got a constant-but-unfoldable
-# partition key instead, silencing WindowExec's scale warning too.)
-ALLOWED_GLOBAL_WINDOW: dict[str, str] = {}
+# whose window provably sees a bounded row count may carry one.
+# (basket_part_pairs' post-TopK rank instead got a constant-but-unfoldable
+# partition key, which also silences WindowExec's scale warning.)
+ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
+    "tpcds_q44": "verbatim TPC-DS template; rank() input is the per-item "
+    "average of ONE store — bounded by the item dimension's cardinality",
+}
 
 
 @pytest.fixture(scope="module")
