@@ -10,6 +10,8 @@ the public TPC-DS query templates runs VERBATIM over it on both engines:
 
   q1   CTE + correlated average subquery + 4-table join
   q3   classic star-join aggregate with year rollup
+  q6   5-table star with a correlated category-average price filter and a
+       month-seq scalar subquery
   q44  best/worst item ranking: two rank() windows over per-item averages,
        correlated HAVING against the walk-in (NULL-customer) baseline,
        self-join on the rank
@@ -82,9 +84,15 @@ def _item(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").alias("i_category"),
         (F.col("p_partkey") % 100).cast("int").alias("i_manufact_id"),
         (F.col("p_partkey") % 50).cast("int").alias("i_manager_id"),
-        F.col("p_retailprice").cast("decimal(12,2)").alias("i_current_price"),
-        (F.col("p_retailprice") - 100).cast("decimal(12,2)").alias("i_wholesale_cost"),
+        # shifted to a wide relative spread (50.00-149.90): q6's verbatim
+        # `price > 1.2 * avg(price)` filter selects nothing on the raw
+        # 900-999.9 band (1.2x its mean exceeds its max)
+        (F.col("p_retailprice") - 850).cast("decimal(12,2)").alias("i_current_price"),
+        (F.col("p_retailprice") - 880).cast("decimal(12,2)").alias("i_wholesale_cost"),
     )
+
+
+_CA_STATES = ("CA", "WA", "OR", "NV", "AZ", "UT", "ID")  # ca_state ring
 
 
 def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,6 +100,19 @@ def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         F.col("c_custkey").alias("c_customer_sk"),
         F.col("c_name").alias("c_customer_id"),
+        F.col("c_custkey").alias("c_current_addr_sk"),
+    )
+
+
+def _customer_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    state = F.element_at(
+        F.array(*[F.lit(s) for s in _CA_STATES]),
+        (F.col("c_nationkey") % len(_CA_STATES) + 1).cast("int"),
+    )
+    return c.select(
+        F.col("c_custkey").alias("ca_address_sk"),
+        state.alias("ca_state"),
     )
 
 
@@ -162,6 +183,7 @@ def _register_tpcds_views(spark: SparkSession, sf_dir: str) -> None:
     _date_dim(spark).createOrReplaceTempView("date_dim")
     _item(spark, sf_dir).createOrReplaceTempView("item")
     _customer(spark, sf_dir).createOrReplaceTempView("customer")
+    _customer_address(spark, sf_dir).createOrReplaceTempView("customer_address")
     _store(spark, sf_dir).createOrReplaceTempView("store")
     _store_sales(spark, sf_dir).createOrReplaceTempView("store_sales")
     _store_returns(spark, sf_dir).createOrReplaceTempView("store_returns")
@@ -192,13 +214,21 @@ item AS (
            p_type AS i_category,
            CAST(p_partkey % 100 AS INTEGER) AS i_manufact_id,
            CAST(p_partkey % 50 AS INTEGER) AS i_manager_id,
-           CAST(p_retailprice AS DECIMAL(12,2)) AS i_current_price,
-           CAST(p_retailprice - 100 AS DECIMAL(12,2)) AS i_wholesale_cost
+           CAST(p_retailprice - 850 AS DECIMAL(12,2)) AS i_current_price,
+           CAST(p_retailprice - 880 AS DECIMAL(12,2)) AS i_wholesale_cost
     FROM part
 ),
 customer AS (
     -- main. qualifier: the CTE name shadows the registered testdata view
-    SELECT c_custkey AS c_customer_sk, c_name AS c_customer_id FROM main.customer
+    SELECT c_custkey AS c_customer_sk, c_name AS c_customer_id,
+           c_custkey AS c_current_addr_sk
+    FROM main.customer
+),
+customer_address AS (
+    SELECT c_custkey AS ca_address_sk,
+           ['CA','WA','OR','NV','AZ','UT','ID']
+               [CAST(c_nationkey % 7 AS INTEGER) + 1] AS ca_state
+    FROM main.customer
 ),
 store AS (
     SELECT n_nationkey AS s_store_sk,
@@ -285,6 +315,24 @@ WHERE d_date_sk = ss_sold_date_sk
   AND d_year = 1999
 GROUP BY i_brand_id, i_brand
 ORDER BY ext_price DESC, brand_id
+LIMIT 100
+"""
+
+_Q6 = """
+SELECT a.ca_state state, COUNT(*) cnt
+FROM customer_address a, customer c, store_sales s, date_dim d, item i
+WHERE a.ca_address_sk = c.c_current_addr_sk
+  AND c.c_customer_sk = s.ss_customer_sk
+  AND s.ss_sold_date_sk = d.d_date_sk
+  AND s.ss_item_sk = i.i_item_sk
+  AND d.d_month_seq = (SELECT DISTINCT d_month_seq FROM date_dim
+                       WHERE d_year = 2001 AND d_moy = 1)
+  AND i.i_current_price > 1.2 * (SELECT AVG(j.i_current_price)
+                                 FROM item j
+                                 WHERE j.i_category = i.i_category)
+GROUP BY a.ca_state
+HAVING COUNT(*) >= 10
+ORDER BY cnt
 LIMIT 100
 """
 
@@ -383,6 +431,7 @@ _WRAPPED = {
         "SELECT d_year, brand_id, brand, CAST(sum_agg AS DOUBLE) AS sum_agg "
         f"FROM ({_Q3}) v"
     ),
+    "tpcds_q6": f"SELECT state, cnt FROM ({_Q6}) v",
     "tpcds_q44": f"SELECT rnk, best_performing, worst_performing FROM ({_Q44}) v",
     "tpcds_q52": (
         "SELECT d_year, brand_id, brand, CAST(ext_price AS DOUBLE) AS ext_price "
