@@ -80,8 +80,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each oracle-expressible query.
-    Approximate/stubbed ops (minhash LSH, simhash, vector LSH, stub decode)
-    are intentionally absent → driver records the weaker rows-only check."""
+
+    Genuinely engine-specific ops (simhash buckets, vector LSH/IVF cells,
+    HLL cardinalities, the stubbed multimodal decode) are intentionally
+    absent → driver records the weaker rows-only check. The other sketches
+    carry oracle *shadows*: minhash-LSH's oracle is the exact Jaccard pair
+    set (precision 1.0 by construction, 100% recall verified), and the
+    approx percentile / heavy-hitter queries emit exact twins + boolean
+    sketch-guarantee columns."""
     from datafusion_datasource_orc_spark.operators import ORACLES
 
     return dict(ORACLES)
