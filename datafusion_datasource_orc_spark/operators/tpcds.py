@@ -12,6 +12,8 @@ the public TPC-DS query templates runs VERBATIM over it on both engines:
   q3   classic star-join aggregate with year rollup
   q6   5-table star with a correlated category-average price filter and a
        month-seq scalar subquery
+  q19  6-table star (brand revenue where customer and store zip prefixes
+       differ — the cross-shopping filter)
   q44  best/worst item ranking: two rank() windows over per-item averages,
        correlated HAVING against the walk-in (NULL-customer) baseline,
        self-join on the rank
@@ -83,6 +85,9 @@ def _item(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("p_name"), " ")[1].alias("i_class"),
         F.col("p_type").alias("i_category"),
         (F.col("p_partkey") % 100).cast("int").alias("i_manufact_id"),
+        F.concat(F.lit("Manufact#"), (F.col("p_partkey") % 100).cast("string")).alias(
+            "i_manufact"
+        ),
         (F.col("p_partkey") % 50).cast("int").alias("i_manager_id"),
         # shifted to a wide relative spread (50.00-149.90): q6's verbatim
         # `price > 1.2 * avg(price)` filter selects nothing on the raw
@@ -113,6 +118,7 @@ def _customer_address(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         F.col("c_custkey").alias("ca_address_sk"),
         state.alias("ca_state"),
+        (10000 + (F.col("c_custkey") * 7) % 90000).cast("string").alias("ca_zip"),
     )
 
 
@@ -125,6 +131,7 @@ def _store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("s_store_sk"),
         F.concat(F.lit("Store_"), F.col("n_name")).alias("s_store_name"),
         state.alias("s_state"),
+        (10000 + F.col("n_nationkey") * 37).cast("string").alias("s_zip"),
     )
 
 
@@ -213,6 +220,7 @@ item AS (
            split_part(p_name, ' ', 2) AS i_class,
            p_type AS i_category,
            CAST(p_partkey % 100 AS INTEGER) AS i_manufact_id,
+           'Manufact#' || CAST(p_partkey % 100 AS VARCHAR) AS i_manufact,
            CAST(p_partkey % 50 AS INTEGER) AS i_manager_id,
            CAST(p_retailprice - 850 AS DECIMAL(12,2)) AS i_current_price,
            CAST(p_retailprice - 880 AS DECIMAL(12,2)) AS i_wholesale_cost
@@ -227,12 +235,14 @@ customer AS (
 customer_address AS (
     SELECT c_custkey AS ca_address_sk,
            ['CA','WA','OR','NV','AZ','UT','ID']
-               [CAST(c_nationkey % 7 AS INTEGER) + 1] AS ca_state
+               [CAST(c_nationkey % 7 AS INTEGER) + 1] AS ca_state,
+           CAST(10000 + (c_custkey * 7) % 90000 AS VARCHAR) AS ca_zip
     FROM main.customer
 ),
 store AS (
     SELECT n_nationkey AS s_store_sk,
            'Store_' || n_name AS s_store_name,
+           CAST(10000 + n_nationkey * 37 AS VARCHAR) AS s_zip,
            ['{_STATES[0]}','{_STATES[1]}','{_STATES[2]}','{_STATES[3]}','{_STATES[4]}']
                [CAST(n_nationkey % 5 AS INTEGER) + 1] AS s_state
     FROM nation
@@ -336,6 +346,24 @@ ORDER BY cnt
 LIMIT 100
 """
 
+_Q19 = """
+SELECT i_brand_id brand_id, i_brand brand, i_manufact_id, i_manufact,
+       SUM(ss_ext_sales_price) ext_price
+FROM date_dim, store_sales, item, customer, customer_address, store
+WHERE d_date_sk = ss_sold_date_sk
+  AND ss_item_sk = i_item_sk
+  AND i_manager_id = 8
+  AND d_moy = 11
+  AND d_year = 1998
+  AND ss_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND substr(ca_zip, 1, 5) <> substr(s_zip, 1, 5)
+  AND ss_store_sk = s_store_sk
+GROUP BY i_brand_id, i_brand, i_manufact_id, i_manufact
+ORDER BY ext_price DESC, i_brand, i_brand_id, i_manufact_id, i_manufact
+LIMIT 100
+"""
+
 _Q44 = """
 SELECT asceding.rnk, i1.i_product_name best_performing,
        i2.i_product_name worst_performing
@@ -432,6 +460,11 @@ _WRAPPED = {
         f"FROM ({_Q3}) v"
     ),
     "tpcds_q6": f"SELECT state, cnt FROM ({_Q6}) v",
+    "tpcds_q19": (
+        "SELECT brand_id, brand, i_manufact_id, i_manufact, "
+        "CAST(ext_price AS DOUBLE) AS ext_price "
+        f"FROM ({_Q19}) v"
+    ),
     "tpcds_q44": f"SELECT rnk, best_performing, worst_performing FROM ({_Q44}) v",
     "tpcds_q52": (
         "SELECT d_year, brand_id, brand, CAST(ext_price AS DOUBLE) AS ext_price "
