@@ -384,3 +384,64 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s1 / n).alias("mean_v"),
         F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("std_v"),
     )
+
+
+# ---- embedding whitening (PQ / IVF precursor) -------------------------------
+WHITEN_DIMS = 8
+
+
+@query(
+    "embedding_whitening",
+    oracle=f"""
+    WITH d AS (
+      SELECT i - 1 AS dim,
+             floor(CAST(embedding[i] AS DOUBLE) * 1e6) / 1e6 AS t
+      FROM embeddings, UNNEST(generate_series(1, {WHITEN_DIMS})) AS u(i)
+    ),
+    stats AS (
+      SELECT dim,
+             CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mu,
+             sqrt((CAST(SUM(CAST(t * t AS DECIMAL(28,12))) AS DOUBLE)
+                   - CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE)
+                     * CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+                  / (COUNT(*) - 1)) AS sigma
+      FROM d GROUP BY dim
+    )
+    SELECT e.vec_id,
+           {", ".join(
+               "floor((floor(CAST(e.embedding[%d] AS DOUBLE) * 1e6) / 1e6 - s%d.mu)"
+               " / s%d.sigma * 1e6) / 1e6 AS w%d" % (k + 1, k, k, k)
+               for k in range(8)
+           )}
+    FROM embeddings e, {", ".join("(SELECT mu, sigma FROM stats WHERE dim = %d) s%d" % (k, k) for k in range(8))}
+    """,
+)
+def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension standardization of the embedding head (first
+    {WHITEN_DIMS} dims): w_k = (x_k - mean_k) / std_k — the whitening /
+    normalization step every PQ / IVF / OPQ pipeline runs before
+    quantization.
+
+    Scale shape: the dimension statistics reduce to ONE broadcast-size row
+    (exact decimal power sums, same determinism discipline as
+    embedding_dim_stats), cross-joined back onto the corpus stream — the
+    100 TB pass is a single scan with row-local arithmetic, no explode and
+    no join-back shuffle. Inputs and outputs are floor-truncated at 1e-6 so
+    both engines derive identical doubles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = lambda k: F.floor(F.col("embedding")[k].cast("double") * 1e6) / 1e6  # noqa: E731
+    n = F.count(F.lit(1))
+    aggs = []
+    for k in range(WHITEN_DIMS):
+        s1 = F.sum(t(k).cast("decimal(18,6)")).cast("double")
+        s2 = F.sum((t(k) * t(k)).cast("decimal(28,12)")).cast("double")
+        aggs.append((s1 / n).alias(f"mu{k}"))
+        aggs.append(F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias(f"sigma{k}"))
+    stats = emb.agg(*aggs)
+    out = [
+        (
+            F.floor((t(k) - F.col(f"mu{k}")) / F.col(f"sigma{k}") * 1e6) / 1e6
+        ).alias(f"w{k}")
+        for k in range(WHITEN_DIMS)
+    ]
+    return emb.crossJoin(F.broadcast(stats)).select("vec_id", *out)

@@ -25,6 +25,7 @@ ALLOWED_NESTED_LOOP = {
     "tpch_q11": "1-row scalar-subquery threshold joined below the HAVING",
     "tpch_q22": "1-row average-balance scalar subquery",
     "approx_heavy_hitters": "1-row total-count aggregate crossJoin'd into the support filter",
+    "embedding_whitening": "1-row dimension-stats aggregate crossJoin'd onto the corpus stream",
 }
 ALLOWED_ROW_PYTHON = {
     "udtf_sentences": "Python UDTF — UDTF evaluation is BatchEvalPython by engine design",
