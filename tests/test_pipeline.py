@@ -174,6 +174,23 @@ class TestSimSearch:
         assert all(r.rnk <= 3 for r in lsh)
 
 
+class TestScalarQuantization:
+    def test_sq8_recall_against_exact(self, spark, sf_dir):
+        """SQ8 + asymmetric distance must closely track the exact cosine
+        top-k — the quality bound for the compressed rung of the ANN ladder
+        (cross-engine correctness of the quantizer itself is the driver
+        oracle's job)."""
+        from datafusion_datasource_orc_spark.operators.simsearch import (
+            simsearch_bruteforce,
+            simsearch_sq,
+        )
+
+        sq = {r.vec_id for r in simsearch_sq(spark, sf_dir).collect()}
+        exact = {r.vec_id for r in simsearch_bruteforce(spark, sf_dir).collect()}
+        assert len(sq) == len(exact) == 10
+        assert len(sq & exact) >= 8, f"SQ8 recall too low: {len(sq & exact)}/10"
+
+
 class TestTextStats:
     def test_quality_flags_are_binary_and_present(self, spark, sf_dir):
         rows = text_quality(spark, sf_dir).collect()

@@ -26,6 +26,7 @@ ALLOWED_NESTED_LOOP = {
     "tpch_q22": "1-row average-balance scalar subquery",
     "approx_heavy_hitters": "1-row total-count aggregate crossJoin'd into the support filter",
     "embedding_whitening": "1-row dimension-stats aggregate crossJoin'd onto the corpus stream",
+    "simsearch_sq": "1-row quantizer-stats + 1-row query vector broadcast onto the corpus scan",
 }
 ALLOWED_ROW_PYTHON = {
     "udtf_sentences": "Python UDTF — UDTF evaluation is BatchEvalPython by engine design",
