@@ -105,20 +105,48 @@ def simsearch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_HYPERPLANES = 8
 
+# Hyperplane component h(p, i): exact 64-bit INTEGER mixing (multiply-mod +
+# xor-shift rounds), identical in Spark and DuckDB — every operand stays
+# non-negative so % agrees, and nothing overflows int64. The projection is
+# then a sequential double fold over exact integer-valued components, so
+# both engines compute bit-identical projections and the SIGN (the LSH bit)
+# is deterministic cross-engine. This is what makes the LSH bucketing itself
+# oracle-replicable — unlike xxhash64, which DuckDB cannot reproduce.
+_MIX_M = 2147483647  # 2^31 - 1
+_MIX_A = 2654435761  # Knuth multiplicative constant
+_MIX_B = 48271  # Lehmer LCG multiplier
+_PLANE_RANGE = 2001  # components in [-1000, 1000]
+
+
+def _plane_component(p: int):
+    """Spark-side h(p, i) factory (single-arg: pyspark treats 2-param
+    lambdas as (element, index))."""
+
+    def fn(i):
+        k = (i + F.lit(p * 64 + 1)).cast("long")
+        a = (k * F.lit(_MIX_A)) % F.lit(_MIX_M)
+        b = a.bitwiseXOR(F.shiftright(a, 13))
+        c = (b * F.lit(_MIX_B)) % F.lit(_MIX_M)
+        d = c.bitwiseXOR(F.shiftright(c, 7))
+        return (d % F.lit(_PLANE_RANGE) - F.lit(_PLANE_RANGE // 2)).cast("double")
+
+    return fn
+
+
+def _plane_component_sql(p: int, idx: str) -> str:
+    """DuckDB twin of _plane_component; idx is a 0-based dim expression."""
+    k = f"(CAST({idx} AS BIGINT) + {p * 64 + 1})"
+    a = f"(({k} * {_MIX_A}) % {_MIX_M})"
+    b = f"xor({a}, {a} >> 13)"
+    c = f"(({b} * {_MIX_B}) % {_MIX_M})"
+    d = f"xor({c}, {c} >> 7)"
+    return f"CAST(({d} % {_PLANE_RANGE}) - {_PLANE_RANGE // 2} AS DOUBLE)"
+
 
 def _hyperplane_sig(vec, n_planes: int = N_HYPERPLANES):
-    """Random-hyperplane signature with deterministic pseudo-random planes:
-    plane p's component i = centered xxhash64("p:i") — reproducible across
-    runs and executors, no driver-side RNG or broadcast of plane matrices."""
-    def _plane_component(p: int):
-        # single-arg factory: pyspark treats 2-param lambdas as (element, index)
-        def fn(i):
-            return (
-                F.xxhash64(F.concat(F.lit(f"{p}:"), i.cast("string"))) % 1000003
-            ).cast("double")
-
-        return fn
-
+    """Random-hyperplane signature: bit p = sign of the projection onto
+    deterministic pseudo-random plane p. Pure Column expressions; no
+    driver-side RNG or broadcast of plane matrices."""
     bits = []
     for p in range(n_planes):
         proj = F.aggregate(
@@ -130,14 +158,53 @@ def _hyperplane_sig(vec, n_planes: int = N_HYPERPLANES):
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
-        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
     sig = bits[0]
     for b in bits[1:]:
         sig = sig + b
     return sig
 
 
-@query("simsearch_lsh")  # approximate ANN → rows-only check; recall tested in pytest
+def _sig_sql(n_planes: int = N_HYPERPLANES) -> str:
+    """DuckDB twin of _hyperplane_sig over the `embedding` column."""
+    terms = []
+    for p in range(n_planes):
+        proj = (
+            "list_sum(list_transform(range(0, 64), i -> "
+            f"CAST(embedding[i + 1] AS DOUBLE) * {_plane_component_sql(p, 'i')}))"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@query(
+    "simsearch_lsh",
+    # FULL oracle (not a shadow): the hyperplane components are exact integer
+    # arithmetic and the projections are sequential double folds, so DuckDB
+    # replicates the bucketing bit-for-bit and the whole ANN query — buckets,
+    # candidates, within-bucket ranking — is hash-checked, including recall
+    # behaviour (a missed neighbour would be missed identically on both
+    # engines, so any divergence is a genuine bug).
+    oracle=f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding, {_sig_sql()} AS sig FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS q_vec_id, embedding AS qe, sig AS q_sig
+      FROM sigs WHERE vec_id < 5
+    )
+    SELECT q_vec_id, vec_id, rnk, sim FROM (
+      SELECT q.q_vec_id, s.vec_id,
+             ROUND({_SQL_COSINE.format(a='s.embedding', b='q.qe')}, 6) AS sim,
+             ROW_NUMBER() OVER (
+                 PARTITION BY q.q_vec_id
+                 ORDER BY ROUND({_SQL_COSINE.format(a='s.embedding', b='q.qe')}, 6) DESC,
+                          s.vec_id
+             ) AS rnk
+      FROM sigs s JOIN q ON s.sig = q.q_sig AND s.vec_id != q.q_vec_id
+    ) WHERE rnk <= 3
+    """,
+)
 def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN: corpus bucketed by hyperplane signature (one linear
     shuffle); each query probes only its own bucket, then exact cosine ranks
@@ -211,7 +278,59 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_PROBES = 3
 
 
-@query("simsearch_ivf")  # approximate ANN → rows-only check; recall tested in pytest
+@query(
+    "simsearch_ivf",
+    # FULL oracle (not a shadow): centroids are exact decimal-sum means over
+    # 1e-6-truncated elements (order-independent, identical doubles on both
+    # engines), cell assignment / probing rank on ROUND(csim, 6) with
+    # deterministic tie-breaks, so DuckDB replicates the entire IVF index —
+    # codebook, assignment, probe set, within-cell ranking — and divergence
+    # anywhere in the pipeline fails the hash check.
+    oracle=f"""
+    WITH d AS (
+      SELECT label, i - 1 AS dim,
+             floor(CAST(embedding[i] AS DOUBLE) * 1e6) / 1e6 AS t
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)
+    ),
+    cm AS (
+      SELECT label AS cell, dim,
+             CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
+      FROM d GROUP BY label, dim
+    ),
+    cent AS (SELECT cell, list(c ORDER BY dim) AS centroid FROM cm GROUP BY cell),
+    ac AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_SQL_COSINE.format(a='e.embedding', b='c.centroid')}, 6) DESC,
+                          c.cell
+             ) AS rk
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (SELECT vec_id, embedding, cell FROM ac WHERE rk = 1),
+    qp AS (
+      SELECT e.vec_id AS q_vec_id, e.embedding AS qe, c.cell,
+             ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_SQL_COSINE.format(a='e.embedding', b='c.centroid')}, 6) DESC,
+                          c.cell
+             ) AS rk
+      FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
+    ),
+    probes AS (SELECT q_vec_id, qe, cell FROM qp WHERE rk <= {IVF_PROBES})
+    SELECT q_vec_id, vec_id, rnk, sim FROM (
+      SELECT p.q_vec_id, a.vec_id,
+             ROUND({_SQL_COSINE.format(a='a.embedding', b='p.qe')}, 6) AS sim,
+             ROW_NUMBER() OVER (
+                 PARTITION BY p.q_vec_id
+                 ORDER BY ROUND({_SQL_COSINE.format(a='a.embedding', b='p.qe')}, 6) DESC,
+                          a.vec_id
+             ) AS rnk
+      FROM assigned a JOIN probes p USING (cell)
+      WHERE a.vec_id != p.q_vec_id
+    ) WHERE rnk <= 3
+    """,
+)
 def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantization by per-label mean centroids, probe
     the nearest IVF_PROBES centroid cells, exact cosine within probed cells.
@@ -224,13 +343,17 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the data instead of all of it."""
     emb = load_table(spark, sf_dir, "embeddings")
 
-    # per-label mean vector: explode (posexplode) then avg per (label, pos)
-    pos = emb.select(
-        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
-    )
+    # per-label mean vector: explode (posexplode), then an exact decimal-sum
+    # mean per (label, pos) over 1e-6-truncated elements — order-independent,
+    # so the codebook is identical doubles on both engines (same determinism
+    # discipline as embedding_dim_stats).
+    pos = emb.select("label", F.posexplode(F.col("embedding")).alias("pos", "val"))
+    t = F.floor(F.col("val").cast("double") * 1e6) / 1e6
     centroids = (
         pos.groupBy("label", "pos")
-        .agg(F.avg("val").alias("c"))
+        .agg(
+            (F.sum(t.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("c")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select(
@@ -239,12 +362,14 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # assign every vector to its nearest centroid (may differ from label)
-    sim_to_centroid = cosine_similarity(F.col("embedding"), F.col("centroid"))
+    # assign every vector to its nearest centroid (may differ from label);
+    # rank on the 6-dp-rounded similarity with cell as tie-break so the
+    # assignment is reproducible cross-engine
+    csim = F.round(cosine_similarity(F.col("embedding"), F.col("centroid")), 6)
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
     assigned = (
         emb.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "embedding", "cell", sim_to_centroid.alias("csim"))
+        .select("vec_id", "embedding", "cell", csim.alias("csim"))
         .withColumn("rk", F.row_number().over(w_assign))
         .filter(F.col("rk") == 1)
         .select("vec_id", "embedding", "cell")
@@ -258,7 +383,7 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("q_vec_id"),
             F.col("embedding").alias("qe"),
             "cell",
-            cosine_similarity(F.col("embedding"), F.col("centroid")).alias("csim"),
+            csim.alias("csim"),
         )
         .withColumn("rk", F.row_number().over(
             Window.partitionBy("q_vec_id").orderBy(F.col("csim").desc(), "cell")
