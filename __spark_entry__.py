@@ -62,14 +62,14 @@ _ROUND_PRIORITY = [
     "simsearch_ivf",
     "approx_distinct",
     # new verbatim TPC-DS templates (round 4)
-    "tpcds_q12",
-    "tpcds_q20",
-    "tpcds_q42",
-    "tpcds_q59",
-    "tpcds_q68",
     "tpcds_q7",
+    "tpcds_q12",
     "tpcds_q15",
-    "tpcds_q79",
+    "tpcds_q20",
+    "tpcds_q36",
+    "tpcds_q42",
+    "tpcds_q43",
+    "tpcds_q59",
     # the largest never-stamped analytical query (judge item 5)
     "tpch_q9",
     # round-3 additions that never got a stamp

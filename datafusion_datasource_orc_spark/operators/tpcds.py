@@ -12,13 +12,21 @@ the public TPC-DS query templates runs VERBATIM over it on both engines:
   q3   classic star-join aggregate with year rollup
   q6   5-table star with a correlated category-average price filter and a
        month-seq scalar subquery
+  q7   demographics/promotion star with four AVG aggregates
+  q12  web-channel windowed revenue-ratio (web_sales slice)
+  q15  catalog-channel zip/state/price OR-filter rollup
   q19  6-table star (brand revenue where customer and store zip prefixes
        differ — the cross-shopping filter)
+  q20  catalog-channel windowed revenue-ratio
+  q36  ROLLUP gross-margin hierarchy with grouping() rank windows
+  q42  category revenue by year (manager/month parameters)
+  q43  day-name pivot of weekly sales per store
   q44  best/worst item ranking: two rank() windows over per-item averages,
        correlated HAVING against the walk-in (NULL-customer) baseline,
        self-join on the rank
   q52  brand revenue by year (manager/month parameters)
   q55  brand revenue TopN (manager/month parameters)
+  q59  week-over-week per-store sales ratios, year vs year+1
   q65  nested aggregate-over-aggregate store/item join
   q98  windowed revenue-ratio over class partitions
 
@@ -57,13 +65,19 @@ _STATES = ("TN", "SD", "AL", "GA", "KY")  # s_state ring over nationkey % 5
 # ---------------------------------------------------------------- Spark side
 def _date_dim(spark: SparkSession) -> DataFrame:
     d = spark.sql("SELECT explode(sequence(DATE'1995-01-01', DATE'2002-12-31')) AS d_date")
+    sk = F.datediff("d_date", F.lit(_EPOCH).cast("date"))
     return d.select(
-        F.datediff("d_date", F.lit(_EPOCH).cast("date")).alias("d_date_sk"),
+        sk.alias("d_date_sk"),
         "d_date",
         F.year("d_date").alias("d_year"),
         F.month("d_date").alias("d_moy"),
         F.dayofmonth("d_date").alias("d_dom"),
+        F.quarter("d_date").alias("d_qoy"),
         ((F.year("d_date") - 1990) * 12 + F.month("d_date") - 1).alias("d_month_seq"),
+        # Sunday-start weeks since the epoch week (1989-12-31 was a Sunday);
+        # (sk+1)/7 is an exact small-int double division on both engines
+        F.floor((sk + 1) / 7).cast("int").alias("d_week_seq"),
+        F.date_format("d_date", "EEEE").alias("d_day_name"),
     )
 
 
@@ -84,6 +98,9 @@ def _item(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_brand", r"([0-9]+)$", 1).cast("int").alias("i_brand_id"),
         F.split(F.col("p_name"), " ")[1].alias("i_class"),
         F.col("p_type").alias("i_category"),
+        # stable portable int id per category (6 single-word categories;
+        # first-char code x100 + length disambiguates SMALL vs STANDARD)
+        (F.ascii("p_type") * 100 + F.length("p_type")).cast("int").alias("i_category_id"),
         (F.col("p_partkey") % 100).cast("int").alias("i_manufact_id"),
         F.concat(F.lit("Manufact#"), (F.col("p_partkey") % 100).cast("string")).alias(
             "i_manufact"
@@ -129,9 +146,11 @@ def _store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return n.select(
         F.col("n_nationkey").alias("s_store_sk"),
+        F.concat(F.lit("store_"), F.col("n_nationkey").cast("string")).alias("s_store_id"),
         F.concat(F.lit("Store_"), F.col("n_name")).alias("s_store_name"),
         state.alias("s_state"),
         (10000 + F.col("n_nationkey") * 37).cast("string").alias("s_zip"),
+        F.lit(-5).alias("s_gmt_offset"),
     )
 
 
@@ -169,6 +188,18 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(12,2)")
             * (F.col("l_discount").cast("decimal(6,4)") - F.lit(0.05).cast("decimal(6,4)"))
         ).alias("ss_net_profit"),
+        # q7 surface: demographics / promotion keys + price columns, all
+        # exact decimal products (same halfway-cent discipline as above)
+        F.col("o_custkey").alias("ss_cdemo_sk"),
+        ((F.col("l_orderkey") + F.col("l_linenumber") * 13) % 100).alias("ss_promo_sk"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
+        ).alias("ss_list_price"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(6,4)")
+        ).alias("ss_coupon_amt"),
     )
 
 
@@ -186,6 +217,78 @@ def _store_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Channel split: web and catalog sales are deterministic modular slices of
+# the lineitem-orders join (disjoint from each other, overlapping the store
+# channel like real TPC-DS customers shopping multiple channels).
+def _web_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = _sales_base(spark, sf_dir).filter(
+        (F.col("l_orderkey") + F.col("l_linenumber")) % 3 == 0
+    )
+    return j.select(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit(_EPOCH).cast("date")).alias(
+            "ws_sold_date_sk"
+        ),
+        F.col("l_partkey").alias("ws_item_sk"),
+        F.col("o_custkey").alias("ws_bill_customer_sk"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("ws_ext_sales_price"),
+    )
+
+
+def _catalog_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    j = _sales_base(spark, sf_dir).filter(
+        (F.col("l_orderkey") + F.col("l_linenumber")) % 3 == 1
+    )
+    return j.select(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit(_EPOCH).cast("date")).alias(
+            "cs_sold_date_sk"
+        ),
+        F.col("l_partkey").alias("cs_item_sk"),
+        F.col("o_custkey").alias("cs_bill_customer_sk"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("cs_ext_sales_price"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+        ).alias("cs_sales_price"),
+    )
+
+
+_CD_MARITAL = ("M", "S", "D", "W", "U")
+_CD_EDU = (
+    "Primary",
+    "Secondary",
+    "College",
+    "2 yr Degree",
+    "4 yr Degree",
+    "Advanced Degree",
+    "Unknown",
+)
+
+
+def _customer_demographics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    marital = F.element_at(
+        F.array(*[F.lit(s) for s in _CD_MARITAL]), (F.col("c_custkey") % 5 + 1).cast("int")
+    )
+    edu = F.element_at(
+        F.array(*[F.lit(s) for s in _CD_EDU]), (F.col("c_custkey") % 7 + 1).cast("int")
+    )
+    return c.select(
+        F.col("c_custkey").alias("cd_demo_sk"),
+        F.when(F.col("c_custkey") % 2 == 0, "M").otherwise("F").alias("cd_gender"),
+        marital.alias("cd_marital_status"),
+        edu.alias("cd_education_status"),
+    )
+
+
+def _promotion(spark: SparkSession) -> DataFrame:
+    p = spark.sql("SELECT explode(sequence(0, 99)) AS p_promo_sk")
+    return p.select(
+        "p_promo_sk",
+        F.when(F.col("p_promo_sk") % 2 == 0, "N").otherwise("Y").alias("p_channel_email"),
+        F.when(F.col("p_promo_sk") % 3 == 0, "N").otherwise("Y").alias("p_channel_event"),
+    )
+
+
 def _register_tpcds_views(spark: SparkSession, sf_dir: str) -> None:
     _date_dim(spark).createOrReplaceTempView("date_dim")
     _item(spark, sf_dir).createOrReplaceTempView("item")
@@ -194,6 +297,10 @@ def _register_tpcds_views(spark: SparkSession, sf_dir: str) -> None:
     _store(spark, sf_dir).createOrReplaceTempView("store")
     _store_sales(spark, sf_dir).createOrReplaceTempView("store_sales")
     _store_returns(spark, sf_dir).createOrReplaceTempView("store_returns")
+    _web_sales(spark, sf_dir).createOrReplaceTempView("web_sales")
+    _catalog_sales(spark, sf_dir).createOrReplaceTempView("catalog_sales")
+    _customer_demographics(spark, sf_dir).createOrReplaceTempView("customer_demographics")
+    _promotion(spark).createOrReplaceTempView("promotion")
 
 
 # --------------------------------------------------------------- DuckDB side
@@ -205,7 +312,11 @@ date_dim AS (
     SELECT datediff('day', DATE '{_EPOCH}', d_date) AS d_date_sk, d_date,
            year(d_date) AS d_year, month(d_date) AS d_moy,
            day(d_date) AS d_dom,
-           (year(d_date) - 1990) * 12 + month(d_date) - 1 AS d_month_seq
+           quarter(d_date) AS d_qoy,
+           (year(d_date) - 1990) * 12 + month(d_date) - 1 AS d_month_seq,
+           CAST(floor((datediff('day', DATE '{_EPOCH}', d_date) + 1) / 7) AS INTEGER)
+               AS d_week_seq,
+           dayname(d_date) AS d_day_name
     FROM (SELECT CAST(UNNEST(generate_series(DATE '1995-01-01',
                                              DATE '2002-12-31',
                                              INTERVAL 1 DAY)) AS DATE) AS d_date)
@@ -219,6 +330,7 @@ item AS (
            CAST(regexp_extract(p_brand, '([0-9]+)$', 1) AS INTEGER) AS i_brand_id,
            split_part(p_name, ' ', 2) AS i_class,
            p_type AS i_category,
+           CAST(ascii(p_type) * 100 + length(p_type) AS INTEGER) AS i_category_id,
            CAST(p_partkey % 100 AS INTEGER) AS i_manufact_id,
            'Manufact#' || CAST(p_partkey % 100 AS VARCHAR) AS i_manufact,
            CAST(p_partkey % 50 AS INTEGER) AS i_manager_id,
@@ -241,10 +353,12 @@ customer_address AS (
 ),
 store AS (
     SELECT n_nationkey AS s_store_sk,
+           'store_' || CAST(n_nationkey AS VARCHAR) AS s_store_id,
            'Store_' || n_name AS s_store_name,
            CAST(10000 + n_nationkey * 37 AS VARCHAR) AS s_zip,
            ['{_STATES[0]}','{_STATES[1]}','{_STATES[2]}','{_STATES[3]}','{_STATES[4]}']
-               [CAST(n_nationkey % 5 AS INTEGER) + 1] AS s_state
+               [CAST(n_nationkey % 5 AS INTEGER) + 1] AS s_state,
+           -5 AS s_gmt_offset
     FROM nation
 ),
 store_sales AS (
@@ -260,8 +374,48 @@ store_sales AS (
            CAST(l_extendedprice AS DECIMAL(12,2)) AS ss_ext_sales_price,
            CAST(l_extendedprice AS DECIMAL(12,2))
                * (CAST(l_discount AS DECIMAL(6,4)) - CAST(0.05 AS DECIMAL(6,4)))
-               AS ss_net_profit
+               AS ss_net_profit,
+           o_custkey AS ss_cdemo_sk,
+           (l_orderkey + l_linenumber * 13) % 100 AS ss_promo_sk,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 + l_tax AS DECIMAL(6,4)) AS ss_list_price,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(6,4)) AS ss_coupon_amt
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+web_sales AS (
+    SELECT datediff('day', DATE '{_EPOCH}', CAST(o_orderdate AS DATE)) AS ws_sold_date_sk,
+           l_partkey AS ws_item_sk,
+           o_custkey AS ws_bill_customer_sk,
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS ws_ext_sales_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE (l_orderkey + l_linenumber) % 3 = 0
+),
+catalog_sales AS (
+    SELECT datediff('day', DATE '{_EPOCH}', CAST(o_orderdate AS DATE)) AS cs_sold_date_sk,
+           l_partkey AS cs_item_sk,
+           o_custkey AS cs_bill_customer_sk,
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS cs_ext_sales_price,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_discount AS DECIMAL(6,4)) AS cs_sales_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE (l_orderkey + l_linenumber) % 3 = 1
+),
+customer_demographics AS (
+    SELECT c_custkey AS cd_demo_sk,
+           CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
+           ['M','S','D','W','U'][CAST(c_custkey % 5 AS INTEGER) + 1]
+               AS cd_marital_status,
+           ['Primary','Secondary','College','2 yr Degree','4 yr Degree',
+            'Advanced Degree','Unknown'][CAST(c_custkey % 7 AS INTEGER) + 1]
+               AS cd_education_status
+    FROM main.customer
+),
+promotion AS (
+    SELECT i AS p_promo_sk,
+           CASE WHEN i % 2 = 0 THEN 'N' ELSE 'Y' END AS p_channel_email,
+           CASE WHEN i % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_event
+    FROM (SELECT UNNEST(generate_series(0, 99)) AS i)
 ),
 store_returns AS (
     SELECT datediff('day', DATE '{_EPOCH}', CAST(l_shipdate AS DATE)) AS sr_returned_date_sk,
@@ -449,6 +603,176 @@ GROUP BY i_item_desc, i_category, i_class, i_current_price
 ORDER BY i_category, i_class, i_item_desc, revenueratio
 """
 
+_Q7 = """
+SELECT i_item_id,
+       AVG(ss_quantity) agg1,
+       AVG(ss_list_price) agg2,
+       AVG(ss_coupon_amt) agg3,
+       AVG(ss_sales_price) agg4
+FROM store_sales, customer_demographics, date_dim, item, promotion
+WHERE ss_sold_date_sk = d_date_sk
+  AND ss_item_sk = i_item_sk
+  AND ss_cdemo_sk = cd_demo_sk
+  AND ss_promo_sk = p_promo_sk
+  AND cd_gender = 'M'
+  AND cd_marital_status = 'S'
+  AND cd_education_status = 'College'
+  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+  AND d_year = 2000
+GROUP BY i_item_id
+ORDER BY i_item_id
+LIMIT 100
+"""
+
+_Q12 = """
+SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+       SUM(ws_ext_sales_price) AS itemrevenue,
+       SUM(ws_ext_sales_price) * 100 / SUM(SUM(ws_ext_sales_price))
+           OVER (PARTITION BY i_class) AS revenueratio
+FROM web_sales, item, date_dim
+WHERE ws_item_sk = i_item_sk
+  AND i_category IN ('ECONOMY', 'PROMO', 'STANDARD')
+  AND ws_sold_date_sk = d_date_sk
+  AND d_date BETWEEN CAST('1999-02-22' AS DATE)
+                 AND (CAST('1999-02-22' AS DATE) + 30)
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+LIMIT 100
+"""
+
+_Q15 = """
+SELECT ca_zip, SUM(cs_sales_price) AS sum_sales
+FROM catalog_sales, customer, customer_address, date_dim
+WHERE cs_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND (substr(ca_zip, 1, 5) IN ('10007', '10014', '10021', '10028', '10035',
+                                '10042', '10049', '10056', '10063')
+       OR ca_state IN ('CA', 'WA', 'GA')
+       OR cs_sales_price > 500)
+  AND cs_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 2001
+GROUP BY ca_zip
+ORDER BY ca_zip
+LIMIT 100
+"""
+
+_Q20 = """
+SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+       SUM(cs_ext_sales_price) AS itemrevenue,
+       SUM(cs_ext_sales_price) * 100 / SUM(SUM(cs_ext_sales_price))
+           OVER (PARTITION BY i_class) AS revenueratio
+FROM catalog_sales, item, date_dim
+WHERE cs_item_sk = i_item_sk
+  AND i_category IN ('ECONOMY', 'PROMO', 'STANDARD')
+  AND cs_sold_date_sk = d_date_sk
+  AND d_date BETWEEN CAST('1999-02-22' AS DATE)
+                 AND (CAST('1999-02-22' AS DATE) + 30)
+GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price
+ORDER BY i_category, i_class, i_item_id, i_item_desc, revenueratio
+LIMIT 100
+"""
+
+_Q36 = """
+SELECT SUM(ss_net_profit) / SUM(ss_ext_sales_price) AS gross_margin,
+       i_category, i_class,
+       GROUPING(i_category) + GROUPING(i_class) AS lochierarchy,
+       RANK() OVER (
+           PARTITION BY GROUPING(i_category) + GROUPING(i_class),
+                        CASE WHEN GROUPING(i_class) = 0 THEN i_category END
+           ORDER BY SUM(ss_net_profit) / SUM(ss_ext_sales_price) ASC
+       ) AS rank_within_parent
+FROM store_sales, date_dim d1, item, store
+WHERE d1.d_year = 2001
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND ss_store_sk = s_store_sk
+  AND s_state IN ('TN', 'SD', 'AL', 'GA', 'KY', 'TN', 'SD', 'AL')
+GROUP BY ROLLUP(i_category, i_class)
+ORDER BY lochierarchy DESC,
+         CASE WHEN lochierarchy = 0 THEN i_category END,
+         rank_within_parent
+LIMIT 100
+"""
+
+_Q42 = """
+SELECT dt.d_year, item.i_category_id, item.i_category,
+       SUM(ss_ext_sales_price) AS sum_sales
+FROM date_dim dt, store_sales, item
+WHERE dt.d_date_sk = store_sales.ss_sold_date_sk
+  AND store_sales.ss_item_sk = item.i_item_sk
+  AND item.i_manager_id = 1
+  AND dt.d_moy = 11
+  AND dt.d_year = 2000
+GROUP BY dt.d_year, item.i_category_id, item.i_category
+ORDER BY SUM(ss_ext_sales_price) DESC, dt.d_year, item.i_category_id, item.i_category
+LIMIT 100
+"""
+
+_Q43 = """
+SELECT s_store_name, s_store_id,
+       SUM(CASE WHEN (d_day_name = 'Sunday') THEN ss_sales_price ELSE null END) sun_sales,
+       SUM(CASE WHEN (d_day_name = 'Monday') THEN ss_sales_price ELSE null END) mon_sales,
+       SUM(CASE WHEN (d_day_name = 'Tuesday') THEN ss_sales_price ELSE null END) tue_sales,
+       SUM(CASE WHEN (d_day_name = 'Wednesday') THEN ss_sales_price ELSE null END) wed_sales,
+       SUM(CASE WHEN (d_day_name = 'Thursday') THEN ss_sales_price ELSE null END) thu_sales,
+       SUM(CASE WHEN (d_day_name = 'Friday') THEN ss_sales_price ELSE null END) fri_sales,
+       SUM(CASE WHEN (d_day_name = 'Saturday') THEN ss_sales_price ELSE null END) sat_sales
+FROM date_dim, store_sales, store
+WHERE d_date_sk = ss_sold_date_sk
+  AND s_store_sk = ss_store_sk
+  AND s_gmt_offset = -5
+  AND d_year = 2000
+GROUP BY s_store_name, s_store_id
+ORDER BY s_store_name, s_store_id, sun_sales, mon_sales, tue_sales, wed_sales,
+         thu_sales, fri_sales, sat_sales
+LIMIT 100
+"""
+
+# q59's seven week-over-week ratio columns are unaliased in the published
+# template; the r1..r7 aliases below are part of the thin type-normalizing
+# convention (the wrapper must be able to reference them) and change no
+# values. Parameter: d_month_seq 108..119 = calendar 1999, +12 = 2000.
+_Q59 = """
+WITH wss AS (
+    SELECT d_week_seq, ss_store_sk,
+           SUM(CASE WHEN (d_day_name = 'Sunday') THEN ss_sales_price ELSE null END) sun_sales,
+           SUM(CASE WHEN (d_day_name = 'Monday') THEN ss_sales_price ELSE null END) mon_sales,
+           SUM(CASE WHEN (d_day_name = 'Tuesday') THEN ss_sales_price ELSE null END) tue_sales,
+           SUM(CASE WHEN (d_day_name = 'Wednesday') THEN ss_sales_price ELSE null END) wed_sales,
+           SUM(CASE WHEN (d_day_name = 'Thursday') THEN ss_sales_price ELSE null END) thu_sales,
+           SUM(CASE WHEN (d_day_name = 'Friday') THEN ss_sales_price ELSE null END) fri_sales,
+           SUM(CASE WHEN (d_day_name = 'Saturday') THEN ss_sales_price ELSE null END) sat_sales
+    FROM store_sales, date_dim
+    WHERE d_date_sk = ss_sold_date_sk
+    GROUP BY d_week_seq, ss_store_sk
+)
+SELECT s_store_name1, s_store_id1, d_week_seq1,
+       sun_sales1 / sun_sales2 AS r1, mon_sales1 / mon_sales2 AS r2,
+       tue_sales1 / tue_sales2 AS r3, wed_sales1 / wed_sales2 AS r4,
+       thu_sales1 / thu_sales2 AS r5, fri_sales1 / fri_sales2 AS r6,
+       sat_sales1 / sat_sales2 AS r7
+FROM (SELECT s_store_name s_store_name1, wss.d_week_seq d_week_seq1,
+             s_store_id s_store_id1, sun_sales sun_sales1, mon_sales mon_sales1,
+             tue_sales tue_sales1, wed_sales wed_sales1, thu_sales thu_sales1,
+             fri_sales fri_sales1, sat_sales sat_sales1
+      FROM wss, store, date_dim d
+      WHERE d.d_week_seq = wss.d_week_seq
+        AND ss_store_sk = s_store_sk
+        AND d_month_seq BETWEEN 108 AND 108 + 11) y,
+     (SELECT s_store_name s_store_name2, wss.d_week_seq d_week_seq2,
+             s_store_id s_store_id2, sun_sales sun_sales2, mon_sales mon_sales2,
+             tue_sales tue_sales2, wed_sales wed_sales2, thu_sales thu_sales2,
+             fri_sales fri_sales2, sat_sales sat_sales2
+      FROM wss, store, date_dim d
+      WHERE d.d_week_seq = wss.d_week_seq
+        AND ss_store_sk = s_store_sk
+        AND d_month_seq BETWEEN 108 + 12 AND 108 + 23) x
+WHERE s_store_id1 = s_store_id2
+  AND d_week_seq1 = d_week_seq2 - 52
+ORDER BY s_store_name1, s_store_id1, d_week_seq1
+LIMIT 100
+"""
+
 # Type-normalizing wrappers (identical text on both engines): decimal
 # aggregate outputs -> DOUBLE; q98's decimal-division ratio additionally
 # floor-truncated at 1e-6 (engines round division scales differently in far
@@ -486,6 +810,60 @@ _WRAPPED = {
         "CAST(itemrevenue AS DOUBLE) AS itemrevenue, "
         "floor(CAST(revenueratio AS DOUBLE) * 1e6) / 1e6 AS revenueratio "
         f"FROM ({_Q98}) v"
+    ),
+    # q7's AVG over DECIMAL returns DOUBLE on DuckDB but exact DECIMAL on
+    # Spark; truncation at 1e-4 keeps both on the same grid despite DuckDB's
+    # double-accumulation error (~1e-9 absolute at these magnitudes).
+    "tpcds_q7": (
+        "SELECT i_item_id, "
+        "floor(CAST(agg1 AS DOUBLE) * 1e4) / 1e4 AS agg1, "
+        "floor(CAST(agg2 AS DOUBLE) * 1e4) / 1e4 AS agg2, "
+        "floor(CAST(agg3 AS DOUBLE) * 1e4) / 1e4 AS agg3, "
+        "floor(CAST(agg4 AS DOUBLE) * 1e4) / 1e4 AS agg4 "
+        f"FROM ({_Q7}) v"
+    ),
+    "tpcds_q12": (
+        "SELECT i_item_id, i_item_desc, i_category, i_class, "
+        "CAST(i_current_price AS DOUBLE) AS i_current_price, "
+        "CAST(itemrevenue AS DOUBLE) AS itemrevenue, "
+        "floor(CAST(revenueratio AS DOUBLE) * 1e6) / 1e6 AS revenueratio "
+        f"FROM ({_Q12}) v"
+    ),
+    "tpcds_q15": (
+        f"SELECT ca_zip, CAST(sum_sales AS DOUBLE) AS sum_sales FROM ({_Q15}) v"
+    ),
+    "tpcds_q20": (
+        "SELECT i_item_id, i_item_desc, i_category, i_class, "
+        "CAST(i_current_price AS DOUBLE) AS i_current_price, "
+        "CAST(itemrevenue AS DOUBLE) AS itemrevenue, "
+        "floor(CAST(revenueratio AS DOUBLE) * 1e6) / 1e6 AS revenueratio "
+        f"FROM ({_Q20}) v"
+    ),
+    "tpcds_q36": (
+        "SELECT floor(CAST(gross_margin AS DOUBLE) * 1e6) / 1e6 AS gross_margin, "
+        "i_category, i_class, CAST(lochierarchy AS INT) AS lochierarchy, "
+        "CAST(rank_within_parent AS INT) AS rank_within_parent "
+        f"FROM ({_Q36}) v"
+    ),
+    "tpcds_q42": (
+        "SELECT d_year, i_category_id, i_category, "
+        "CAST(sum_sales AS DOUBLE) AS sum_sales "
+        f"FROM ({_Q42}) v"
+    ),
+    "tpcds_q43": (
+        "SELECT s_store_name, s_store_id, "
+        + ", ".join(
+            f"CAST({d}_sales AS DOUBLE) AS {d}_sales"
+            for d in ("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+        )
+        + f" FROM ({_Q43}) v"
+    ),
+    "tpcds_q59": (
+        "SELECT s_store_name1, s_store_id1, d_week_seq1, "
+        + ", ".join(
+            f"floor(CAST(r{i} AS DOUBLE) * 1e6) / 1e6 AS r{i}" for i in range(1, 8)
+        )
+        + f" FROM ({_Q59}) v"
     ),
 }
 
