@@ -91,6 +91,19 @@ class TestPlanQuality:
         s = scan_summary(simsearch_bruteforce(spark, sf_dir))
         assert s["shuffles"] == 0  # broadcast query vector + TakeOrdered
 
+    def test_minhash_lsh_materializes_postings_once(self, spark, sf_dir):
+        """Catalyst does not ReuseExchange across the postings' three
+        consumers nor the bucket self-join; the lazy localCheckpoint barriers
+        must keep the executed plan free of repeated parquet scans (the
+        un-barriered plan had 8) — both join sides read materialized RDDs."""
+        from datafusion_datasource_orc_spark.operators.dedup import dedup_minhash_lsh
+
+        df = dedup_minhash_lsh(spark, sf_dir)
+        df.count()  # materialize so the executed plan is final (AQE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 0
+        assert plan.count("Scan ExistingRDD") >= 2
+
     def test_scan_queries_push_filters(self, spark, sf_dir):
         from datafusion_datasource_orc_spark.operators.scan import (
             orc_filter_compound,
