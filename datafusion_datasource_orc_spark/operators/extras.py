@@ -450,7 +450,14 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     window for quantile ±0.005 — 5x the GK guarantee of rank error ≤ n/1000
     at accuracy=1000. The oracle computes the same exact percentiles and
     literal TRUE, so a sketch regression (or a broken bound) fails the driver
-    gate, not just pytest."""
+    gate, not just pytest.
+
+    NOTE on scale shape: the nine exact F.percentile computations are
+    GATE-SCALE-ONLY instrumentation — they sort-shuffle every value, exactly
+    what the sketch exists to avoid. The 100 TB production form of this
+    query is the single ``percentile_approx`` aggregate (first column of the
+    agg below); the exact twins ride along solely so the driver can
+    hash-verify the sketch's guarantee at sf0.01."""
     orders = load_table(spark, sf_dir, "orders")
     eps = 0.005
     pct = F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 1000)

@@ -36,6 +36,17 @@ _ORC_CACHE: dict[tuple[str, str], str] = {}
 _ORC_ROOT: str | None = None
 
 
+def _pin_conf(spark: SparkSession, key: str, value: str) -> None:
+    """Set a session conf only when it differs (avoids repeated mutation and
+    the RuntimeConfig round-trip on every load_table call)."""
+    try:
+        current = spark.conf.get(key)
+    except Exception:
+        current = None
+    if current != value:
+        spark.conf.set(key, value)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet read of one testdata table (lazy; metadata only).
 
@@ -51,16 +62,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     is rejected by Spark's reader outright (PARQUET_TYPE_ILLEGAL); we read it
     as raw nanos via the ``nanosAsLong`` conf and truncate to microseconds —
     what DuckDB's TIMESTAMP_NS → TIMESTAMP coercion does, so the oracle
-    agrees."""
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    agrees.
+
+    PUBLIC-API SIDE EFFECT: these pins mutate the CALLER'S session confs
+    (session timezone → UTC, NTZ inference off) and persist for subsequent
+    non-framework queries on the same session. This is load-bearing for
+    oracle parity — the driver compares against a tz-naive DuckDB — and is
+    the documented contract of every ``queries()`` entry. Confs are only
+    written when they differ, so repeated loads don't re-mutate."""
+    _pin_conf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # UTC pin at the data boundary: the caller may hand us a session with any
     # timezone (the driver uses its own SparkSession); date extraction /
     # epoch arithmetic over the LTZ timestamps must match the tz-naive DuckDB
     # oracle, which reads the stored values as-is.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin_conf(spark, "spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _pin_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(path)

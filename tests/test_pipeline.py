@@ -43,6 +43,24 @@ class TestDedup:
         assert all(r.jaccard >= JACCARD_THRESHOLD for r in rows)
         assert all(r.doc_a < r.doc_b for r in rows)
 
+    def test_chunk_oracle_series_headroom(self, spark, sf_dir):
+        """dedup_chunks' DuckDB oracle enumerates chunk indices with
+        generate_series(1, 200) (docs up to 200*CHUNK_WORDS words) while the
+        Spark side is unbounded — testdata growing past the bound would red
+        the gate with a confusing mismatch. Assert ample headroom, the same
+        guard discipline as SHINGLE_DF_CAP below."""
+        from datafusion_datasource_orc_spark.operators.dedup import CHUNK_WORDS
+
+        docs = load_table(spark, sf_dir, "documents")
+        max_words = (
+            docs.select(F.size(F.split(F.col("text"), " ")).alias("n"))
+            .agg(F.max("n"))
+            .first()[0]
+        )
+        assert max_words < 200 * CHUNK_WORDS, (
+            f"max doc word count {max_words} reaches the oracle's series bound"
+        )
+
     def test_shingle_df_cap_headroom_and_mechanism(self, spark, sf_dir):
         """The skew guard must (a) sit far above the testdata's max shingle
         document-frequency, so capped and uncapped postings are identical at
@@ -380,6 +398,10 @@ class TestConnectedComponents:
 
         pairs = {(r.doc_a, r.doc_b) for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
         clusters = dedup_connected_components(spark, sf_dir).collect()
+        # the CC_MAX_ROUNDS backstop must never fire at test scales — the
+        # loop has to exit on the changed==0 convergence check (a cap hit
+        # would mean silently truncated label propagation)
+        assert dedup_connected_components.last_converged is True
         # members is serialized ("1,2,3") at the output boundary (driver
         # comparator convention); parse it back for the graph checks
         members = {c.cluster_id: [int(m) for m in c.members.split(",")] for c in clusters}
