@@ -37,9 +37,14 @@ HEADLINE = [
     "tpch_q5",
     "tpch_q6",
     "tpch_q8",
+    "tpch_q9",
     "tpch_q18",
     "tpch_q21",
     "tpcds_q1",
+    "tpcds_q7",
+    "tpcds_q12",
+    "tpcds_q36",
+    "tpcds_q59",
     "tpcds_q65",
     "tpcds_q98",
     "window_rank",
@@ -77,17 +82,21 @@ def main() -> None:
         orc_dir_for(spark, sf_dir, t)
 
     results: dict[str, float] = {}
+    iterations: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = None
+        times: list[float] = []
         rows = -1
         for _ in range(ITERATIONS):
             t0 = time.perf_counter()
             rows = len(fn(spark, sf_dir).collect())
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        results[name] = round(best, 4)
-        print(f"# {name}: {best:.3f}s rows={rows}", file=sys.stderr)
+            times.append(round(time.perf_counter() - t0, 4))
+        # headline value stays best-of-N (absorbs codegen warm-up), but every
+        # iteration is recorded so host-load spikes are separable from real
+        # regressions when BENCH artifacts are compared across rounds
+        results[name] = min(times)
+        iterations[name] = times
+        print(f"# {name}: {min(times):.3f}s rows={rows} iters={times}", file=sys.stderr)
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
@@ -101,6 +110,7 @@ def main() -> None:
                 "value": round(sum(results.values()), 4),
                 "unit": "sec",
                 "queries": results,
+                "iterations": iterations,
                 "sf": sf_val,
             }
         )
