@@ -70,6 +70,13 @@ _ROUND_PRIORITY = [
     "tpcds_q42",
     "tpcds_q43",
     "tpcds_q59",
+    "tpcds_q25",
+    "tpcds_q26",
+    "tpcds_q29",
+    "tpcds_q33",
+    "tpcds_q45",
+    "tpcds_q56",
+    "tpcds_q60",
     # the largest never-stamped analytical query (judge item 5)
     "tpch_q9",
     # round-3 additions that never got a stamp

@@ -18,7 +18,14 @@ the public TPC-DS query templates runs VERBATIM over it on both engines:
   q19  6-table star (brand revenue where customer and store zip prefixes
        differ — the cross-shopping filter)
   q20  catalog-channel windowed revenue-ratio
+  q25  store/returns/catalog 3-channel profit-and-loss star (3 date dims)
+  q26  catalog demographics/promotion star with four AVG aggregates
+  q29  store/returns/catalog 3-channel quantity star
+  q33  3-channel UNION ALL manufacturer rollup (per-channel CTEs)
   q36  ROLLUP gross-margin hierarchy with grouping() rank windows
+  q45  web-channel zip/item-list OR-filter rollup with IN subquery
+  q56  3-channel UNION ALL item rollup filtered by color
+  q60  3-channel UNION ALL item rollup filtered by category
   q42  category revenue by year (manager/month parameters)
   q43  day-name pivot of weekly sales per store
   q44  best/worst item ranking: two rank() windows over per-item averages,
@@ -97,6 +104,7 @@ def _item(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").alias("i_brand"),
         F.regexp_extract("p_brand", r"([0-9]+)$", 1).cast("int").alias("i_brand_id"),
         F.split(F.col("p_name"), " ")[1].alias("i_class"),
+        F.split(F.col("p_name"), " ")[0].alias("i_color"),
         F.col("p_type").alias("i_category"),
         # stable portable int id per category (6 single-word categories;
         # first-char code x100 + length disambiguates SMALL vs STANDARD)
@@ -136,6 +144,10 @@ def _customer_address(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("ca_address_sk"),
         state.alias("ca_state"),
         (10000 + (F.col("c_custkey") * 7) % 90000).cast("string").alias("ca_zip"),
+        F.concat(F.lit("city_"), ((F.col("c_custkey") * 13) % 97).cast("string")).alias(
+            "ca_city"
+        ),
+        F.lit(-5).alias("ca_gmt_offset"),
     )
 
 
@@ -200,6 +212,7 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(12,2)")
             * F.col("l_discount").cast("decimal(6,4)")
         ).alias("ss_coupon_amt"),
+        F.col("o_custkey").alias("ss_addr_sk"),
     )
 
 
@@ -214,6 +227,11 @@ def _store_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") % 25).alias("sr_store_sk"),
         F.col("l_orderkey").alias("sr_ticket_number"),
         F.col("l_extendedprice").cast("decimal(12,2)").alias("sr_return_amt"),
+        F.col("l_quantity").cast("int").alias("sr_return_quantity"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(0.1).cast("decimal(6,4)") + F.col("l_tax").cast("decimal(6,4)"))
+        ).alias("sr_net_loss"),
     )
 
 
@@ -230,7 +248,12 @@ def _web_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("l_partkey").alias("ws_item_sk"),
         F.col("o_custkey").alias("ws_bill_customer_sk"),
+        F.col("o_custkey").alias("ws_bill_addr_sk"),
         F.col("l_extendedprice").cast("decimal(12,2)").alias("ws_ext_sales_price"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+        ).alias("ws_sales_price"),
     )
 
 
@@ -244,11 +267,27 @@ def _catalog_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("l_partkey").alias("cs_item_sk"),
         F.col("o_custkey").alias("cs_bill_customer_sk"),
+        F.col("o_custkey").alias("cs_bill_cdemo_sk"),
+        F.col("o_custkey").alias("cs_bill_addr_sk"),
+        ((F.col("l_orderkey") + F.col("l_linenumber") * 13) % 100).alias("cs_promo_sk"),
+        F.col("l_quantity").cast("int").alias("cs_quantity"),
         F.col("l_extendedprice").cast("decimal(12,2)").alias("cs_ext_sales_price"),
         (
             F.col("l_extendedprice").cast("decimal(12,2)")
             * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
         ).alias("cs_sales_price"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
+        ).alias("cs_list_price"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(6,4)")
+        ).alias("cs_coupon_amt"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.col("l_discount").cast("decimal(6,4)") - F.lit(0.05).cast("decimal(6,4)"))
+        ).alias("cs_net_profit"),
     )
 
 
@@ -329,6 +368,7 @@ item AS (
            p_brand AS i_brand,
            CAST(regexp_extract(p_brand, '([0-9]+)$', 1) AS INTEGER) AS i_brand_id,
            split_part(p_name, ' ', 2) AS i_class,
+           split_part(p_name, ' ', 1) AS i_color,
            p_type AS i_category,
            CAST(ascii(p_type) * 100 + length(p_type) AS INTEGER) AS i_category_id,
            CAST(p_partkey % 100 AS INTEGER) AS i_manufact_id,
@@ -348,7 +388,9 @@ customer_address AS (
     SELECT c_custkey AS ca_address_sk,
            ['CA','WA','OR','NV','AZ','UT','ID']
                [CAST(c_nationkey % 7 AS INTEGER) + 1] AS ca_state,
-           CAST(10000 + (c_custkey * 7) % 90000 AS VARCHAR) AS ca_zip
+           CAST(10000 + (c_custkey * 7) % 90000 AS VARCHAR) AS ca_zip,
+           'city_' || CAST((c_custkey * 13) % 97 AS VARCHAR) AS ca_city,
+           -5 AS ca_gmt_offset
     FROM main.customer
 ),
 store AS (
@@ -380,14 +422,18 @@ store_sales AS (
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(1 + l_tax AS DECIMAL(6,4)) AS ss_list_price,
            CAST(l_extendedprice AS DECIMAL(12,2))
-               * CAST(l_discount AS DECIMAL(6,4)) AS ss_coupon_amt
+               * CAST(l_discount AS DECIMAL(6,4)) AS ss_coupon_amt,
+           o_custkey AS ss_addr_sk
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
 web_sales AS (
     SELECT datediff('day', DATE '{_EPOCH}', CAST(o_orderdate AS DATE)) AS ws_sold_date_sk,
            l_partkey AS ws_item_sk,
            o_custkey AS ws_bill_customer_sk,
-           CAST(l_extendedprice AS DECIMAL(12,2)) AS ws_ext_sales_price
+           o_custkey AS ws_bill_addr_sk,
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS ws_ext_sales_price,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_discount AS DECIMAL(6,4)) AS ws_sales_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE (l_orderkey + l_linenumber) % 3 = 0
 ),
@@ -395,9 +441,20 @@ catalog_sales AS (
     SELECT datediff('day', DATE '{_EPOCH}', CAST(o_orderdate AS DATE)) AS cs_sold_date_sk,
            l_partkey AS cs_item_sk,
            o_custkey AS cs_bill_customer_sk,
+           o_custkey AS cs_bill_cdemo_sk,
+           o_custkey AS cs_bill_addr_sk,
+           (l_orderkey + l_linenumber * 13) % 100 AS cs_promo_sk,
+           CAST(l_quantity AS INTEGER) AS cs_quantity,
            CAST(l_extendedprice AS DECIMAL(12,2)) AS cs_ext_sales_price,
            CAST(l_extendedprice AS DECIMAL(12,2))
-               * CAST(1 - l_discount AS DECIMAL(6,4)) AS cs_sales_price
+               * CAST(1 - l_discount AS DECIMAL(6,4)) AS cs_sales_price,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 + l_tax AS DECIMAL(6,4)) AS cs_list_price,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(6,4)) AS cs_coupon_amt,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(l_discount AS DECIMAL(6,4)) - CAST(0.05 AS DECIMAL(6,4)))
+               AS cs_net_profit
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE (l_orderkey + l_linenumber) % 3 = 1
 ),
@@ -423,7 +480,11 @@ store_returns AS (
            o_custkey AS sr_customer_sk,
            l_suppkey % 25 AS sr_store_sk,
            l_orderkey AS sr_ticket_number,
-           CAST(l_extendedprice AS DECIMAL(12,2)) AS sr_return_amt
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS sr_return_amt,
+           CAST(l_quantity AS INTEGER) AS sr_return_quantity,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(0.1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))
+               AS sr_net_loss
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_returnflag = 'R'
 )
@@ -773,6 +834,252 @@ ORDER BY s_store_name1, s_store_id1, d_week_seq1
 LIMIT 100
 """
 
+_Q25 = """
+SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+       MAX(ss_net_profit) AS store_sales_profit,
+       MAX(sr_net_loss) AS store_returns_loss,
+       MAX(cs_net_profit) AS catalog_sales_profit
+FROM store_sales, store_returns, catalog_sales, date_dim d1, date_dim d2,
+     date_dim d3, store, item
+WHERE d1.d_moy = 4
+  AND d1.d_year = 2000
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_moy BETWEEN 4 AND 10
+  AND d2.d_year = 2000
+  AND sr_customer_sk = cs_bill_customer_sk
+  AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_moy BETWEEN 4 AND 10
+  AND d3.d_year = 2000
+GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+LIMIT 100
+"""
+
+_Q26 = """
+SELECT i_item_id,
+       AVG(cs_quantity) agg1,
+       AVG(cs_list_price) agg2,
+       AVG(cs_coupon_amt) agg3,
+       AVG(cs_sales_price) agg4
+FROM catalog_sales, customer_demographics, date_dim, item, promotion
+WHERE cs_sold_date_sk = d_date_sk
+  AND cs_item_sk = i_item_sk
+  AND cs_bill_cdemo_sk = cd_demo_sk
+  AND cs_promo_sk = p_promo_sk
+  AND cd_gender = 'M'
+  AND cd_marital_status = 'S'
+  AND cd_education_status = 'College'
+  AND (p_channel_email = 'N' OR p_channel_event = 'N')
+  AND d_year = 2000
+GROUP BY i_item_id
+ORDER BY i_item_id
+LIMIT 100
+"""
+
+_Q29 = """
+SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+       MAX(ss_quantity) AS store_sales_quantity,
+       MAX(sr_return_quantity) AS store_returns_quantity,
+       MAX(cs_quantity) AS catalog_sales_quantity
+FROM store_sales, store_returns, catalog_sales, date_dim d1, date_dim d2,
+     date_dim d3, store, item
+WHERE d1.d_moy = 4
+  AND d1.d_year = 2000
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_moy BETWEEN 4 AND 4 + 3
+  AND d2.d_year = 2000
+  AND sr_customer_sk = cs_bill_customer_sk
+  AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_year IN (2000, 2000 + 1, 2000 + 2)
+GROUP BY i_item_id, i_item_desc, s_store_id, s_store_name
+ORDER BY i_item_id, i_item_desc, s_store_id, s_store_name
+LIMIT 100
+"""
+
+_Q33 = """
+WITH ss AS (
+    SELECT i_manufact_id, SUM(ss_ext_sales_price) total_sales
+    FROM store_sales, date_dim, customer_address, item
+    WHERE i_manufact_id IN (SELECT i_manufact_id FROM item
+                            WHERE i_category IN ('ECONOMY'))
+      AND ss_item_sk = i_item_sk
+      AND ss_sold_date_sk = d_date_sk
+      AND d_year = 1998
+      AND d_moy = 5
+      AND ss_addr_sk = ca_address_sk
+      AND ca_gmt_offset = -5
+    GROUP BY i_manufact_id
+),
+cs AS (
+    SELECT i_manufact_id, SUM(cs_ext_sales_price) total_sales
+    FROM catalog_sales, date_dim, customer_address, item
+    WHERE i_manufact_id IN (SELECT i_manufact_id FROM item
+                            WHERE i_category IN ('ECONOMY'))
+      AND cs_item_sk = i_item_sk
+      AND cs_sold_date_sk = d_date_sk
+      AND d_year = 1998
+      AND d_moy = 5
+      AND cs_bill_addr_sk = ca_address_sk
+      AND ca_gmt_offset = -5
+    GROUP BY i_manufact_id
+),
+ws AS (
+    SELECT i_manufact_id, SUM(ws_ext_sales_price) total_sales
+    FROM web_sales, date_dim, customer_address, item
+    WHERE i_manufact_id IN (SELECT i_manufact_id FROM item
+                            WHERE i_category IN ('ECONOMY'))
+      AND ws_item_sk = i_item_sk
+      AND ws_sold_date_sk = d_date_sk
+      AND d_year = 1998
+      AND d_moy = 5
+      AND ws_bill_addr_sk = ca_address_sk
+      AND ca_gmt_offset = -5
+    GROUP BY i_manufact_id
+)
+SELECT i_manufact_id, SUM(total_sales) total_sales
+FROM (SELECT * FROM ss
+      UNION ALL
+      SELECT * FROM cs
+      UNION ALL
+      SELECT * FROM ws) tmp1
+GROUP BY i_manufact_id
+ORDER BY total_sales
+LIMIT 100
+"""
+
+_Q45 = """
+SELECT ca_zip, ca_city, SUM(ws_sales_price) AS sum_sales
+FROM web_sales, customer, customer_address, date_dim, item
+WHERE ws_bill_customer_sk = c_customer_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND ws_item_sk = i_item_sk
+  AND (substr(ca_zip, 1, 5) IN ('10007', '10014', '10021', '10028', '10035',
+                                '10042', '10049', '10056', '10063')
+       OR i_item_id IN (SELECT i_item_id FROM item
+                        WHERE i_item_sk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29)))
+  AND ws_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 2001
+GROUP BY ca_zip, ca_city
+ORDER BY ca_zip, ca_city
+LIMIT 100
+"""
+
+_Q56 = """
+WITH ss AS (
+    SELECT i_item_id, SUM(ss_ext_sales_price) total_sales
+    FROM store_sales, date_dim, customer_address, item
+    WHERE i_item_id IN (SELECT i_item_id FROM item
+                        WHERE i_color IN ('blue', 'red', 'hot'))
+      AND ss_item_sk = i_item_sk
+      AND ss_sold_date_sk = d_date_sk
+      AND d_year = 2001
+      AND d_moy = 2
+      AND ss_addr_sk = ca_address_sk
+      AND ca_gmt_offset = -5
+    GROUP BY i_item_id
+),
+cs AS (
+    SELECT i_item_id, SUM(cs_ext_sales_price) total_sales
+    FROM catalog_sales, date_dim, customer_address, item
+    WHERE i_item_id IN (SELECT i_item_id FROM item
+                        WHERE i_color IN ('blue', 'red', 'hot'))
+      AND cs_item_sk = i_item_sk
+      AND cs_sold_date_sk = d_date_sk
+      AND d_year = 2001
+      AND d_moy = 2
+      AND cs_bill_addr_sk = ca_address_sk
+      AND ca_gmt_offset = -5
+    GROUP BY i_item_id
+),
+ws AS (
+    SELECT i_item_id, SUM(ws_ext_sales_price) total_sales
+    FROM web_sales, date_dim, customer_address, item
+    WHERE i_item_id IN (SELECT i_item_id FROM item
+                        WHERE i_color IN ('blue', 'red', 'hot'))
+      AND ws_item_sk = i_item_sk
+      AND ws_sold_date_sk = d_date_sk
+      AND d_year = 2001
+      AND d_moy = 2
+      AND ws_bill_addr_sk = ca_address_sk
+      AND ca_gmt_offset = -5
+    GROUP BY i_item_id
+)
+SELECT i_item_id, SUM(total_sales) total_sales
+FROM (SELECT * FROM ss
+      UNION ALL
+      SELECT * FROM cs
+      UNION ALL
+      SELECT * FROM ws) tmp1
+GROUP BY i_item_id
+ORDER BY total_sales
+LIMIT 100
+"""
+
+_Q60 = """
+WITH ss AS (
+    SELECT i_item_id, SUM(ss_ext_sales_price) total_sales
+    FROM store_sales, date_dim, customer_address, item
+    WHERE i_item_id IN (SELECT i_item_id FROM item
+                        WHERE i_category IN ('ECONOMY'))
+      AND ss_item_sk = i_item_sk
+      AND ss_sold_date_sk = d_date_sk
+      AND d_year = 1999
+      AND d_moy = 9
+      AND ss_addr_sk = ca_address_sk
+      AND ca_gmt_offset = -5
+    GROUP BY i_item_id
+),
+cs AS (
+    SELECT i_item_id, SUM(cs_ext_sales_price) total_sales
+    FROM catalog_sales, date_dim, customer_address, item
+    WHERE i_item_id IN (SELECT i_item_id FROM item
+                        WHERE i_category IN ('ECONOMY'))
+      AND cs_item_sk = i_item_sk
+      AND cs_sold_date_sk = d_date_sk
+      AND d_year = 1999
+      AND d_moy = 9
+      AND cs_bill_addr_sk = ca_address_sk
+      AND ca_gmt_offset = -5
+    GROUP BY i_item_id
+),
+ws AS (
+    SELECT i_item_id, SUM(ws_ext_sales_price) total_sales
+    FROM web_sales, date_dim, customer_address, item
+    WHERE i_item_id IN (SELECT i_item_id FROM item
+                        WHERE i_category IN ('ECONOMY'))
+      AND ws_item_sk = i_item_sk
+      AND ws_sold_date_sk = d_date_sk
+      AND d_year = 1999
+      AND d_moy = 9
+      AND ws_bill_addr_sk = ca_address_sk
+      AND ca_gmt_offset = -5
+    GROUP BY i_item_id
+)
+SELECT i_item_id, SUM(total_sales) total_sales
+FROM (SELECT * FROM ss
+      UNION ALL
+      SELECT * FROM cs
+      UNION ALL
+      SELECT * FROM ws) tmp1
+GROUP BY i_item_id
+ORDER BY i_item_id, total_sales
+LIMIT 100
+"""
+
 # Type-normalizing wrappers (identical text on both engines): decimal
 # aggregate outputs -> DOUBLE; q98's decimal-division ratio additionally
 # floor-truncated at 1e-6 (engines round division scales differently in far
@@ -875,6 +1182,41 @@ _WRAPPED = {
             f"floor(CAST(r{i} AS DOUBLE) * 1e6) / 1e6 AS r{i}" for i in range(1, 8)
         )
         + f" FROM ({_Q59}) v"
+    ),
+    "tpcds_q25": (
+        "SELECT i_item_id, i_item_desc, s_store_id, s_store_name, "
+        "CAST(store_sales_profit AS DOUBLE) AS store_sales_profit, "
+        "CAST(store_returns_loss AS DOUBLE) AS store_returns_loss, "
+        "CAST(catalog_sales_profit AS DOUBLE) AS catalog_sales_profit "
+        f"FROM ({_Q25}) v"
+    ),
+    "tpcds_q26": (
+        "SELECT i_item_id, "
+        "floor(CAST(agg1 AS DOUBLE) * 1e4) / 1e4 AS agg1, "
+        "floor(CAST(agg2 AS DOUBLE) * 1e4) / 1e4 AS agg2, "
+        "floor(CAST(agg3 AS DOUBLE) * 1e4) / 1e4 AS agg3, "
+        "floor(CAST(agg4 AS DOUBLE) * 1e4) / 1e4 AS agg4 "
+        f"FROM ({_Q26}) v"
+    ),
+    "tpcds_q29": (
+        "SELECT i_item_id, i_item_desc, s_store_id, s_store_name, "
+        "store_sales_quantity, store_returns_quantity, catalog_sales_quantity "
+        f"FROM ({_Q29}) v"
+    ),
+    "tpcds_q33": (
+        "SELECT i_manufact_id, CAST(total_sales AS DOUBLE) AS total_sales "
+        f"FROM ({_Q33}) v"
+    ),
+    "tpcds_q45": (
+        f"SELECT ca_zip, ca_city, CAST(sum_sales AS DOUBLE) AS sum_sales FROM ({_Q45}) v"
+    ),
+    "tpcds_q56": (
+        "SELECT i_item_id, CAST(total_sales AS DOUBLE) AS total_sales "
+        f"FROM ({_Q56}) v"
+    ),
+    "tpcds_q60": (
+        "SELECT i_item_id, CAST(total_sales AS DOUBLE) AS total_sales "
+        f"FROM ({_Q60}) v"
     ),
 }
 
