@@ -77,6 +77,10 @@ _ROUND_PRIORITY = [
     "tpcds_q45",
     "tpcds_q56",
     "tpcds_q60",
+    "tpcds_q68",
+    "tpcds_q73",
+    "tpcds_q79",
+    "tpcds_q96",
     # the largest never-stamped analytical query (judge item 5)
     "tpch_q9",
     # round-3 additions that never got a stamp

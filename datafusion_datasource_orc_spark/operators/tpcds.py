@@ -35,6 +35,10 @@ the public TPC-DS query templates runs VERBATIM over it on both engines:
   q55  brand revenue TopN (manager/month parameters)
   q59  week-over-week per-store sales ratios, year vs year+1
   q65  nested aggregate-over-aggregate store/item join
+  q68  cross-city ticket rollup (household demographics + two address roles)
+  q73  ticket line-count banding by buy-potential demographics
+  q79  Monday coupon/profit tickets by store size
+  q96  time-of-day count through time_dim/household_demographics
   q98  windowed revenue-ratio over class partitions
 
 Template parameters (year, month, state, manufacturer, ...) are bound to
@@ -67,6 +71,27 @@ from datafusion_datasource_orc_spark.sources.tables import load_table
 
 _EPOCH = "1990-01-01"  # d_date_sk = days since this epoch
 _STATES = ("TN", "SD", "AL", "GA", "KY")  # s_state ring over nationkey % 5
+_CITIES = (
+    "Midway",
+    "Fairview",
+    "Pleasant Hill",
+    "Oak Grove",
+    "Five Points",
+    "Liberty",
+    "Greenville",
+    "Bethel",
+    "Concord",
+    "Union",
+)  # s_city ring over nationkey % 10
+_COUNTIES = (
+    "Williamson County",
+    "Ziebach County",
+    "Walker County",
+    "Daviess County",
+    "Barrow County",
+)  # s_county ring over nationkey % 5
+_HD_BUY_POTENTIAL = ("0-500", "501-1000", "1001-5000", "5001-10000", ">10000", "Unknown")
+_HD_ROWS = 720  # hd_demo_sk domain; ss_hdemo_sk = o_custkey % 720
 
 
 # ---------------------------------------------------------------- Spark side
@@ -84,6 +109,7 @@ def _date_dim(spark: SparkSession) -> DataFrame:
         # Sunday-start weeks since the epoch week (1989-12-31 was a Sunday);
         # (sk+1)/7 is an exact small-int double division on both engines
         F.floor((sk + 1) / 7).cast("int").alias("d_week_seq"),
+        ((sk + 1) % 7).alias("d_dow"),  # 0=Sunday .. 6=Saturday (epoch was a Monday)
         F.date_format("d_date", "EEEE").alias("d_day_name"),
     )
 
@@ -125,12 +151,29 @@ def _item(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CA_STATES = ("CA", "WA", "OR", "NV", "AZ", "UT", "ID")  # ca_state ring
 
 
+_SALUTATIONS = ("Mr.", "Mrs.", "Ms.", "Dr.", "Miss", "Sir")
+
+
 def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
+    salutation = F.element_at(
+        F.array(*[F.lit(s) for s in _SALUTATIONS]),
+        (F.col("c_custkey") % len(_SALUTATIONS) + 1).cast("int"),
+    )
     return c.select(
         F.col("c_custkey").alias("c_customer_sk"),
         F.col("c_name").alias("c_customer_id"),
         F.col("c_custkey").alias("c_current_addr_sk"),
+        F.concat(F.lit("First_"), (F.col("c_custkey") % 97).cast("string")).alias(
+            "c_first_name"
+        ),
+        F.concat(F.lit("Last_"), (F.col("c_custkey") % 89).cast("string")).alias(
+            "c_last_name"
+        ),
+        salutation.alias("c_salutation"),
+        F.when(F.col("c_custkey") % 2 == 0, "Y").otherwise("N").alias(
+            "c_preferred_cust_flag"
+        ),
     )
 
 
@@ -156,13 +199,22 @@ def _store(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = F.element_at(
         F.array(*[F.lit(s) for s in _STATES]), (F.col("n_nationkey") % 5 + 1).cast("int")
     )
+    city = F.element_at(
+        F.array(*[F.lit(c) for c in _CITIES]), (F.col("n_nationkey") % 10 + 1).cast("int")
+    )
+    county = F.element_at(
+        F.array(*[F.lit(c) for c in _COUNTIES]), (F.col("n_nationkey") % 5 + 1).cast("int")
+    )
     return n.select(
         F.col("n_nationkey").alias("s_store_sk"),
         F.concat(F.lit("store_"), F.col("n_nationkey").cast("string")).alias("s_store_id"),
         F.concat(F.lit("Store_"), F.col("n_name")).alias("s_store_name"),
         state.alias("s_state"),
+        city.alias("s_city"),
+        county.alias("s_county"),
         (10000 + F.col("n_nationkey") * 37).cast("string").alias("s_zip"),
         F.lit(-5).alias("s_gmt_offset"),
+        (200 + F.col("n_nationkey") * 5).alias("s_number_employees"),
     )
 
 
@@ -212,7 +264,25 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(12,2)")
             * F.col("l_discount").cast("decimal(6,4)")
         ).alias("ss_coupon_amt"),
-        F.col("o_custkey").alias("ss_addr_sk"),
+        # ship-to address: usually the customer's own, sometimes (1 in 4
+        # orders) the next customer's — q68's cross-city filter needs sales
+        # bought in a city other than the current address (a +1 key past the
+        # max custkey dangles and drops identically on both engines)
+        (F.col("o_custkey") + F.when(F.col("l_orderkey") % 4 == 0, 1).otherwise(0)).alias(
+            "ss_addr_sk"
+        ),
+        (F.col("o_custkey") % _HD_ROWS).alias("ss_hdemo_sk"),
+        ((F.col("l_orderkey") * 7919 + F.col("l_linenumber") * 86393) % 86400).alias(
+            "ss_sold_time_sk"
+        ),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
+        ).alias("ss_ext_list_price"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_tax").cast("decimal(6,4)")
+        ).alias("ss_ext_tax"),
     )
 
 
@@ -319,6 +389,29 @@ def _customer_demographics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _household_demographics(spark: SparkSession) -> DataFrame:
+    h = spark.sql(f"SELECT explode(sequence(0, {_HD_ROWS - 1})) AS hd_demo_sk")
+    potential = F.element_at(
+        F.array(*[F.lit(s) for s in _HD_BUY_POTENTIAL]),
+        (F.col("hd_demo_sk") % len(_HD_BUY_POTENTIAL) + 1).cast("int"),
+    )
+    return h.select(
+        "hd_demo_sk",
+        potential.alias("hd_buy_potential"),
+        (F.col("hd_demo_sk") % 10).alias("hd_dep_count"),
+        (F.col("hd_demo_sk") % 5).alias("hd_vehicle_count"),
+    )
+
+
+def _time_dim(spark: SparkSession) -> DataFrame:
+    t = spark.sql("SELECT explode(sequence(0, 86399)) AS t_time_sk")
+    return t.select(
+        "t_time_sk",
+        F.floor(F.col("t_time_sk") / 3600).cast("int").alias("t_hour"),
+        F.floor((F.col("t_time_sk") % 3600) / 60).cast("int").alias("t_minute"),
+    )
+
+
 def _promotion(spark: SparkSession) -> DataFrame:
     p = spark.sql("SELECT explode(sequence(0, 99)) AS p_promo_sk")
     return p.select(
@@ -340,6 +433,8 @@ def _register_tpcds_views(spark: SparkSession, sf_dir: str) -> None:
     _catalog_sales(spark, sf_dir).createOrReplaceTempView("catalog_sales")
     _customer_demographics(spark, sf_dir).createOrReplaceTempView("customer_demographics")
     _promotion(spark).createOrReplaceTempView("promotion")
+    _household_demographics(spark).createOrReplaceTempView("household_demographics")
+    _time_dim(spark).createOrReplaceTempView("time_dim")
 
 
 # --------------------------------------------------------------- DuckDB side
@@ -355,6 +450,7 @@ date_dim AS (
            (year(d_date) - 1990) * 12 + month(d_date) - 1 AS d_month_seq,
            CAST(floor((datediff('day', DATE '{_EPOCH}', d_date) + 1) / 7) AS INTEGER)
                AS d_week_seq,
+           (datediff('day', DATE '{_EPOCH}', d_date) + 1) % 7 AS d_dow,
            dayname(d_date) AS d_day_name
     FROM (SELECT CAST(UNNEST(generate_series(DATE '1995-01-01',
                                              DATE '2002-12-31',
@@ -381,7 +477,13 @@ item AS (
 customer AS (
     -- main. qualifier: the CTE name shadows the registered testdata view
     SELECT c_custkey AS c_customer_sk, c_name AS c_customer_id,
-           c_custkey AS c_current_addr_sk
+           c_custkey AS c_current_addr_sk,
+           'First_' || CAST(c_custkey % 97 AS VARCHAR) AS c_first_name,
+           'Last_' || CAST(c_custkey % 89 AS VARCHAR) AS c_last_name,
+           ['Mr.','Mrs.','Ms.','Dr.','Miss','Sir']
+               [CAST(c_custkey % 6 AS INTEGER) + 1] AS c_salutation,
+           CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END
+               AS c_preferred_cust_flag
     FROM main.customer
 ),
 customer_address AS (
@@ -400,7 +502,12 @@ store AS (
            CAST(10000 + n_nationkey * 37 AS VARCHAR) AS s_zip,
            ['{_STATES[0]}','{_STATES[1]}','{_STATES[2]}','{_STATES[3]}','{_STATES[4]}']
                [CAST(n_nationkey % 5 AS INTEGER) + 1] AS s_state,
-           -5 AS s_gmt_offset
+           [{", ".join("'%s'" % c for c in _CITIES)}]
+               [CAST(n_nationkey % 10 AS INTEGER) + 1] AS s_city,
+           [{", ".join("'%s'" % c for c in _COUNTIES)}]
+               [CAST(n_nationkey % 5 AS INTEGER) + 1] AS s_county,
+           -5 AS s_gmt_offset,
+           200 + n_nationkey * 5 AS s_number_employees
     FROM nation
 ),
 store_sales AS (
@@ -423,8 +530,30 @@ store_sales AS (
                * CAST(1 + l_tax AS DECIMAL(6,4)) AS ss_list_price,
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(l_discount AS DECIMAL(6,4)) AS ss_coupon_amt,
-           o_custkey AS ss_addr_sk
+           o_custkey + (CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE 0 END)
+               AS ss_addr_sk,
+           o_custkey % {_HD_ROWS} AS ss_hdemo_sk,
+           (l_orderkey * 7919 + l_linenumber * 86393) % 86400 AS ss_sold_time_sk,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 + l_tax AS DECIMAL(6,4)) AS ss_ext_list_price,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_tax AS DECIMAL(6,4)) AS ss_ext_tax
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+household_demographics AS (
+    SELECT i AS hd_demo_sk,
+           ['{_HD_BUY_POTENTIAL[0]}','{_HD_BUY_POTENTIAL[1]}','{_HD_BUY_POTENTIAL[2]}',
+            '{_HD_BUY_POTENTIAL[3]}','{_HD_BUY_POTENTIAL[4]}','{_HD_BUY_POTENTIAL[5]}']
+               [CAST(i % 6 AS INTEGER) + 1] AS hd_buy_potential,
+           i % 10 AS hd_dep_count,
+           i % 5 AS hd_vehicle_count
+    FROM (SELECT UNNEST(generate_series(0, {_HD_ROWS - 1})) AS i)
+),
+time_dim AS (
+    SELECT i AS t_time_sk,
+           CAST(floor(i / 3600) AS INTEGER) AS t_hour,
+           CAST(floor((i % 3600) / 60) AS INTEGER) AS t_minute
+    FROM (SELECT UNNEST(generate_series(0, 86399)) AS i)
 ),
 web_sales AS (
     SELECT datediff('day', DATE '{_EPOCH}', CAST(o_orderdate AS DATE)) AS ws_sold_date_sk,
@@ -1080,6 +1209,96 @@ ORDER BY i_item_id, total_sales
 LIMIT 100
 """
 
+# q68's published template selects the subquery columns unaliased where
+# noted; like q59's ratio aliases, any added alias below is part of the thin
+# normalizing convention and changes no values.
+_Q68 = """
+SELECT c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+       extended_price, extended_tax, list_price
+FROM (SELECT ss_ticket_number, ss_customer_sk, ca_city bought_city,
+             SUM(ss_ext_sales_price) extended_price,
+             SUM(ss_ext_list_price) list_price,
+             SUM(ss_ext_tax) extended_tax
+      FROM store_sales, date_dim, store, household_demographics, customer_address
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+        AND date_dim.d_dom BETWEEN 1 AND 2
+        AND (household_demographics.hd_dep_count = 4
+             OR household_demographics.hd_vehicle_count = 3)
+        AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+        AND store.s_city IN ('Midway', 'Fairview')
+      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+     customer, customer_address current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND customer.c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name, ss_ticket_number
+LIMIT 100
+"""
+
+_Q73 = """
+SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       ss_ticket_number, cnt
+FROM (SELECT ss_ticket_number, ss_customer_sk, COUNT(*) cnt
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND date_dim.d_dom BETWEEN 1 AND 2
+        AND (household_demographics.hd_buy_potential = '>10000'
+             OR household_demographics.hd_buy_potential = 'Unknown')
+        AND household_demographics.hd_vehicle_count > 0
+        AND CASE WHEN household_demographics.hd_vehicle_count > 0
+                 THEN household_demographics.hd_dep_count
+                      / household_demographics.hd_vehicle_count
+                 ELSE NULL END > 1
+        AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+        AND store.s_county IN ('Williamson County', 'Ziebach County',
+                               'Walker County', 'Daviess County')
+      GROUP BY ss_ticket_number, ss_customer_sk) dj, customer
+WHERE ss_customer_sk = c_customer_sk
+  AND cnt BETWEEN 1 AND 5
+ORDER BY cnt DESC, c_last_name ASC
+"""
+
+_Q79 = """
+SELECT c_last_name, c_first_name, substr(s_city, 1, 30) AS city,
+       ss_ticket_number, amt, profit
+FROM (SELECT ss_ticket_number, ss_customer_sk, store.s_city,
+             SUM(ss_coupon_amt) amt,
+             SUM(ss_net_profit) profit
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND (household_demographics.hd_dep_count = 6
+             OR household_demographics.hd_vehicle_count > 2)
+        AND date_dim.d_dow = 1
+        AND date_dim.d_year IN (1999, 1999 + 1, 1999 + 2)
+        AND store.s_number_employees BETWEEN 200 AND 295
+      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, store.s_city) ms,
+     customer
+WHERE ss_customer_sk = c_customer_sk
+ORDER BY c_last_name, c_first_name, substr(s_city, 1, 30), profit
+LIMIT 100
+"""
+
+_Q96 = """
+SELECT COUNT(*) AS cnt
+FROM store_sales, household_demographics, time_dim, store
+WHERE ss_sold_time_sk = time_dim.t_time_sk
+  AND ss_hdemo_sk = household_demographics.hd_demo_sk
+  AND ss_store_sk = s_store_sk
+  AND time_dim.t_hour = 20
+  AND time_dim.t_minute >= 30
+  AND household_demographics.hd_dep_count = 7
+  AND store.s_store_name = 'Store_NATION_4'
+ORDER BY COUNT(*)
+LIMIT 100
+"""
+
 # Type-normalizing wrappers (identical text on both engines): decimal
 # aggregate outputs -> DOUBLE; q98's decimal-division ratio additionally
 # floor-truncated at 1e-6 (engines round division scales differently in far
@@ -1218,6 +1437,24 @@ _WRAPPED = {
         "SELECT i_item_id, CAST(total_sales AS DOUBLE) AS total_sales "
         f"FROM ({_Q60}) v"
     ),
+    "tpcds_q68": (
+        "SELECT c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number, "
+        "CAST(extended_price AS DOUBLE) AS extended_price, "
+        "CAST(extended_tax AS DOUBLE) AS extended_tax, "
+        "CAST(list_price AS DOUBLE) AS list_price "
+        f"FROM ({_Q68}) v"
+    ),
+    "tpcds_q73": (
+        "SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag, "
+        "ss_ticket_number, cnt "
+        f"FROM ({_Q73}) v"
+    ),
+    "tpcds_q79": (
+        "SELECT c_last_name, c_first_name, city, ss_ticket_number, "
+        "CAST(amt AS DOUBLE) AS amt, CAST(profit AS DOUBLE) AS profit "
+        f"FROM ({_Q79}) v"
+    ),
+    "tpcds_q96": f"SELECT cnt FROM ({_Q96}) v",
 }
 
 
