@@ -81,6 +81,13 @@ _ROUND_PRIORITY = [
     "tpcds_q73",
     "tpcds_q79",
     "tpcds_q96",
+    "tpcds_q13",
+    "tpcds_q27",
+    "tpcds_q32",
+    "tpcds_q48",
+    "tpcds_q61",
+    "tpcds_q92",
+    "tpcds_q93",
     # the largest never-stamped analytical query (judge item 5)
     "tpch_q9",
     # round-3 additions that never got a stamp

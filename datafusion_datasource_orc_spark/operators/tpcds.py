@@ -14,13 +14,16 @@ the public TPC-DS query templates runs VERBATIM over it on both engines:
        month-seq scalar subquery
   q7   demographics/promotion star with four AVG aggregates
   q12  web-channel windowed revenue-ratio (web_sales slice)
+  q13  demographics/address OR-band AVG aggregates (6-table selective star)
   q15  catalog-channel zip/state/price OR-filter rollup
   q19  6-table star (brand revenue where customer and store zip prefixes
        differ — the cross-shopping filter)
   q20  catalog-channel windowed revenue-ratio
   q25  store/returns/catalog 3-channel profit-and-loss star (3 date dims)
   q26  catalog demographics/promotion star with four AVG aggregates
+  q27  ROLLUP(item, state) demographics AVGs with grouping() marker
   q29  store/returns/catalog 3-channel quantity star
+  q32  correlated 1.3x-average excess-discount filter (catalog)
   q33  3-channel UNION ALL manufacturer rollup (per-channel CTEs)
   q36  ROLLUP gross-margin hierarchy with grouping() rank windows
   q45  web-channel zip/item-list OR-filter rollup with IN subquery
@@ -31,13 +34,17 @@ the public TPC-DS query templates runs VERBATIM over it on both engines:
   q44  best/worst item ranking: two rank() windows over per-item averages,
        correlated HAVING against the walk-in (NULL-customer) baseline,
        self-join on the rank
+  q48  demographics/address OR-band quantity sum
   q52  brand revenue by year (manager/month parameters)
   q55  brand revenue TopN (manager/month parameters)
   q59  week-over-week per-store sales ratios, year vs year+1
+  q61  promoted-vs-total sales ratio (two scalar aggregate subplans)
   q65  nested aggregate-over-aggregate store/item join
   q68  cross-city ticket rollup (household demographics + two address roles)
   q73  ticket line-count banding by buy-potential demographics
   q79  Monday coupon/profit tickets by store size
+  q92  correlated 1.3x-average excess-discount filter (web)
+  q93  returns-adjusted actual sales per customer (left join + reason dim)
   q96  time-of-day count through time_dim/household_demographics
   q98  windowed revenue-ratio over class partitions
 
@@ -191,6 +198,7 @@ def _customer_address(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ca_city"
         ),
         F.lit(-5).alias("ca_gmt_offset"),
+        F.lit("United States").alias("ca_country"),
     )
 
 
@@ -283,6 +291,10 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(12,2)")
             * F.col("l_tax").cast("decimal(6,4)")
         ).alias("ss_ext_tax"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_tax")).cast("decimal(6,4)")
+        ).alias("ss_ext_wholesale_cost"),
     )
 
 
@@ -302,6 +314,7 @@ def _store_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(12,2)")
             * (F.lit(0.1).cast("decimal(6,4)") + F.col("l_tax").cast("decimal(6,4)"))
         ).alias("sr_net_loss"),
+        (F.col("l_linenumber") % 10).alias("sr_reason_sk"),
     )
 
 
@@ -324,6 +337,10 @@ def _web_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(12,2)")
             * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
         ).alias("ws_sales_price"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(6,4)")
+        ).alias("ws_ext_discount_amt"),
     )
 
 
@@ -358,6 +375,10 @@ def _catalog_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(12,2)")
             * (F.col("l_discount").cast("decimal(6,4)") - F.lit(0.05).cast("decimal(6,4)"))
         ).alias("cs_net_profit"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(6,4)")
+        ).alias("cs_ext_discount_amt"),
     )
 
 
@@ -418,6 +439,18 @@ def _promotion(spark: SparkSession) -> DataFrame:
         "p_promo_sk",
         F.when(F.col("p_promo_sk") % 2 == 0, "N").otherwise("Y").alias("p_channel_email"),
         F.when(F.col("p_promo_sk") % 3 == 0, "N").otherwise("Y").alias("p_channel_event"),
+        F.when(F.col("p_promo_sk") % 5 == 0, "Y").otherwise("N").alias("p_channel_dmail"),
+        F.when(F.col("p_promo_sk") % 7 == 0, "Y").otherwise("N").alias("p_channel_tv"),
+    )
+
+
+def _reason(spark: SparkSession) -> DataFrame:
+    r = spark.sql("SELECT explode(sequence(0, 9)) AS r_reason_sk")
+    return r.select(
+        "r_reason_sk",
+        F.concat(F.lit("reason "), F.col("r_reason_sk").cast("string")).alias(
+            "r_reason_desc"
+        ),
     )
 
 
@@ -435,6 +468,7 @@ def _register_tpcds_views(spark: SparkSession, sf_dir: str) -> None:
     _promotion(spark).createOrReplaceTempView("promotion")
     _household_demographics(spark).createOrReplaceTempView("household_demographics")
     _time_dim(spark).createOrReplaceTempView("time_dim")
+    _reason(spark).createOrReplaceTempView("reason")
 
 
 # --------------------------------------------------------------- DuckDB side
@@ -492,7 +526,8 @@ customer_address AS (
                [CAST(c_nationkey % 7 AS INTEGER) + 1] AS ca_state,
            CAST(10000 + (c_custkey * 7) % 90000 AS VARCHAR) AS ca_zip,
            'city_' || CAST((c_custkey * 13) % 97 AS VARCHAR) AS ca_city,
-           -5 AS ca_gmt_offset
+           -5 AS ca_gmt_offset,
+           'United States' AS ca_country
     FROM main.customer
 ),
 store AS (
@@ -537,7 +572,9 @@ store_sales AS (
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(1 + l_tax AS DECIMAL(6,4)) AS ss_ext_list_price,
            CAST(l_extendedprice AS DECIMAL(12,2))
-               * CAST(l_tax AS DECIMAL(6,4)) AS ss_ext_tax
+               * CAST(l_tax AS DECIMAL(6,4)) AS ss_ext_tax,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_tax AS DECIMAL(6,4)) AS ss_ext_wholesale_cost
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 ),
 household_demographics AS (
@@ -562,7 +599,9 @@ web_sales AS (
            o_custkey AS ws_bill_addr_sk,
            CAST(l_extendedprice AS DECIMAL(12,2)) AS ws_ext_sales_price,
            CAST(l_extendedprice AS DECIMAL(12,2))
-               * CAST(1 - l_discount AS DECIMAL(6,4)) AS ws_sales_price
+               * CAST(1 - l_discount AS DECIMAL(6,4)) AS ws_sales_price,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(6,4)) AS ws_ext_discount_amt
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE (l_orderkey + l_linenumber) % 3 = 0
 ),
@@ -583,7 +622,9 @@ catalog_sales AS (
                * CAST(l_discount AS DECIMAL(6,4)) AS cs_coupon_amt,
            CAST(l_extendedprice AS DECIMAL(12,2))
                * (CAST(l_discount AS DECIMAL(6,4)) - CAST(0.05 AS DECIMAL(6,4)))
-               AS cs_net_profit
+               AS cs_net_profit,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(6,4)) AS cs_ext_discount_amt
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE (l_orderkey + l_linenumber) % 3 = 1
 ),
@@ -600,8 +641,15 @@ customer_demographics AS (
 promotion AS (
     SELECT i AS p_promo_sk,
            CASE WHEN i % 2 = 0 THEN 'N' ELSE 'Y' END AS p_channel_email,
-           CASE WHEN i % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_event
+           CASE WHEN i % 3 = 0 THEN 'N' ELSE 'Y' END AS p_channel_event,
+           CASE WHEN i % 5 = 0 THEN 'Y' ELSE 'N' END AS p_channel_dmail,
+           CASE WHEN i % 7 = 0 THEN 'Y' ELSE 'N' END AS p_channel_tv
     FROM (SELECT UNNEST(generate_series(0, 99)) AS i)
+),
+reason AS (
+    SELECT i AS r_reason_sk,
+           'reason ' || CAST(i AS VARCHAR) AS r_reason_desc
+    FROM (SELECT UNNEST(generate_series(0, 9)) AS i)
 ),
 store_returns AS (
     SELECT datediff('day', DATE '{_EPOCH}', CAST(l_shipdate AS DATE)) AS sr_returned_date_sk,
@@ -613,7 +661,8 @@ store_returns AS (
            CAST(l_quantity AS INTEGER) AS sr_return_quantity,
            CAST(l_extendedprice AS DECIMAL(12,2))
                * (CAST(0.1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))
-               AS sr_net_loss
+               AS sr_net_loss,
+           l_linenumber % 10 AS sr_reason_sk
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_returnflag = 'R'
 )
@@ -1299,6 +1348,192 @@ ORDER BY COUNT(*)
 LIMIT 100
 """
 
+_Q13 = """
+SELECT AVG(ss_quantity) AS avg_quantity,
+       AVG(ss_ext_sales_price) AS avg_ext_sales_price,
+       AVG(ss_ext_wholesale_cost) AS avg_ext_wholesale_cost,
+       SUM(ss_ext_wholesale_cost) AS sum_ext_wholesale_cost
+FROM store_sales, store, customer_demographics, household_demographics,
+     customer_address, date_dim
+WHERE s_store_sk = ss_store_sk
+  AND ss_sold_date_sk = d_date_sk
+  AND d_year = 2001
+  AND ((ss_hdemo_sk = hd_demo_sk
+        AND cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'M'
+        AND cd_education_status = 'Advanced Degree'
+        AND ss_sales_price BETWEEN 100.00 AND 150.00
+        AND hd_dep_count = 3)
+       OR (ss_hdemo_sk = hd_demo_sk
+           AND cd_demo_sk = ss_cdemo_sk
+           AND cd_marital_status = 'S'
+           AND cd_education_status = 'College'
+           AND ss_sales_price BETWEEN 50.00 AND 100.00
+           AND hd_dep_count = 1)
+       OR (ss_hdemo_sk = hd_demo_sk
+           AND cd_demo_sk = ss_cdemo_sk
+           AND cd_marital_status = 'W'
+           AND cd_education_status = '2 yr Degree'
+           AND ss_sales_price BETWEEN 150.00 AND 200.00
+           AND hd_dep_count = 1))
+  AND ((ss_addr_sk = ca_address_sk
+        AND ca_country = 'United States'
+        AND ca_state IN ('CA', 'OR', 'WA')
+        AND ss_net_profit BETWEEN 100 AND 200)
+       OR (ss_addr_sk = ca_address_sk
+           AND ca_country = 'United States'
+           AND ca_state IN ('NV', 'AZ', 'UT')
+           AND ss_net_profit BETWEEN 150 AND 300)
+       OR (ss_addr_sk = ca_address_sk
+           AND ca_country = 'United States'
+           AND ca_state IN ('ID', 'CA', 'NV')
+           AND ss_net_profit BETWEEN 50 AND 250))
+"""
+
+_Q27 = """
+SELECT i_item_id, s_state, GROUPING(s_state) g_state,
+       AVG(ss_quantity) agg1,
+       AVG(ss_list_price) agg2,
+       AVG(ss_coupon_amt) agg3,
+       AVG(ss_sales_price) agg4
+FROM store_sales, customer_demographics, date_dim, store, item
+WHERE ss_sold_date_sk = d_date_sk
+  AND ss_item_sk = i_item_sk
+  AND ss_store_sk = s_store_sk
+  AND ss_cdemo_sk = cd_demo_sk
+  AND cd_gender = 'M'
+  AND cd_marital_status = 'S'
+  AND cd_education_status = 'College'
+  AND d_year = 2000
+  AND s_state IN ('TN', 'SD', 'AL', 'GA', 'KY', 'TN')
+GROUP BY ROLLUP(i_item_id, s_state)
+ORDER BY i_item_id NULLS FIRST, s_state NULLS FIRST
+LIMIT 100
+"""
+# ^ NULLS FIRST is thin-normalizing text (see _Q93): ROLLUP's subtotal rows
+# carry NULL keys and the engines' default NULL sort order differs, which
+# would make the LIMIT cut engine-dependent.
+
+_Q32 = """
+SELECT SUM(cs_ext_discount_amt) AS excess_discount_amount
+FROM catalog_sales, item, date_dim
+WHERE i_manufact_id = 77
+  AND i_item_sk = cs_item_sk
+  AND d_date BETWEEN '2000-01-27' AND (CAST('2000-01-27' AS DATE) + 90)
+  AND d_date_sk = cs_sold_date_sk
+  AND cs_ext_discount_amt > (SELECT 1.3 * AVG(cs_ext_discount_amt)
+                             FROM catalog_sales, date_dim
+                             WHERE cs_item_sk = i_item_sk
+                               AND d_date BETWEEN '2000-01-27'
+                                              AND (CAST('2000-01-27' AS DATE) + 90)
+                               AND d_date_sk = cs_sold_date_sk)
+ORDER BY SUM(cs_ext_discount_amt)
+LIMIT 100
+"""
+
+_Q48 = """
+SELECT SUM(ss_quantity) AS sum_quantity
+FROM store_sales, store, customer_demographics, customer_address, date_dim
+WHERE s_store_sk = ss_store_sk
+  AND ss_sold_date_sk = d_date_sk
+  AND d_year = 2000
+  AND ((cd_demo_sk = ss_cdemo_sk
+        AND cd_marital_status = 'M'
+        AND cd_education_status = '4 yr Degree'
+        AND ss_sales_price BETWEEN 100.00 AND 150.00)
+       OR (cd_demo_sk = ss_cdemo_sk
+           AND cd_marital_status = 'D'
+           AND cd_education_status = '2 yr Degree'
+           AND ss_sales_price BETWEEN 50.00 AND 100.00)
+       OR (cd_demo_sk = ss_cdemo_sk
+           AND cd_marital_status = 'S'
+           AND cd_education_status = 'College'
+           AND ss_sales_price BETWEEN 150.00 AND 200.00))
+  AND ((ss_addr_sk = ca_address_sk
+        AND ca_country = 'United States'
+        AND ca_state IN ('CA', 'OR', 'WA')
+        AND ss_net_profit BETWEEN 0 AND 2000)
+       OR (ss_addr_sk = ca_address_sk
+           AND ca_country = 'United States'
+           AND ca_state IN ('NV', 'AZ', 'UT')
+           AND ss_net_profit BETWEEN 150 AND 3000)
+       OR (ss_addr_sk = ca_address_sk
+           AND ca_country = 'United States'
+           AND ca_state IN ('ID', 'CA', 'NV')
+           AND ss_net_profit BETWEEN 50 AND 25000))
+"""
+
+_Q61 = """
+SELECT promotions, total,
+       CAST(promotions AS DECIMAL(15,4)) / CAST(total AS DECIMAL(15,4)) * 100
+           AS promo_pct
+FROM (SELECT SUM(ss_ext_sales_price) promotions
+      FROM store_sales, store, promotion, date_dim, customer, customer_address, item
+      WHERE ss_sold_date_sk = d_date_sk
+        AND ss_store_sk = s_store_sk
+        AND ss_promo_sk = p_promo_sk
+        AND ss_customer_sk = c_customer_sk
+        AND ca_address_sk = c_current_addr_sk
+        AND ss_item_sk = i_item_sk
+        AND ca_gmt_offset = -5
+        AND i_category = 'ECONOMY'
+        AND (p_channel_dmail = 'Y' OR p_channel_email = 'Y' OR p_channel_tv = 'Y')
+        AND s_gmt_offset = -5
+        AND d_year = 1998
+        AND d_moy = 11) promotional_sales,
+     (SELECT SUM(ss_ext_sales_price) total
+      FROM store_sales, store, date_dim, customer, customer_address, item
+      WHERE ss_sold_date_sk = d_date_sk
+        AND ss_store_sk = s_store_sk
+        AND ss_customer_sk = c_customer_sk
+        AND ca_address_sk = c_current_addr_sk
+        AND ss_item_sk = i_item_sk
+        AND ca_gmt_offset = -5
+        AND i_category = 'ECONOMY'
+        AND s_gmt_offset = -5
+        AND d_year = 1998
+        AND d_moy = 11) all_sales
+ORDER BY promotions, total
+LIMIT 100
+"""
+
+_Q92 = """
+SELECT SUM(ws_ext_discount_amt) AS excess_discount_amount
+FROM web_sales, item, date_dim
+WHERE i_manufact_id = 50
+  AND i_item_sk = ws_item_sk
+  AND d_date BETWEEN '2000-01-27' AND (CAST('2000-01-27' AS DATE) + 90)
+  AND d_date_sk = ws_sold_date_sk
+  AND ws_ext_discount_amt > (SELECT 1.3 * AVG(ws_ext_discount_amt)
+                             FROM web_sales, date_dim
+                             WHERE ws_item_sk = i_item_sk
+                               AND d_date BETWEEN '2000-01-27'
+                                              AND (CAST('2000-01-27' AS DATE) + 90)
+                               AND d_date_sk = ws_sold_date_sk)
+ORDER BY SUM(ws_ext_discount_amt)
+LIMIT 100
+"""
+
+_Q93 = """
+SELECT ss_customer_sk, SUM(act_sales) sumsales
+FROM (SELECT ss_item_sk, ss_ticket_number, ss_customer_sk,
+             CASE WHEN sr_return_quantity IS NOT NULL
+                  THEN (ss_quantity - sr_return_quantity) * ss_sales_price
+                  ELSE (ss_quantity * ss_sales_price) END act_sales
+      FROM store_sales LEFT OUTER JOIN store_returns
+        ON (sr_item_sk = ss_item_sk AND sr_ticket_number = ss_ticket_number),
+        reason
+      WHERE sr_reason_sk = r_reason_sk
+        AND r_reason_desc = 'reason 2') t
+GROUP BY ss_customer_sk
+ORDER BY sumsales, ss_customer_sk NULLS FIRST
+LIMIT 100
+"""
+# ^ NULLS FIRST is thin-normalizing text (like q59's aliases): the walk-in
+# NULL-customer group ties at the LIMIT cut, and Spark defaults ASC to
+# NULLS FIRST while DuckDB defaults to NULLS LAST — the explicit modifier
+# pins one deterministic cut on both engines without changing any values.
+
 # Type-normalizing wrappers (identical text on both engines): decimal
 # aggregate outputs -> DOUBLE; q98's decimal-division ratio additionally
 # floor-truncated at 1e-6 (engines round division scales differently in far
@@ -1455,6 +1690,41 @@ _WRAPPED = {
         f"FROM ({_Q79}) v"
     ),
     "tpcds_q96": f"SELECT cnt FROM ({_Q96}) v",
+    "tpcds_q13": (
+        "SELECT floor(CAST(avg_quantity AS DOUBLE) * 1e4) / 1e4 AS avg_quantity, "
+        "floor(CAST(avg_ext_sales_price AS DOUBLE) * 1e4) / 1e4 AS avg_ext_sales_price, "
+        "floor(CAST(avg_ext_wholesale_cost AS DOUBLE) * 1e4) / 1e4 "
+        "AS avg_ext_wholesale_cost, "
+        "CAST(sum_ext_wholesale_cost AS DOUBLE) AS sum_ext_wholesale_cost "
+        f"FROM ({_Q13}) v"
+    ),
+    "tpcds_q27": (
+        "SELECT i_item_id, s_state, CAST(g_state AS INT) AS g_state, "
+        "floor(CAST(agg1 AS DOUBLE) * 1e4) / 1e4 AS agg1, "
+        "floor(CAST(agg2 AS DOUBLE) * 1e4) / 1e4 AS agg2, "
+        "floor(CAST(agg3 AS DOUBLE) * 1e4) / 1e4 AS agg3, "
+        "floor(CAST(agg4 AS DOUBLE) * 1e4) / 1e4 AS agg4 "
+        f"FROM ({_Q27}) v"
+    ),
+    "tpcds_q32": (
+        "SELECT CAST(excess_discount_amount AS DOUBLE) AS excess_discount_amount "
+        f"FROM ({_Q32}) v"
+    ),
+    "tpcds_q48": f"SELECT sum_quantity FROM ({_Q48}) v",
+    "tpcds_q61": (
+        "SELECT CAST(promotions AS DOUBLE) AS promotions, "
+        "CAST(total AS DOUBLE) AS total, "
+        "floor(CAST(promo_pct AS DOUBLE) * 1e6) / 1e6 AS promo_pct "
+        f"FROM ({_Q61}) v"
+    ),
+    "tpcds_q92": (
+        "SELECT CAST(excess_discount_amount AS DOUBLE) AS excess_discount_amount "
+        f"FROM ({_Q92}) v"
+    ),
+    "tpcds_q93": (
+        "SELECT ss_customer_sk, CAST(sumsales AS DOUBLE) AS sumsales "
+        f"FROM ({_Q93}) v"
+    ),
 }
 
 

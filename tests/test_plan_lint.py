@@ -27,6 +27,8 @@ ALLOWED_NESTED_LOOP = {
     "approx_heavy_hitters": "1-row total-count aggregate crossJoin'd into the support filter",
     "embedding_whitening": "1-row dimension-stats aggregate crossJoin'd onto the corpus stream",
     "simsearch_sq": "1-row quantizer-stats + 1-row query vector broadcast onto the corpus scan",
+    "tpcds_q61": "verbatim template: promotional_sales x all_sales is a "
+    "1-row x 1-row join of two scalar aggregates",
 }
 ALLOWED_ROW_PYTHON = {
     "udtf_sentences": "Python UDTF — UDTF evaluation is BatchEvalPython by engine design",
