@@ -88,6 +88,10 @@ _ROUND_PRIORITY = [
     "tpcds_q61",
     "tpcds_q92",
     "tpcds_q93",
+    "tpcds_q71",
+    "tpcds_q84",
+    "tpcds_q86",
+    "tpcds_q88",
     # the largest never-stamped analytical query (judge item 5)
     "tpch_q9",
     # round-3 additions that never got a stamp

@@ -41,8 +41,12 @@ the public TPC-DS query templates runs VERBATIM over it on both engines:
   q61  promoted-vs-total sales ratio (two scalar aggregate subplans)
   q65  nested aggregate-over-aggregate store/item join
   q68  cross-city ticket rollup (household demographics + two address roles)
+  q71  3-channel breakfast/dinner brand revenue through time_dim
   q73  ticket line-count banding by buy-potential demographics
   q79  Monday coupon/profit tickets by store size
+  q84  income-band customer lookup (5-dim snowflake through store_returns)
+  q86  web ROLLUP net-paid hierarchy with grouping() rank windows
+  q88  8 half-hour time-band counts cross-joined (1-row x 8)
   q92  correlated 1.3x-average excess-discount filter (web)
   q93  returns-adjusted actual sales per customer (left join + reason dim)
   q96  time-of-day count through time_dim/household_demographics
@@ -181,6 +185,8 @@ def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c_custkey") % 2 == 0, "Y").otherwise("N").alias(
             "c_preferred_cust_flag"
         ),
+        F.col("c_custkey").alias("c_current_cdemo_sk"),
+        (F.col("c_custkey") % _HD_ROWS).alias("c_current_hdemo_sk"),
     )
 
 
@@ -197,6 +203,10 @@ def _customer_address(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("city_"), ((F.col("c_custkey") * 13) % 97).cast("string")).alias(
             "ca_city"
         ),
+        F.element_at(
+            F.array(*[F.lit(c) for c in _COUNTIES]),
+            (F.col("c_custkey") % 5 + 1).cast("int"),
+        ).alias("ca_county"),
         F.lit(-5).alias("ca_gmt_offset"),
         F.lit("United States").alias("ca_country"),
     )
@@ -315,6 +325,7 @@ def _store_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(0.1).cast("decimal(6,4)") + F.col("l_tax").cast("decimal(6,4)"))
         ).alias("sr_net_loss"),
         (F.col("l_linenumber") % 10).alias("sr_reason_sk"),
+        F.col("o_custkey").alias("sr_cdemo_sk"),
     )
 
 
@@ -341,6 +352,13 @@ def _web_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(12,2)")
             * F.col("l_discount").cast("decimal(6,4)")
         ).alias("ws_ext_discount_amt"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+        ).alias("ws_net_paid"),
+        ((F.col("l_orderkey") * 7919 + F.col("l_linenumber") * 86393) % 86400).alias(
+            "ws_sold_time_sk"
+        ),
     )
 
 
@@ -379,6 +397,9 @@ def _catalog_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(12,2)")
             * F.col("l_discount").cast("decimal(6,4)")
         ).alias("cs_ext_discount_amt"),
+        ((F.col("l_orderkey") * 7919 + F.col("l_linenumber") * 86393) % 86400).alias(
+            "cs_sold_time_sk"
+        ),
     )
 
 
@@ -421,15 +442,30 @@ def _household_demographics(spark: SparkSession) -> DataFrame:
         potential.alias("hd_buy_potential"),
         (F.col("hd_demo_sk") % 10).alias("hd_dep_count"),
         (F.col("hd_demo_sk") % 5).alias("hd_vehicle_count"),
+        (F.col("hd_demo_sk") % 20).alias("hd_income_band_sk"),
+    )
+
+
+def _income_band(spark: SparkSession) -> DataFrame:
+    b = spark.sql("SELECT explode(sequence(0, 19)) AS ib_income_band_sk")
+    return b.select(
+        "ib_income_band_sk",
+        (F.col("ib_income_band_sk") * 10000).alias("ib_lower_bound"),
+        (F.col("ib_income_band_sk") * 10000 + 9999).alias("ib_upper_bound"),
     )
 
 
 def _time_dim(spark: SparkSession) -> DataFrame:
     t = spark.sql("SELECT explode(sequence(0, 86399)) AS t_time_sk")
+    hour = F.floor(F.col("t_time_sk") / 3600).cast("int")
     return t.select(
         "t_time_sk",
-        F.floor(F.col("t_time_sk") / 3600).cast("int").alias("t_hour"),
+        hour.alias("t_hour"),
         F.floor((F.col("t_time_sk") % 3600) / 60).cast("int").alias("t_minute"),
+        F.when((hour >= 6) & (hour <= 8), "breakfast")
+        .when((hour >= 18) & (hour <= 20), "dinner")
+        .otherwise(F.lit(None).cast("string"))
+        .alias("t_meal_time"),
     )
 
 
@@ -469,6 +505,7 @@ def _register_tpcds_views(spark: SparkSession, sf_dir: str) -> None:
     _household_demographics(spark).createOrReplaceTempView("household_demographics")
     _time_dim(spark).createOrReplaceTempView("time_dim")
     _reason(spark).createOrReplaceTempView("reason")
+    _income_band(spark).createOrReplaceTempView("income_band")
 
 
 # --------------------------------------------------------------- DuckDB side
@@ -517,7 +554,9 @@ customer AS (
            ['Mr.','Mrs.','Ms.','Dr.','Miss','Sir']
                [CAST(c_custkey % 6 AS INTEGER) + 1] AS c_salutation,
            CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END
-               AS c_preferred_cust_flag
+               AS c_preferred_cust_flag,
+           c_custkey AS c_current_cdemo_sk,
+           c_custkey % 720 AS c_current_hdemo_sk
     FROM main.customer
 ),
 customer_address AS (
@@ -526,6 +565,9 @@ customer_address AS (
                [CAST(c_nationkey % 7 AS INTEGER) + 1] AS ca_state,
            CAST(10000 + (c_custkey * 7) % 90000 AS VARCHAR) AS ca_zip,
            'city_' || CAST((c_custkey * 13) % 97 AS VARCHAR) AS ca_city,
+           ['Williamson County','Ziebach County','Walker County',
+            'Daviess County','Barrow County']
+               [CAST(c_custkey % 5 AS INTEGER) + 1] AS ca_county,
            -5 AS ca_gmt_offset,
            'United States' AS ca_country
     FROM main.customer
@@ -583,13 +625,23 @@ household_demographics AS (
             '{_HD_BUY_POTENTIAL[3]}','{_HD_BUY_POTENTIAL[4]}','{_HD_BUY_POTENTIAL[5]}']
                [CAST(i % 6 AS INTEGER) + 1] AS hd_buy_potential,
            i % 10 AS hd_dep_count,
-           i % 5 AS hd_vehicle_count
+           i % 5 AS hd_vehicle_count,
+           i % 20 AS hd_income_band_sk
     FROM (SELECT UNNEST(generate_series(0, {_HD_ROWS - 1})) AS i)
+),
+income_band AS (
+    SELECT i AS ib_income_band_sk,
+           i * 10000 AS ib_lower_bound,
+           i * 10000 + 9999 AS ib_upper_bound
+    FROM (SELECT UNNEST(generate_series(0, 19)) AS i)
 ),
 time_dim AS (
     SELECT i AS t_time_sk,
            CAST(floor(i / 3600) AS INTEGER) AS t_hour,
-           CAST(floor((i % 3600) / 60) AS INTEGER) AS t_minute
+           CAST(floor((i % 3600) / 60) AS INTEGER) AS t_minute,
+           CASE WHEN floor(i / 3600) BETWEEN 6 AND 8 THEN 'breakfast'
+                WHEN floor(i / 3600) BETWEEN 18 AND 20 THEN 'dinner'
+                ELSE NULL END AS t_meal_time
     FROM (SELECT UNNEST(generate_series(0, 86399)) AS i)
 ),
 web_sales AS (
@@ -601,7 +653,10 @@ web_sales AS (
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(1 - l_discount AS DECIMAL(6,4)) AS ws_sales_price,
            CAST(l_extendedprice AS DECIMAL(12,2))
-               * CAST(l_discount AS DECIMAL(6,4)) AS ws_ext_discount_amt
+               * CAST(l_discount AS DECIMAL(6,4)) AS ws_ext_discount_amt,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_discount AS DECIMAL(6,4)) AS ws_net_paid,
+           (l_orderkey * 7919 + l_linenumber * 86393) % 86400 AS ws_sold_time_sk
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE (l_orderkey + l_linenumber) % 3 = 0
 ),
@@ -624,7 +679,8 @@ catalog_sales AS (
                * (CAST(l_discount AS DECIMAL(6,4)) - CAST(0.05 AS DECIMAL(6,4)))
                AS cs_net_profit,
            CAST(l_extendedprice AS DECIMAL(12,2))
-               * CAST(l_discount AS DECIMAL(6,4)) AS cs_ext_discount_amt
+               * CAST(l_discount AS DECIMAL(6,4)) AS cs_ext_discount_amt,
+           (l_orderkey * 7919 + l_linenumber * 86393) % 86400 AS cs_sold_time_sk
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE (l_orderkey + l_linenumber) % 3 = 1
 ),
@@ -662,7 +718,8 @@ store_returns AS (
            CAST(l_extendedprice AS DECIMAL(12,2))
                * (CAST(0.1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))
                AS sr_net_loss,
-           l_linenumber % 10 AS sr_reason_sk
+           l_linenumber % 10 AS sr_reason_sk,
+           o_custkey AS sr_cdemo_sk
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_returnflag = 'R'
 )
@@ -1534,6 +1591,185 @@ LIMIT 100
 # NULLS FIRST while DuckDB defaults to NULLS LAST — the explicit modifier
 # pins one deterministic cut on both engines without changing any values.
 
+_Q71 = """
+SELECT i_brand_id brand_id, i_brand brand, t_hour, t_minute,
+       SUM(ext_price) ext_price
+FROM item,
+     (SELECT ws_ext_sales_price AS ext_price, ws_sold_date_sk AS sold_date_sk,
+             ws_item_sk AS sold_item_sk, ws_sold_time_sk AS time_sk
+      FROM web_sales, date_dim
+      WHERE d_date_sk = ws_sold_date_sk AND d_moy = 11 AND d_year = 1999
+      UNION ALL
+      SELECT cs_ext_sales_price AS ext_price, cs_sold_date_sk AS sold_date_sk,
+             cs_item_sk AS sold_item_sk, cs_sold_time_sk AS time_sk
+      FROM catalog_sales, date_dim
+      WHERE d_date_sk = cs_sold_date_sk AND d_moy = 11 AND d_year = 1999
+      UNION ALL
+      SELECT ss_ext_sales_price AS ext_price, ss_sold_date_sk AS sold_date_sk,
+             ss_item_sk AS sold_item_sk, ss_sold_time_sk AS time_sk
+      FROM store_sales, date_dim
+      WHERE d_date_sk = ss_sold_date_sk AND d_moy = 11 AND d_year = 1999) tmp,
+     time_dim
+WHERE sold_item_sk = i_item_sk
+  AND i_manager_id = 1
+  AND time_sk = t_time_sk
+  AND (t_meal_time = 'breakfast' OR t_meal_time = 'dinner')
+GROUP BY i_brand, i_brand_id, t_hour, t_minute
+ORDER BY ext_price DESC, i_brand_id
+"""
+
+_Q84 = """
+SELECT c_customer_id AS customer_id,
+       coalesce(c_last_name, '') || ', ' || coalesce(c_first_name, '') AS customername
+FROM customer, customer_address, customer_demographics, household_demographics,
+     income_band, store_returns
+WHERE ca_city = 'city_42'
+  AND c_current_addr_sk = ca_address_sk
+  AND ib_lower_bound >= 30000
+  AND ib_upper_bound <= 30000 + 50000
+  AND ib_income_band_sk = hd_income_band_sk
+  AND cd_demo_sk = c_current_cdemo_sk
+  AND hd_demo_sk = c_current_hdemo_sk
+  AND sr_cdemo_sk = cd_demo_sk
+ORDER BY c_customer_id
+LIMIT 100
+"""
+
+_Q86 = """
+SELECT SUM(ws_net_paid) AS total_sum, i_category, i_class,
+       GROUPING(i_category) + GROUPING(i_class) AS lochierarchy,
+       RANK() OVER (
+           PARTITION BY GROUPING(i_category) + GROUPING(i_class),
+                        CASE WHEN GROUPING(i_class) = 0 THEN i_category END
+           ORDER BY SUM(ws_net_paid) DESC
+       ) AS rank_within_parent
+FROM web_sales, date_dim d1, item
+WHERE d1.d_month_seq BETWEEN 108 AND 108 + 11
+  AND d1.d_date_sk = ws_sold_date_sk
+  AND i_item_sk = ws_item_sk
+GROUP BY ROLLUP(i_category, i_class)
+ORDER BY lochierarchy DESC,
+         CASE WHEN lochierarchy = 0 THEN i_category END,
+         rank_within_parent
+LIMIT 100
+"""
+
+_Q88 = """
+SELECT *
+FROM (SELECT COUNT(*) h8_30_to_9
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = time_dim.t_time_sk
+        AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND time_dim.t_hour = 8
+        AND time_dim.t_minute >= 30
+        AND ((household_demographics.hd_dep_count = 4
+              AND household_demographics.hd_vehicle_count <= 4 + 2)
+             OR (household_demographics.hd_dep_count = 2
+                 AND household_demographics.hd_vehicle_count <= 2 + 2)
+             OR (household_demographics.hd_dep_count = 0
+                 AND household_demographics.hd_vehicle_count <= 0 + 2))
+        AND store.s_store_name = 'Store_NATION_4') s1,
+     (SELECT COUNT(*) h9_to_9_30
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = time_dim.t_time_sk
+        AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND time_dim.t_hour = 9
+        AND time_dim.t_minute < 30
+        AND ((household_demographics.hd_dep_count = 4
+              AND household_demographics.hd_vehicle_count <= 4 + 2)
+             OR (household_demographics.hd_dep_count = 2
+                 AND household_demographics.hd_vehicle_count <= 2 + 2)
+             OR (household_demographics.hd_dep_count = 0
+                 AND household_demographics.hd_vehicle_count <= 0 + 2))
+        AND store.s_store_name = 'Store_NATION_4') s2,
+     (SELECT COUNT(*) h9_30_to_10
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = time_dim.t_time_sk
+        AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND time_dim.t_hour = 9
+        AND time_dim.t_minute >= 30
+        AND ((household_demographics.hd_dep_count = 4
+              AND household_demographics.hd_vehicle_count <= 4 + 2)
+             OR (household_demographics.hd_dep_count = 2
+                 AND household_demographics.hd_vehicle_count <= 2 + 2)
+             OR (household_demographics.hd_dep_count = 0
+                 AND household_demographics.hd_vehicle_count <= 0 + 2))
+        AND store.s_store_name = 'Store_NATION_4') s3,
+     (SELECT COUNT(*) h10_to_10_30
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = time_dim.t_time_sk
+        AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND time_dim.t_hour = 10
+        AND time_dim.t_minute < 30
+        AND ((household_demographics.hd_dep_count = 4
+              AND household_demographics.hd_vehicle_count <= 4 + 2)
+             OR (household_demographics.hd_dep_count = 2
+                 AND household_demographics.hd_vehicle_count <= 2 + 2)
+             OR (household_demographics.hd_dep_count = 0
+                 AND household_demographics.hd_vehicle_count <= 0 + 2))
+        AND store.s_store_name = 'Store_NATION_4') s4,
+     (SELECT COUNT(*) h10_30_to_11
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = time_dim.t_time_sk
+        AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND time_dim.t_hour = 10
+        AND time_dim.t_minute >= 30
+        AND ((household_demographics.hd_dep_count = 4
+              AND household_demographics.hd_vehicle_count <= 4 + 2)
+             OR (household_demographics.hd_dep_count = 2
+                 AND household_demographics.hd_vehicle_count <= 2 + 2)
+             OR (household_demographics.hd_dep_count = 0
+                 AND household_demographics.hd_vehicle_count <= 0 + 2))
+        AND store.s_store_name = 'Store_NATION_4') s5,
+     (SELECT COUNT(*) h11_to_11_30
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = time_dim.t_time_sk
+        AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND time_dim.t_hour = 11
+        AND time_dim.t_minute < 30
+        AND ((household_demographics.hd_dep_count = 4
+              AND household_demographics.hd_vehicle_count <= 4 + 2)
+             OR (household_demographics.hd_dep_count = 2
+                 AND household_demographics.hd_vehicle_count <= 2 + 2)
+             OR (household_demographics.hd_dep_count = 0
+                 AND household_demographics.hd_vehicle_count <= 0 + 2))
+        AND store.s_store_name = 'Store_NATION_4') s6,
+     (SELECT COUNT(*) h11_30_to_12
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = time_dim.t_time_sk
+        AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND time_dim.t_hour = 11
+        AND time_dim.t_minute >= 30
+        AND ((household_demographics.hd_dep_count = 4
+              AND household_demographics.hd_vehicle_count <= 4 + 2)
+             OR (household_demographics.hd_dep_count = 2
+                 AND household_demographics.hd_vehicle_count <= 2 + 2)
+             OR (household_demographics.hd_dep_count = 0
+                 AND household_demographics.hd_vehicle_count <= 0 + 2))
+        AND store.s_store_name = 'Store_NATION_4') s7,
+     (SELECT COUNT(*) h12_to_12_30
+      FROM store_sales, household_demographics, time_dim, store
+      WHERE ss_sold_time_sk = time_dim.t_time_sk
+        AND ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND ss_store_sk = s_store_sk
+        AND time_dim.t_hour = 12
+        AND time_dim.t_minute < 30
+        AND ((household_demographics.hd_dep_count = 4
+              AND household_demographics.hd_vehicle_count <= 4 + 2)
+             OR (household_demographics.hd_dep_count = 2
+                 AND household_demographics.hd_vehicle_count <= 2 + 2)
+             OR (household_demographics.hd_dep_count = 0
+                 AND household_demographics.hd_vehicle_count <= 0 + 2))
+        AND store.s_store_name = 'Store_NATION_4') s8
+"""
+
 # Type-normalizing wrappers (identical text on both engines): decimal
 # aggregate outputs -> DOUBLE; q98's decimal-division ratio additionally
 # floor-truncated at 1e-6 (engines round division scales differently in far
@@ -1724,6 +1960,23 @@ _WRAPPED = {
     "tpcds_q93": (
         "SELECT ss_customer_sk, CAST(sumsales AS DOUBLE) AS sumsales "
         f"FROM ({_Q93}) v"
+    ),
+    "tpcds_q71": (
+        "SELECT brand_id, brand, t_hour, t_minute, "
+        "CAST(ext_price AS DOUBLE) AS ext_price "
+        f"FROM ({_Q71}) v"
+    ),
+    "tpcds_q84": f"SELECT customer_id, customername FROM ({_Q84}) v",
+    "tpcds_q86": (
+        "SELECT CAST(total_sum AS DOUBLE) AS total_sum, i_category, i_class, "
+        "CAST(lochierarchy AS INT) AS lochierarchy, "
+        "CAST(rank_within_parent AS INT) AS rank_within_parent "
+        f"FROM ({_Q86}) v"
+    ),
+    "tpcds_q88": (
+        "SELECT h8_30_to_9, h9_to_9_30, h9_30_to_10, h10_to_10_30, "
+        "h10_30_to_11, h11_to_11_30, h11_30_to_12, h12_to_12_30 "
+        f"FROM ({_Q88}) v"
     ),
 }
 

@@ -29,6 +29,8 @@ ALLOWED_NESTED_LOOP = {
     "simsearch_sq": "1-row quantizer-stats + 1-row query vector broadcast onto the corpus scan",
     "tpcds_q61": "verbatim template: promotional_sales x all_sales is a "
     "1-row x 1-row join of two scalar aggregates",
+    "tpcds_q88": "verbatim template: eight 1-row COUNT(*) time-band "
+    "subqueries cross-joined into one output row",
 }
 ALLOWED_ROW_PYTHON = {
     "udtf_sentences": "Python UDTF — UDTF evaluation is BatchEvalPython by engine design",
