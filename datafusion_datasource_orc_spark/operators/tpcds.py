@@ -122,6 +122,9 @@ def _date_dim(spark: SparkSession) -> DataFrame:
         F.floor((sk + 1) / 7).cast("int").alias("d_week_seq"),
         ((sk + 1) % 7).alias("d_dow"),  # 0=Sunday .. 6=Saturday (epoch was a Monday)
         F.date_format("d_date", "EEEE").alias("d_day_name"),
+        F.concat(
+            F.year("d_date").cast("string"), F.lit("Q"), F.quarter("d_date").cast("string")
+        ).alias("d_quarter_name"),
     )
 
 
@@ -159,7 +162,9 @@ def _item(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CA_STATES = ("CA", "WA", "OR", "NV", "AZ", "UT", "ID")  # ca_state ring
+# ca_state ring: first five overlap the store-state ring so county+state
+# address-to-store joins (q54) have support; CA/WA keep two pure-web states
+_CA_STATES = ("TN", "SD", "AL", "GA", "KY", "CA", "WA")
 
 
 _SALUTATIONS = ("Mr.", "Mrs.", "Ms.", "Dr.", "Miss", "Sir")
@@ -233,6 +238,15 @@ def _store(spark: SparkSession, sf_dir: str) -> DataFrame:
         (10000 + F.col("n_nationkey") * 37).cast("string").alias("s_zip"),
         F.lit(-5).alias("s_gmt_offset"),
         (200 + F.col("n_nationkey") * 5).alias("s_number_employees"),
+        # constant, like the official dsdgen store table (q47/q89 group on it)
+        F.lit("Unknown").alias("s_company_name"),
+        F.lit(1).alias("s_company_id"),
+        (100 + F.col("n_nationkey")).cast("string").alias("s_street_number"),
+        city.alias("s_street_name"),
+        F.lit("Street").alias("s_street_type"),
+        F.concat(F.lit("Suite "), (F.col("n_nationkey") * 10).cast("string")).alias(
+            "s_suite_number"
+        ),
     )
 
 
@@ -243,7 +257,15 @@ def _sales_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
-    j = _sales_base(spark, sf_dir)
+    # Channels are DISJOINT slices of the lineitem-orders join (store slice 2;
+    # web 0, catalog 1 below) — like real TPC-DS, where each purchase event
+    # lands in exactly one channel fact. Overlapping channels would make
+    # cross-channel comparisons structurally degenerate (web-beats-store
+    # filters in q31/q51 and channel-exclusive counts in q97/q38/q87 could
+    # never fire if store were a superset of the other channels).
+    j = _sales_base(spark, sf_dir).filter(
+        (F.col("l_orderkey") + F.col("l_linenumber")) % 3 == 2
+    )
     return j.select(
         F.datediff(F.col("o_orderdate").cast("date"), F.lit(_EPOCH).cast("date")).alias(
             "ss_sold_date_sk"
@@ -309,7 +331,12 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _store_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    j = _sales_base(spark, sf_dir).filter(F.col("l_returnflag") == "R")
+    # Returns of the STORE channel slice only, so every sr row joins back to
+    # its ss row on (ticket, item) — q25/q29/q50/q93 rely on that closure.
+    j = _sales_base(spark, sf_dir).filter(
+        (F.col("l_returnflag") == "R")
+        & ((F.col("l_orderkey") + F.col("l_linenumber")) % 3 == 2)
+    )
     return j.select(
         F.datediff(F.col("l_shipdate").cast("date"), F.lit(_EPOCH).cast("date")).alias(
             "sr_returned_date_sk"
@@ -329,12 +356,18 @@ def _store_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Channel split: web and catalog sales are deterministic modular slices of
-# the lineitem-orders join (disjoint from each other, overlapping the store
-# channel like real TPC-DS customers shopping multiple channels).
+# Channel split: each source line lands in exactly one primary channel
+# (slice 0 = web, 1 = catalog, 2 = store). On top of the primary slices,
+# two deterministic groups of MULTI-CHANNEL SHOPPERS mirror their store
+# purchases into the direct channels (custkey%5==0 -> catalog, custkey%7==3
+# -> web), the way real TPC-DS customers buy the same item through several
+# channels. The mirroring is what gives the cross-channel same-customer-
+# same-item joins (q25/q29-style) a non-empty support at small scale while
+# keeping channel-exclusive sets (q38/q87/q97) non-degenerate.
 def _web_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (F.col("l_orderkey") + F.col("l_linenumber")) % 3
     j = _sales_base(spark, sf_dir).filter(
-        (F.col("l_orderkey") + F.col("l_linenumber")) % 3 == 0
+        (s == 0) | ((s == 2) & (F.col("o_custkey") % 7 == 3))
     )
     return j.select(
         F.datediff(F.col("o_orderdate").cast("date"), F.lit(_EPOCH).cast("date")).alias(
@@ -363,8 +396,9 @@ def _web_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _catalog_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (F.col("l_orderkey") + F.col("l_linenumber")) % 3
     j = _sales_base(spark, sf_dir).filter(
-        (F.col("l_orderkey") + F.col("l_linenumber")) % 3 == 1
+        (s == 1) | ((s == 2) & (F.col("o_custkey") % 5 == 0))
     )
     return j.select(
         F.datediff(F.col("o_orderdate").cast("date"), F.lit(_EPOCH).cast("date")).alias(
@@ -522,7 +556,9 @@ date_dim AS (
            CAST(floor((datediff('day', DATE '{_EPOCH}', d_date) + 1) / 7) AS INTEGER)
                AS d_week_seq,
            (datediff('day', DATE '{_EPOCH}', d_date) + 1) % 7 AS d_dow,
-           dayname(d_date) AS d_day_name
+           dayname(d_date) AS d_day_name,
+           CAST(year(d_date) AS VARCHAR) || 'Q' || CAST(quarter(d_date) AS VARCHAR)
+               AS d_quarter_name
     FROM (SELECT CAST(UNNEST(generate_series(DATE '1995-01-01',
                                              DATE '2002-12-31',
                                              INTERVAL 1 DAY)) AS DATE) AS d_date)
@@ -561,7 +597,7 @@ customer AS (
 ),
 customer_address AS (
     SELECT c_custkey AS ca_address_sk,
-           ['CA','WA','OR','NV','AZ','UT','ID']
+           ['TN','SD','AL','GA','KY','CA','WA']
                [CAST(c_nationkey % 7 AS INTEGER) + 1] AS ca_state,
            CAST(10000 + (c_custkey * 7) % 90000 AS VARCHAR) AS ca_zip,
            'city_' || CAST((c_custkey * 13) % 97 AS VARCHAR) AS ca_city,
@@ -584,7 +620,14 @@ store AS (
            [{", ".join("'%s'" % c for c in _COUNTIES)}]
                [CAST(n_nationkey % 5 AS INTEGER) + 1] AS s_county,
            -5 AS s_gmt_offset,
-           200 + n_nationkey * 5 AS s_number_employees
+           200 + n_nationkey * 5 AS s_number_employees,
+           'Unknown' AS s_company_name,
+           1 AS s_company_id,
+           CAST(100 + n_nationkey AS VARCHAR) AS s_street_number,
+           [{", ".join("'%s'" % c for c in _CITIES)}]
+               [CAST(n_nationkey % 10 AS INTEGER) + 1] AS s_street_name,
+           'Street' AS s_street_type,
+           'Suite ' || CAST(n_nationkey * 10 AS VARCHAR) AS s_suite_number
     FROM nation
 ),
 store_sales AS (
@@ -618,6 +661,7 @@ store_sales AS (
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(1 - l_tax AS DECIMAL(6,4)) AS ss_ext_wholesale_cost
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE (l_orderkey + l_linenumber) % 3 = 2
 ),
 household_demographics AS (
     SELECT i AS hd_demo_sk,
@@ -659,6 +703,7 @@ web_sales AS (
            (l_orderkey * 7919 + l_linenumber * 86393) % 86400 AS ws_sold_time_sk
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE (l_orderkey + l_linenumber) % 3 = 0
+       OR ((l_orderkey + l_linenumber) % 3 = 2 AND o_custkey % 7 = 3)
 ),
 catalog_sales AS (
     SELECT datediff('day', DATE '{_EPOCH}', CAST(o_orderdate AS DATE)) AS cs_sold_date_sk,
@@ -683,6 +728,7 @@ catalog_sales AS (
            (l_orderkey * 7919 + l_linenumber * 86393) % 86400 AS cs_sold_time_sk
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE (l_orderkey + l_linenumber) % 3 = 1
+       OR ((l_orderkey + l_linenumber) % 3 = 2 AND o_custkey % 5 = 0)
 ),
 customer_demographics AS (
     SELECT c_custkey AS cd_demo_sk,
@@ -721,7 +767,7 @@ store_returns AS (
            l_linenumber % 10 AS sr_reason_sk,
            o_custkey AS sr_cdemo_sk
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    WHERE l_returnflag = 'R'
+    WHERE l_returnflag = 'R' AND (l_orderkey + l_linenumber) % 3 = 2
 )
 """
 
@@ -978,7 +1024,7 @@ SELECT SUM(ss_net_profit) / SUM(ss_ext_sales_price) AS gross_margin,
            ORDER BY SUM(ss_net_profit) / SUM(ss_ext_sales_price) ASC
        ) AS rank_within_parent
 FROM store_sales, date_dim d1, item, store
-WHERE d1.d_year = 2001
+WHERE d1.d_year = 1998
   AND d1.d_date_sk = ss_sold_date_sk
   AND i_item_sk = ss_item_sk
   AND ss_store_sk = s_store_sk
@@ -1435,15 +1481,15 @@ WHERE s_store_sk = ss_store_sk
            AND hd_dep_count = 1))
   AND ((ss_addr_sk = ca_address_sk
         AND ca_country = 'United States'
-        AND ca_state IN ('CA', 'OR', 'WA')
+        AND ca_state IN ('CA', 'TN', 'WA')
         AND ss_net_profit BETWEEN 100 AND 200)
        OR (ss_addr_sk = ca_address_sk
            AND ca_country = 'United States'
-           AND ca_state IN ('NV', 'AZ', 'UT')
+           AND ca_state IN ('SD', 'AL', 'GA')
            AND ss_net_profit BETWEEN 150 AND 300)
        OR (ss_addr_sk = ca_address_sk
            AND ca_country = 'United States'
-           AND ca_state IN ('ID', 'CA', 'NV')
+           AND ca_state IN ('KY', 'CA', 'SD')
            AND ss_net_profit BETWEEN 50 AND 250))
 """
 
@@ -1508,15 +1554,15 @@ WHERE s_store_sk = ss_store_sk
            AND ss_sales_price BETWEEN 150.00 AND 200.00))
   AND ((ss_addr_sk = ca_address_sk
         AND ca_country = 'United States'
-        AND ca_state IN ('CA', 'OR', 'WA')
+        AND ca_state IN ('CA', 'TN', 'WA')
         AND ss_net_profit BETWEEN 0 AND 2000)
        OR (ss_addr_sk = ca_address_sk
            AND ca_country = 'United States'
-           AND ca_state IN ('NV', 'AZ', 'UT')
+           AND ca_state IN ('SD', 'AL', 'GA')
            AND ss_net_profit BETWEEN 150 AND 3000)
        OR (ss_addr_sk = ca_address_sk
            AND ca_country = 'United States'
-           AND ca_state IN ('ID', 'CA', 'NV')
+           AND ca_state IN ('KY', 'CA', 'SD')
            AND ss_net_profit BETWEEN 50 AND 25000))
 """
 
@@ -1785,6 +1831,494 @@ FROM (SELECT COUNT(*) h8_30_to_9
 # would forfeit verbatim status); the wrappers only normalize the OUTPUT.
 # If the testdata generator ever changes, re-verify these four at all scales
 # first — a boundary coincidence shows up as a 1-row membership diff.
+_Q31 = """
+WITH ss AS (
+    SELECT ca_county, d_qoy, d_year, SUM(ss_ext_sales_price) AS store_sales
+    FROM store_sales, date_dim, customer_address
+    WHERE ss_sold_date_sk = d_date_sk AND ss_addr_sk = ca_address_sk
+    GROUP BY ca_county, d_qoy, d_year),
+ws AS (
+    SELECT ca_county, d_qoy, d_year, SUM(ws_ext_sales_price) AS web_sales
+    FROM web_sales, date_dim, customer_address
+    WHERE ws_sold_date_sk = d_date_sk AND ws_bill_addr_sk = ca_address_sk
+    GROUP BY ca_county, d_qoy, d_year)
+SELECT ss1.ca_county, ss1.d_year,
+       ws2.web_sales / ws1.web_sales AS web_q1_q2_increase,
+       ss2.store_sales / ss1.store_sales AS store_q1_q2_increase,
+       ws3.web_sales / ws2.web_sales AS web_q2_q3_increase,
+       ss3.store_sales / ss2.store_sales AS store_q2_q3_increase
+FROM ss ss1, ss ss2, ss ss3, ws ws1, ws ws2, ws ws3
+WHERE ss1.d_qoy = 1 AND ss1.d_year = 1997 AND ss1.ca_county = ss2.ca_county
+  AND ss2.d_qoy = 2 AND ss2.d_year = 1997 AND ss2.ca_county = ss3.ca_county
+  AND ss3.d_qoy = 3 AND ss3.d_year = 1997
+  AND ss1.ca_county = ws1.ca_county AND ws1.d_qoy = 1 AND ws1.d_year = 1997
+  AND ws1.ca_county = ws2.ca_county AND ws2.d_qoy = 2 AND ws2.d_year = 1997
+  AND ws1.ca_county = ws3.ca_county AND ws3.d_qoy = 3 AND ws3.d_year = 1997
+  AND CASE WHEN ws1.web_sales > 0 THEN ws2.web_sales / ws1.web_sales ELSE NULL END
+      > CASE WHEN ss1.store_sales > 0 THEN ss2.store_sales / ss1.store_sales ELSE NULL END
+  AND CASE WHEN ws2.web_sales > 0 THEN ws3.web_sales / ws2.web_sales ELSE NULL END
+      > CASE WHEN ss2.store_sales > 0 THEN ss3.store_sales / ss2.store_sales ELSE NULL END
+ORDER BY ss1.ca_county
+"""
+
+_Q34 = """
+SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       ss_ticket_number, cnt
+FROM (SELECT ss_ticket_number, ss_customer_sk, COUNT(*) cnt
+      FROM store_sales, date_dim, store, household_demographics
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND (date_dim.d_dom BETWEEN 1 AND 3 OR date_dim.d_dom BETWEEN 25 AND 28)
+        AND (household_demographics.hd_buy_potential = '>10000'
+             OR household_demographics.hd_buy_potential = 'Unknown')
+        AND household_demographics.hd_vehicle_count > 0
+        AND (CASE WHEN household_demographics.hd_vehicle_count > 0
+                  THEN household_demographics.hd_dep_count
+                       / household_demographics.hd_vehicle_count
+                  ELSE NULL END) > 1.2
+        AND date_dim.d_year IN (1995, 1995 + 1, 1995 + 2)
+        AND store.s_county IN ('Williamson County', 'Ziebach County',
+                               'Walker County', 'Daviess County', 'Barrow County')
+      GROUP BY ss_ticket_number, ss_customer_sk) dn, customer
+WHERE ss_customer_sk = c_customer_sk
+  AND cnt BETWEEN 15 AND 20
+ORDER BY c_last_name, c_first_name, c_salutation, c_preferred_cust_flag DESC,
+         ss_ticket_number
+"""
+
+_Q38 = """
+SELECT COUNT(*) AS cnt
+FROM (
+    SELECT DISTINCT c_last_name, c_first_name, d_date
+    FROM store_sales, date_dim, customer
+    WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+      AND store_sales.ss_customer_sk = customer.c_customer_sk
+      AND d_month_seq BETWEEN 72 AND 72 + 11
+    INTERSECT
+    SELECT DISTINCT c_last_name, c_first_name, d_date
+    FROM catalog_sales, date_dim, customer
+    WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+      AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+      AND d_month_seq BETWEEN 72 AND 72 + 11
+    INTERSECT
+    SELECT DISTINCT c_last_name, c_first_name, d_date
+    FROM web_sales, date_dim, customer
+    WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+      AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+      AND d_month_seq BETWEEN 72 AND 72 + 11
+) hot_cust
+LIMIT 100
+"""
+
+_Q46 = """
+SELECT c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number,
+       amt, profit
+FROM (SELECT ss_ticket_number, ss_customer_sk, ca_city bought_city,
+             SUM(ss_coupon_amt) amt, SUM(ss_net_profit) profit
+      FROM store_sales, date_dim, store, household_demographics, customer_address
+      WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+        AND store_sales.ss_store_sk = store.s_store_sk
+        AND store_sales.ss_hdemo_sk = household_demographics.hd_demo_sk
+        AND store_sales.ss_addr_sk = customer_address.ca_address_sk
+        AND (household_demographics.hd_dep_count = 4
+             OR household_demographics.hd_vehicle_count = 3)
+        AND date_dim.d_dow IN (6, 0)
+        AND date_dim.d_year IN (1995, 1995 + 1, 1995 + 2)
+        AND store.s_city IN ('Midway', 'Fairview', 'Pleasant Hill',
+                             'Oak Grove', 'Five Points')
+      GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city) dn,
+     customer, customer_address current_addr
+WHERE ss_customer_sk = c_customer_sk
+  AND customer.c_current_addr_sk = current_addr.ca_address_sk
+  AND current_addr.ca_city <> bought_city
+ORDER BY c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number
+LIMIT 100
+"""
+
+_Q47 = """
+WITH v1 AS (
+    SELECT i_category, i_brand, s_store_name, s_company_name, d_year, d_moy,
+           SUM(ss_sales_price) sum_sales,
+           AVG(SUM(ss_sales_price)) OVER
+               (PARTITION BY i_category, i_brand, s_store_name, s_company_name,
+                             d_year) avg_monthly_sales,
+           RANK() OVER
+               (PARTITION BY i_category, i_brand, s_store_name, s_company_name
+                ORDER BY d_year, d_moy) rn
+    FROM item, store_sales, date_dim, store
+    WHERE ss_item_sk = i_item_sk
+      AND ss_sold_date_sk = d_date_sk
+      AND ss_store_sk = s_store_sk
+      AND (d_year = 1996
+           OR (d_year = 1996 - 1 AND d_moy = 12)
+           OR (d_year = 1996 + 1 AND d_moy = 1))
+    GROUP BY i_category, i_brand, s_store_name, s_company_name, d_year, d_moy),
+v2 AS (
+    SELECT v1.i_category, v1.i_brand, v1.s_store_name, v1.s_company_name,
+           v1.d_year, v1.d_moy, v1.avg_monthly_sales, v1.sum_sales,
+           v1_lag.sum_sales psum, v1_lead.sum_sales nsum
+    FROM v1, v1 v1_lag, v1 v1_lead
+    WHERE v1.i_category = v1_lag.i_category
+      AND v1.i_category = v1_lead.i_category
+      AND v1.i_brand = v1_lag.i_brand
+      AND v1.i_brand = v1_lead.i_brand
+      AND v1.s_store_name = v1_lag.s_store_name
+      AND v1.s_store_name = v1_lead.s_store_name
+      AND v1.s_company_name = v1_lag.s_company_name
+      AND v1.s_company_name = v1_lead.s_company_name
+      AND v1.rn = v1_lag.rn + 1
+      AND v1.rn = v1_lead.rn - 1)
+SELECT *
+FROM v2
+WHERE d_year = 1996
+  AND avg_monthly_sales > 0
+  AND CASE WHEN avg_monthly_sales > 0
+           THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+ORDER BY sum_sales - avg_monthly_sales, 3
+LIMIT 100
+"""
+
+_Q51 = """
+WITH web_v1 AS (
+    SELECT ws_item_sk item_sk, d_date,
+           SUM(SUM(ws_sales_price)) OVER
+               (PARTITION BY ws_item_sk ORDER BY d_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cume_sales
+    FROM web_sales, date_dim
+    WHERE ws_sold_date_sk = d_date_sk
+      AND d_month_seq BETWEEN 72 AND 72 + 11
+      AND ws_item_sk IS NOT NULL
+    GROUP BY ws_item_sk, d_date),
+store_v1 AS (
+    SELECT ss_item_sk item_sk, d_date,
+           SUM(SUM(ss_sales_price)) OVER
+               (PARTITION BY ss_item_sk ORDER BY d_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cume_sales
+    FROM store_sales, date_dim
+    WHERE ss_sold_date_sk = d_date_sk
+      AND d_month_seq BETWEEN 72 AND 72 + 11
+      AND ss_item_sk IS NOT NULL
+    GROUP BY ss_item_sk, d_date)
+SELECT *
+FROM (SELECT item_sk, d_date, web_sales, store_sales,
+             MAX(web_sales) OVER
+                 (PARTITION BY item_sk ORDER BY d_date
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) web_cumulative,
+             MAX(store_sales) OVER
+                 (PARTITION BY item_sk ORDER BY d_date
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) store_cumulative
+      FROM (SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk
+                        ELSE store.item_sk END item_sk,
+                   CASE WHEN web.d_date IS NOT NULL THEN web.d_date
+                        ELSE store.d_date END d_date,
+                   web.cume_sales web_sales,
+                   store.cume_sales store_sales
+            FROM web_v1 web FULL OUTER JOIN store_v1 store
+                 ON (web.item_sk = store.item_sk AND web.d_date = store.d_date)) x) y
+WHERE web_cumulative > store_cumulative
+ORDER BY item_sk, d_date
+LIMIT 100
+"""
+
+_Q53 = """
+SELECT *
+FROM (SELECT i_manufact_id, SUM(ss_sales_price) sum_sales,
+             AVG(SUM(ss_sales_price)) OVER (PARTITION BY i_manufact_id)
+                 avg_quarterly_sales
+      FROM item, store_sales, date_dim, store
+      WHERE ss_item_sk = i_item_sk
+        AND ss_sold_date_sk = d_date_sk
+        AND ss_store_sk = s_store_sk
+        AND d_month_seq IN (72, 72 + 1, 72 + 2, 72 + 3, 72 + 4, 72 + 5, 72 + 6,
+                            72 + 7, 72 + 8, 72 + 9, 72 + 10, 72 + 11)
+        AND ((i_category IN ('ECONOMY', 'STANDARD', 'LARGE')
+              AND i_class IN ('ring', 'widget', 'bolt', 'gear'))
+             OR (i_category IN ('MEDIUM', 'SMALL', 'PROMO')
+                 AND i_class IN ('gizmo', 'anvil', 'plate', 'rod')))
+      GROUP BY i_manufact_id, d_qoy) tmp1
+WHERE CASE WHEN avg_quarterly_sales > 0
+           THEN ABS(sum_sales - avg_quarterly_sales) / avg_quarterly_sales
+           ELSE NULL END > 0.1
+ORDER BY avg_quarterly_sales, sum_sales, i_manufact_id
+LIMIT 100
+"""
+
+_Q63 = """
+SELECT *
+FROM (SELECT i_manager_id, SUM(ss_sales_price) sum_sales,
+             AVG(SUM(ss_sales_price)) OVER (PARTITION BY i_manager_id)
+                 avg_monthly_sales
+      FROM item, store_sales, date_dim, store
+      WHERE ss_item_sk = i_item_sk
+        AND ss_sold_date_sk = d_date_sk
+        AND ss_store_sk = s_store_sk
+        AND d_month_seq IN (72, 72 + 1, 72 + 2, 72 + 3, 72 + 4, 72 + 5, 72 + 6,
+                            72 + 7, 72 + 8, 72 + 9, 72 + 10, 72 + 11)
+        AND ((i_category IN ('ECONOMY', 'STANDARD', 'LARGE')
+              AND i_class IN ('ring', 'widget', 'bolt', 'gear'))
+             OR (i_category IN ('MEDIUM', 'SMALL', 'PROMO')
+                 AND i_class IN ('gizmo', 'anvil', 'plate', 'rod')))
+      GROUP BY i_manager_id, d_moy) tmp1
+WHERE CASE WHEN avg_monthly_sales > 0
+           THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+ORDER BY i_manager_id, avg_monthly_sales, sum_sales
+LIMIT 100
+"""
+
+_Q70 = """
+SELECT SUM(ss_net_profit) AS total_sum, s_state, s_county,
+       GROUPING(s_state) + GROUPING(s_county) AS lochierarchy,
+       RANK() OVER
+           (PARTITION BY GROUPING(s_state) + GROUPING(s_county),
+                         CASE WHEN GROUPING(s_county) = 0 THEN s_state END
+            ORDER BY SUM(ss_net_profit) DESC) AS rank_within_parent
+FROM store_sales, date_dim d1, store
+WHERE d1.d_month_seq BETWEEN 72 AND 72 + 11
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND s_store_sk = ss_store_sk
+  AND s_state IN (SELECT s_state
+                  FROM (SELECT s_state AS s_state,
+                               RANK() OVER (PARTITION BY s_state
+                                            ORDER BY SUM(ss_net_profit) DESC) AS ranking
+                        FROM store_sales, store, date_dim
+                        WHERE d_month_seq BETWEEN 72 AND 72 + 11
+                          AND d_date_sk = ss_sold_date_sk
+                          AND s_store_sk = ss_store_sk
+                        GROUP BY s_state) tmp1
+                  WHERE ranking <= 5)
+GROUP BY ROLLUP (s_state, s_county)
+ORDER BY lochierarchy DESC,
+         CASE WHEN lochierarchy = 0 THEN s_state END,
+         rank_within_parent
+LIMIT 100
+"""
+
+_Q87 = """
+SELECT COUNT(*) AS cnt
+FROM ((SELECT DISTINCT c_last_name, c_first_name, d_date
+       FROM store_sales, date_dim, customer
+       WHERE store_sales.ss_sold_date_sk = date_dim.d_date_sk
+         AND store_sales.ss_customer_sk = customer.c_customer_sk
+         AND d_month_seq BETWEEN 72 AND 72 + 11)
+      EXCEPT
+      (SELECT DISTINCT c_last_name, c_first_name, d_date
+       FROM catalog_sales, date_dim, customer
+       WHERE catalog_sales.cs_sold_date_sk = date_dim.d_date_sk
+         AND catalog_sales.cs_bill_customer_sk = customer.c_customer_sk
+         AND d_month_seq BETWEEN 72 AND 72 + 11)
+      EXCEPT
+      (SELECT DISTINCT c_last_name, c_first_name, d_date
+       FROM web_sales, date_dim, customer
+       WHERE web_sales.ws_sold_date_sk = date_dim.d_date_sk
+         AND web_sales.ws_bill_customer_sk = customer.c_customer_sk
+         AND d_month_seq BETWEEN 72 AND 72 + 11)) cool_cust
+"""
+
+_Q89 = """
+SELECT *
+FROM (SELECT i_category, i_class, i_brand, s_store_name, s_company_name, d_moy,
+             SUM(ss_sales_price) sum_sales,
+             AVG(SUM(ss_sales_price)) OVER
+                 (PARTITION BY i_category, i_brand, s_store_name, s_company_name)
+                 avg_monthly_sales
+      FROM item, store_sales, date_dim, store
+      WHERE ss_item_sk = i_item_sk
+        AND ss_sold_date_sk = d_date_sk
+        AND ss_store_sk = s_store_sk
+        AND d_year IN (1996)
+        AND ((i_category IN ('ECONOMY', 'STANDARD', 'LARGE')
+              AND i_class IN ('ring', 'widget', 'bolt'))
+             OR (i_category IN ('MEDIUM', 'SMALL', 'PROMO')
+                 AND i_class IN ('gizmo', 'anvil', 'plate')))
+      GROUP BY i_category, i_class, i_brand, s_store_name, s_company_name,
+               d_moy) tmp1
+WHERE CASE WHEN avg_monthly_sales <> 0
+           THEN ABS(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+ORDER BY sum_sales - avg_monthly_sales, s_store_name
+LIMIT 100
+"""
+
+_Q97 = """
+WITH ssci AS (
+    SELECT ss_customer_sk customer_sk, ss_item_sk item_sk
+    FROM store_sales, date_dim
+    WHERE ss_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 72 AND 72 + 11
+    GROUP BY ss_customer_sk, ss_item_sk),
+csci AS (
+    SELECT cs_bill_customer_sk customer_sk, cs_item_sk item_sk
+    FROM catalog_sales, date_dim
+    WHERE cs_sold_date_sk = d_date_sk AND d_month_seq BETWEEN 72 AND 72 + 11
+    GROUP BY cs_bill_customer_sk, cs_item_sk)
+SELECT SUM(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NULL
+                THEN 1 ELSE 0 END) AS store_only,
+       SUM(CASE WHEN ssci.customer_sk IS NULL AND csci.customer_sk IS NOT NULL
+                THEN 1 ELSE 0 END) AS catalog_only,
+       SUM(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NOT NULL
+                THEN 1 ELSE 0 END) AS store_and_catalog
+FROM ssci FULL OUTER JOIN csci
+     ON (ssci.customer_sk = csci.customer_sk AND ssci.item_sk = csci.item_sk)
+LIMIT 100
+"""
+
+_Q2 = """
+WITH wscs AS (
+    SELECT sold_date_sk, sales_price
+    FROM (SELECT ws_sold_date_sk sold_date_sk, ws_ext_sales_price sales_price
+          FROM web_sales
+          UNION ALL
+          SELECT cs_sold_date_sk sold_date_sk, cs_ext_sales_price sales_price
+          FROM catalog_sales) x),
+wswscs AS (
+    SELECT d_week_seq,
+           SUM(CASE WHEN (d_day_name = 'Sunday') THEN sales_price ELSE NULL END)
+               sun_sales,
+           SUM(CASE WHEN (d_day_name = 'Monday') THEN sales_price ELSE NULL END)
+               mon_sales,
+           SUM(CASE WHEN (d_day_name = 'Tuesday') THEN sales_price ELSE NULL END)
+               tue_sales,
+           SUM(CASE WHEN (d_day_name = 'Wednesday') THEN sales_price ELSE NULL END)
+               wed_sales,
+           SUM(CASE WHEN (d_day_name = 'Thursday') THEN sales_price ELSE NULL END)
+               thu_sales,
+           SUM(CASE WHEN (d_day_name = 'Friday') THEN sales_price ELSE NULL END)
+               fri_sales,
+           SUM(CASE WHEN (d_day_name = 'Saturday') THEN sales_price ELSE NULL END)
+               sat_sales
+    FROM wscs, date_dim
+    WHERE d_date_sk = sold_date_sk
+    GROUP BY d_week_seq)
+SELECT d_week_seq1,
+       ROUND(sun_sales1 / sun_sales2, 2) AS sun_ratio,
+       ROUND(mon_sales1 / mon_sales2, 2) AS mon_ratio,
+       ROUND(tue_sales1 / tue_sales2, 2) AS tue_ratio,
+       ROUND(wed_sales1 / wed_sales2, 2) AS wed_ratio,
+       ROUND(thu_sales1 / thu_sales2, 2) AS thu_ratio,
+       ROUND(fri_sales1 / fri_sales2, 2) AS fri_ratio,
+       ROUND(sat_sales1 / sat_sales2, 2) AS sat_ratio
+FROM (SELECT wswscs.d_week_seq d_week_seq1, sun_sales sun_sales1,
+             mon_sales mon_sales1, tue_sales tue_sales1, wed_sales wed_sales1,
+             thu_sales thu_sales1, fri_sales fri_sales1, sat_sales sat_sales1
+      FROM wswscs, date_dim
+      WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 1996) y,
+     (SELECT wswscs.d_week_seq d_week_seq2, sun_sales sun_sales2,
+             mon_sales mon_sales2, tue_sales tue_sales2, wed_sales wed_sales2,
+             thu_sales thu_sales2, fri_sales fri_sales2, sat_sales sat_sales2
+      FROM wswscs, date_dim
+      WHERE date_dim.d_week_seq = wswscs.d_week_seq AND d_year = 1996 + 1) z
+WHERE d_week_seq1 = d_week_seq2 - 53
+ORDER BY d_week_seq1
+"""
+
+_Q17 = """
+SELECT i_item_id, i_item_desc, s_state,
+       COUNT(ss_quantity) AS store_sales_quantitycount,
+       AVG(ss_quantity) AS store_sales_quantityave,
+       STDDEV_SAMP(ss_quantity) AS store_sales_quantitystdev,
+       STDDEV_SAMP(ss_quantity) / AVG(ss_quantity) AS store_sales_quantitycov,
+       COUNT(sr_return_quantity) AS store_returns_quantitycount,
+       AVG(sr_return_quantity) AS store_returns_quantityave,
+       STDDEV_SAMP(sr_return_quantity) AS store_returns_quantitystdev,
+       STDDEV_SAMP(sr_return_quantity) / AVG(sr_return_quantity)
+           AS store_returns_quantitycov,
+       COUNT(cs_quantity) AS catalog_sales_quantitycount,
+       AVG(cs_quantity) AS catalog_sales_quantityave,
+       STDDEV_SAMP(cs_quantity) / AVG(cs_quantity) AS catalog_sales_quantitystdev,
+       STDDEV_SAMP(cs_quantity) / AVG(cs_quantity) AS catalog_sales_quantitycov
+FROM store_sales, store_returns, catalog_sales, date_dim d1, date_dim d2,
+     date_dim d3, store, item
+WHERE d1.d_quarter_name = '1998Q1'
+  AND d1.d_date_sk = ss_sold_date_sk
+  AND i_item_sk = ss_item_sk
+  AND s_store_sk = ss_store_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_item_sk = sr_item_sk
+  AND ss_ticket_number = sr_ticket_number
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND d2.d_quarter_name IN ('1998Q1', '1998Q2', '1998Q3')
+  AND sr_customer_sk = cs_bill_customer_sk
+  AND sr_item_sk = cs_item_sk
+  AND cs_sold_date_sk = d3.d_date_sk
+  AND d3.d_quarter_name IN ('1998Q1', '1998Q2', '1998Q3')
+GROUP BY i_item_id, i_item_desc, s_state
+ORDER BY i_item_id, i_item_desc, s_state
+LIMIT 100
+"""
+
+_Q50 = """
+SELECT s_store_name, s_company_id, s_street_number, s_street_name,
+       s_street_type, s_suite_number, s_city, s_county, s_state, s_zip,
+       SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk <= 30)
+                THEN 1 ELSE 0 END) AS days30,
+       SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 30)
+                 AND (sr_returned_date_sk - ss_sold_date_sk <= 60)
+                THEN 1 ELSE 0 END) AS days31_60,
+       SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 60)
+                 AND (sr_returned_date_sk - ss_sold_date_sk <= 90)
+                THEN 1 ELSE 0 END) AS days61_90,
+       SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 90)
+                 AND (sr_returned_date_sk - ss_sold_date_sk <= 120)
+                THEN 1 ELSE 0 END) AS days91_120,
+       SUM(CASE WHEN (sr_returned_date_sk - ss_sold_date_sk > 120)
+                THEN 1 ELSE 0 END) AS days120plus
+FROM store_sales, store_returns, store, date_dim d1, date_dim d2
+WHERE d2.d_year = 1998
+  AND d2.d_moy = 8
+  AND ss_ticket_number = sr_ticket_number
+  AND ss_item_sk = sr_item_sk
+  AND ss_sold_date_sk = d1.d_date_sk
+  AND sr_returned_date_sk = d2.d_date_sk
+  AND ss_customer_sk = sr_customer_sk
+  AND ss_store_sk = s_store_sk
+GROUP BY s_store_name, s_company_id, s_street_number, s_street_name,
+         s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+ORDER BY s_store_name, s_company_id, s_street_number, s_street_name,
+         s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+LIMIT 100
+"""
+
+_Q54 = """
+WITH my_customers AS (
+    SELECT DISTINCT c_customer_sk, c_current_addr_sk
+    FROM (SELECT cs_sold_date_sk sold_date_sk, cs_bill_customer_sk customer_sk,
+                 cs_item_sk item_sk
+          FROM catalog_sales
+          UNION ALL
+          SELECT ws_sold_date_sk sold_date_sk, ws_bill_customer_sk customer_sk,
+                 ws_item_sk item_sk
+          FROM web_sales) cs_or_ws_sales, item, date_dim, customer
+    WHERE sold_date_sk = d_date_sk
+      AND item_sk = i_item_sk
+      AND i_category = 'ECONOMY'
+      AND i_class = 'ring'
+      AND c_customer_sk = cs_or_ws_sales.customer_sk
+      AND d_moy = 3
+      AND d_year = 1998),
+my_revenue AS (
+    SELECT c_customer_sk, SUM(ss_ext_sales_price) AS revenue
+    FROM my_customers, store_sales, customer_address, store, date_dim
+    WHERE c_current_addr_sk = ca_address_sk
+      AND ca_county = s_county
+      AND ca_state = s_state
+      AND ss_sold_date_sk = d_date_sk
+      AND c_customer_sk = ss_customer_sk
+      AND d_month_seq BETWEEN (SELECT DISTINCT d_month_seq + 1
+                               FROM date_dim WHERE d_year = 1998 AND d_moy = 3)
+                          AND (SELECT DISTINCT d_month_seq + 3
+                               FROM date_dim WHERE d_year = 1998 AND d_moy = 3)
+    GROUP BY c_customer_sk),
+segments AS (
+    SELECT CAST((revenue / 50) AS INT) AS segment FROM my_revenue)
+SELECT segment, COUNT(*) AS num_customers, segment * 50 AS segment_base
+FROM segments
+GROUP BY segment
+ORDER BY segment, num_customers
+LIMIT 100
+"""
+
 _WRAPPED = {
     "tpcds_q1": f"SELECT c_customer_id FROM ({_Q1}) v",
     "tpcds_q3": (
@@ -1847,8 +2381,14 @@ _WRAPPED = {
         "floor(CAST(revenueratio AS DOUBLE) * 1e6) / 1e6 AS revenueratio "
         f"FROM ({_Q20}) v"
     ),
+    # round (not floor) for the ratio: an exact-decimal margin that lands ON
+    # the 1e-6 grid (e.g. a single-discount class at -0.04) carries ±1-ulp
+    # double noise that floor amplifies to a full grid step; round collapses
+    # it back onto the grid on both engines. The year binding (1998) is
+    # probed exact-tie-free at all three SFs so the template-internal RANK
+    # over the raw ratio agrees between decimal and double arithmetic.
     "tpcds_q36": (
-        "SELECT floor(CAST(gross_margin AS DOUBLE) * 1e6) / 1e6 AS gross_margin, "
+        "SELECT round(CAST(gross_margin AS DOUBLE) * 1e6) / 1e6 AS gross_margin, "
         "i_category, i_class, CAST(lochierarchy AS INT) AS lochierarchy, "
         "CAST(rank_within_parent AS INT) AS rank_within_parent "
         f"FROM ({_Q36}) v"
@@ -1977,6 +2517,115 @@ _WRAPPED = {
         "SELECT h8_30_to_9, h9_to_9_30, h9_30_to_10, h10_to_10_30, "
         "h10_30_to_11, h11_to_11_30, h11_30_to_12, h12_to_12_30 "
         f"FROM ({_Q88}) v"
+    ),
+    "tpcds_q2": (
+        "SELECT d_week_seq1, "
+        + ", ".join(
+            f"CAST({d}_ratio AS DOUBLE) AS {d}_ratio"
+            for d in ("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+        )
+        + f" FROM ({_Q2}) v"
+    ),
+    "tpcds_q17": (
+        "SELECT i_item_id, i_item_desc, s_state, "
+        "CAST(store_sales_quantitycount AS BIGINT) AS store_sales_quantitycount, "
+        "round(CAST(store_sales_quantityave AS DOUBLE) * 1e4) / 1e4 AS store_sales_quantityave, "
+        "round(CAST(store_sales_quantitystdev AS DOUBLE) * 1e4) / 1e4 AS store_sales_quantitystdev, "
+        "round(CAST(store_sales_quantitycov AS DOUBLE) * 1e4) / 1e4 AS store_sales_quantitycov, "
+        "CAST(store_returns_quantitycount AS BIGINT) AS store_returns_quantitycount, "
+        "round(CAST(store_returns_quantityave AS DOUBLE) * 1e4) / 1e4 AS store_returns_quantityave, "
+        "round(CAST(store_returns_quantitystdev AS DOUBLE) * 1e4) / 1e4 AS store_returns_quantitystdev, "
+        "round(CAST(store_returns_quantitycov AS DOUBLE) * 1e4) / 1e4 AS store_returns_quantitycov, "
+        "CAST(catalog_sales_quantitycount AS BIGINT) AS catalog_sales_quantitycount, "
+        "round(CAST(catalog_sales_quantityave AS DOUBLE) * 1e4) / 1e4 AS catalog_sales_quantityave, "
+        "round(CAST(catalog_sales_quantitystdev AS DOUBLE) * 1e4) / 1e4 AS catalog_sales_quantitystdev, "
+        "round(CAST(catalog_sales_quantitycov AS DOUBLE) * 1e4) / 1e4 AS catalog_sales_quantitycov "
+        f"FROM ({_Q17}) v"
+    ),
+    "tpcds_q50": (
+        "SELECT s_store_name, s_company_id, s_street_number, s_street_name, "
+        "s_street_type, s_suite_number, s_city, s_county, s_state, s_zip, "
+        "CAST(days30 AS BIGINT) AS days30, "
+        "CAST(days31_60 AS BIGINT) AS days31_60, "
+        "CAST(days61_90 AS BIGINT) AS days61_90, "
+        "CAST(days91_120 AS BIGINT) AS days91_120, "
+        "CAST(days120plus AS BIGINT) AS days120plus "
+        f"FROM ({_Q50}) v"
+    ),
+    "tpcds_q54": (
+        "SELECT CAST(segment AS INT) AS segment, "
+        "CAST(num_customers AS BIGINT) AS num_customers, "
+        "CAST(segment_base AS INT) AS segment_base "
+        f"FROM ({_Q54}) v"
+    ),
+    "tpcds_q31": (
+        "SELECT ca_county, d_year, "
+        + ", ".join(
+            f"floor(CAST({c} AS DOUBLE) * 1e6) / 1e6 AS {c}"
+            for c in (
+                "web_q1_q2_increase",
+                "store_q1_q2_increase",
+                "web_q2_q3_increase",
+                "store_q2_q3_increase",
+            )
+        )
+        + f" FROM ({_Q31}) v"
+    ),
+    "tpcds_q34": (
+        "SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag, "
+        f"ss_ticket_number, cnt FROM ({_Q34}) v"
+    ),
+    "tpcds_q38": f"SELECT cnt FROM ({_Q38}) v",
+    "tpcds_q46": (
+        "SELECT c_last_name, c_first_name, ca_city, bought_city, ss_ticket_number, "
+        "CAST(amt AS DOUBLE) AS amt, CAST(profit AS DOUBLE) AS profit "
+        f"FROM ({_Q46}) v"
+    ),
+    "tpcds_q47": (
+        "SELECT i_category, i_brand, s_store_name, s_company_name, d_year, d_moy, "
+        "floor(CAST(avg_monthly_sales AS DOUBLE) * 1e4) / 1e4 AS avg_monthly_sales, "
+        "CAST(sum_sales AS DOUBLE) AS sum_sales, "
+        "CAST(psum AS DOUBLE) AS psum, CAST(nsum AS DOUBLE) AS nsum "
+        f"FROM ({_Q47}) v"
+    ),
+    "tpcds_q51": (
+        "SELECT item_sk, CAST(d_date AS TIMESTAMP) AS d_date, "
+        "CAST(web_sales AS DOUBLE) AS web_sales, "
+        "CAST(store_sales AS DOUBLE) AS store_sales, "
+        "CAST(web_cumulative AS DOUBLE) AS web_cumulative, "
+        "CAST(store_cumulative AS DOUBLE) AS store_cumulative "
+        f"FROM ({_Q51}) v"
+    ),
+    "tpcds_q53": (
+        "SELECT i_manufact_id, CAST(sum_sales AS DOUBLE) AS sum_sales, "
+        "floor(CAST(avg_quarterly_sales AS DOUBLE) * 1e4) / 1e4 AS avg_quarterly_sales "
+        f"FROM ({_Q53}) v"
+    ),
+    "tpcds_q63": (
+        "SELECT i_manager_id, CAST(sum_sales AS DOUBLE) AS sum_sales, "
+        "floor(CAST(avg_monthly_sales AS DOUBLE) * 1e4) / 1e4 AS avg_monthly_sales "
+        f"FROM ({_Q63}) v"
+    ),
+    "tpcds_q70": (
+        "SELECT CAST(total_sum AS DOUBLE) AS total_sum, s_state, s_county, "
+        "CAST(lochierarchy AS INT) AS lochierarchy, "
+        "CAST(rank_within_parent AS INT) AS rank_within_parent "
+        f"FROM ({_Q70}) v"
+    ),
+    "tpcds_q87": f"SELECT cnt FROM ({_Q87}) v",
+    "tpcds_q89": (
+        "SELECT i_category, i_class, i_brand, s_store_name, s_company_name, d_moy, "
+        "CAST(sum_sales AS DOUBLE) AS sum_sales, "
+        "floor(CAST(avg_monthly_sales AS DOUBLE) * 1e4) / 1e4 AS avg_monthly_sales "
+        f"FROM ({_Q89}) v"
+    ),
+    # DuckDB's SUM over INTEGER yields HUGEINT (rendered float64 by pandas);
+    # Spark yields BIGINT — pin both to BIGINT.
+    "tpcds_q97": (
+        "SELECT CAST(store_only AS BIGINT) AS store_only, "
+        "CAST(catalog_only AS BIGINT) AS catalog_only, "
+        "CAST(store_and_catalog AS BIGINT) AS store_and_catalog "
+        f"FROM ({_Q97}) v"
     ),
 }
 
