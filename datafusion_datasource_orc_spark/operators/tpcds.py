@@ -103,6 +103,9 @@ _COUNTIES = (
 )  # s_county ring over nationkey % 5
 _HD_BUY_POTENTIAL = ("0-500", "501-1000", "1001-5000", "5001-10000", ">10000", "Unknown")
 _HD_ROWS = 720  # hd_demo_sk domain; ss_hdemo_sk = o_custkey % 720
+_I_SIZES = ("petite", "small", "medium", "large", "extra large", "N/A")
+_I_UNITS = ("Unknown", "Each", "Dozen", "Case", "Bunch", "Ounce", "Ton", "Gram")
+_CD_CREDIT = ("Low Risk", "Good", "High Risk", "Unknown")
 
 
 # ---------------------------------------------------------------- Spark side
@@ -159,6 +162,17 @@ def _item(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 900-999.9 band (1.2x its mean exceeds its max)
         (F.col("p_retailprice") - 850).cast("decimal(12,2)").alias("i_current_price"),
         (F.col("p_retailprice") - 880).cast("decimal(12,2)").alias("i_wholesale_cost"),
+        # q41's attribute-combination filters: sizes ring over the integer
+        # p_size, units over the partkey — engine-portable integer ops
+        F.element_at(
+            F.array(*[F.lit(s) for s in _I_SIZES]),
+            (F.col("p_size") % len(_I_SIZES) + 1).cast("int"),
+        ).alias("i_size"),
+        F.element_at(
+            F.array(*[F.lit(u) for u in _I_UNITS]),
+            (F.col("p_partkey") % len(_I_UNITS) + 1).cast("int"),
+        ).alias("i_units"),
+        F.lit("Unknown").alias("i_container"),
     )
 
 
@@ -192,6 +206,8 @@ def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("c_custkey").alias("c_current_cdemo_sk"),
         (F.col("c_custkey") % _HD_ROWS).alias("c_current_hdemo_sk"),
+        ((F.col("c_custkey") % 12) + 1).alias("c_birth_month"),
+        (1930 + F.col("c_custkey") % 60).alias("c_birth_year"),
     )
 
 
@@ -276,7 +292,11 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_custkey") % 40 == 0, F.lit(None))
         .otherwise(F.col("o_custkey"))
         .alias("ss_customer_sk"),
-        (F.col("l_suppkey") % 25).alias("ss_store_sk"),
+        # ~2% of tickets have no store recorded — TPC-DS fact keys are
+        # nullable and q76 counts exactly these rows per channel
+        F.when((F.col("l_orderkey") + F.col("l_suppkey")) % 43 == 0, F.lit(None))
+        .otherwise(F.col("l_suppkey") % 25)
+        .alias("ss_store_sk"),
         F.col("l_orderkey").alias("ss_ticket_number"),
         F.col("l_quantity").cast("int").alias("ss_quantity"),
         # exact decimal product (scale 2+4=6), NOT a cast of the double
@@ -327,6 +347,18 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(12,2)")
             * (F.lit(1) - F.col("l_tax")).cast("decimal(6,4)")
         ).alias("ss_ext_wholesale_cost"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(6,4)")
+        ).alias("ss_ext_discount_amt"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+        ).alias("ss_net_paid"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_tax")).cast("decimal(6,4)")
+        ).alias("ss_wholesale_cost"),
     )
 
 
@@ -392,6 +424,37 @@ def _web_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("l_orderkey") * 7919 + F.col("l_linenumber") * 86393) % 86400).alias(
             "ws_sold_time_sk"
         ),
+        # ~2.7% of web orders ship to an unrecorded customer (q76's web leg)
+        F.when((F.col("l_orderkey") + F.col("l_linenumber")) % 37 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("ws_ship_customer_sk"),
+        F.col("l_quantity").cast("int").alias("ws_quantity"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.col("l_discount").cast("decimal(6,4)") - F.lit(0.05).cast("decimal(6,4)"))
+        ).alias("ws_net_profit"),
+        F.col("l_orderkey").alias("ws_order_number"),
+        (F.col("l_suppkey") % 5).alias("ws_warehouse_sk"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit(_EPOCH).cast("date")).alias(
+            "ws_ship_date_sk"
+        ),
+        F.col("o_custkey").alias("ws_ship_addr_sk"),
+        ((F.col("l_orderkey") + F.col("l_linenumber") * 7) % 20).alias("ws_web_page_sk"),
+        (F.col("l_suppkey") % 10).alias("ws_web_site_sk"),
+        (F.col("o_custkey") % _HD_ROWS).alias("ws_ship_hdemo_sk"),
+        ((F.col("l_orderkey") + F.col("l_suppkey")) % 20).alias("ws_ship_mode_sk"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_tax")).cast("decimal(6,4)")
+        ).alias("ws_ext_wholesale_cost"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
+        ).alias("ws_ext_list_price"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_tax").cast("decimal(6,4)")
+        ).alias("ws_ext_ship_cost"),
     )
 
 
@@ -434,6 +497,37 @@ def _catalog_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("l_orderkey") * 7919 + F.col("l_linenumber") * 86393) % 86400).alias(
             "cs_sold_time_sk"
         ),
+        # ~2.4% of catalog orders lack a ship-to address (q76's catalog leg)
+        F.when((F.col("l_orderkey") + F.col("l_linenumber")) % 41 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("cs_ship_addr_sk"),
+        F.col("l_orderkey").alias("cs_order_number"),
+        (F.col("l_suppkey") % 5).alias("cs_warehouse_sk"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit(_EPOCH).cast("date")).alias(
+            "cs_ship_date_sk"
+        ),
+        ((F.col("l_orderkey") + F.col("l_suppkey")) % 20).alias("cs_ship_mode_sk"),
+        (F.col("o_custkey") % 6).alias("cs_call_center_sk"),
+        ((F.col("l_orderkey") + F.col("l_linenumber") * 11) % 100).alias(
+            "cs_catalog_page_sk"
+        ),
+        F.col("o_custkey").alias("cs_ship_customer_sk"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_tax").cast("decimal(6,4)")
+        ).alias("cs_ext_ship_cost"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_tax")).cast("decimal(6,4)")
+        ).alias("cs_ext_wholesale_cost"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
+        ).alias("cs_ext_list_price"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+        ).alias("cs_net_paid"),
     )
 
 
@@ -462,6 +556,14 @@ def _customer_demographics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("c_custkey") % 2 == 0, "M").otherwise("F").alias("cd_gender"),
         marital.alias("cd_marital_status"),
         edu.alias("cd_education_status"),
+        (((F.col("c_custkey") * 7) % 20) * 500 + 500).alias("cd_purchase_estimate"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in _CD_CREDIT]),
+            (F.col("c_custkey") % len(_CD_CREDIT) + 1).cast("int"),
+        ).alias("cd_credit_rating"),
+        (F.col("c_custkey") % 7).alias("cd_dep_count"),
+        ((F.col("c_custkey") * 3) % 7).alias("cd_dep_employed_count"),
+        ((F.col("c_custkey") * 5) % 7).alias("cd_dep_college_count"),
     )
 
 
@@ -578,7 +680,12 @@ item AS (
            'Manufact#' || CAST(p_partkey % 100 AS VARCHAR) AS i_manufact,
            CAST(p_partkey % 50 AS INTEGER) AS i_manager_id,
            CAST(p_retailprice - 850 AS DECIMAL(12,2)) AS i_current_price,
-           CAST(p_retailprice - 880 AS DECIMAL(12,2)) AS i_wholesale_cost
+           CAST(p_retailprice - 880 AS DECIMAL(12,2)) AS i_wholesale_cost,
+           ['petite','small','medium','large','extra large','N/A']
+               [CAST(p_size % 6 AS INTEGER) + 1] AS i_size,
+           ['Unknown','Each','Dozen','Case','Bunch','Ounce','Ton','Gram']
+               [CAST(p_partkey % 8 AS INTEGER) + 1] AS i_units,
+           'Unknown' AS i_container
     FROM part
 ),
 customer AS (
@@ -592,7 +699,9 @@ customer AS (
            CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END
                AS c_preferred_cust_flag,
            c_custkey AS c_current_cdemo_sk,
-           c_custkey % 720 AS c_current_hdemo_sk
+           c_custkey % 720 AS c_current_hdemo_sk,
+           (c_custkey % 12) + 1 AS c_birth_month,
+           1930 + c_custkey % 60 AS c_birth_year
     FROM main.customer
 ),
 customer_address AS (
@@ -635,7 +744,8 @@ store_sales AS (
            l_partkey AS ss_item_sk,
            CASE WHEN o_custkey % 40 = 0 THEN NULL ELSE o_custkey END
                AS ss_customer_sk,
-           l_suppkey % 25 AS ss_store_sk,
+           CASE WHEN (l_orderkey + l_suppkey) % 43 = 0 THEN NULL
+                ELSE l_suppkey % 25 END AS ss_store_sk,
            l_orderkey AS ss_ticket_number,
            CAST(l_quantity AS INTEGER) AS ss_quantity,
            CAST(l_extendedprice AS DECIMAL(12,2))
@@ -659,7 +769,13 @@ store_sales AS (
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(l_tax AS DECIMAL(6,4)) AS ss_ext_tax,
            CAST(l_extendedprice AS DECIMAL(12,2))
-               * CAST(1 - l_tax AS DECIMAL(6,4)) AS ss_ext_wholesale_cost
+               * CAST(1 - l_tax AS DECIMAL(6,4)) AS ss_ext_wholesale_cost,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(6,4)) AS ss_ext_discount_amt,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_discount AS DECIMAL(6,4)) AS ss_net_paid,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_tax AS DECIMAL(6,4)) AS ss_wholesale_cost
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE (l_orderkey + l_linenumber) % 3 = 2
 ),
@@ -700,7 +816,27 @@ web_sales AS (
                * CAST(l_discount AS DECIMAL(6,4)) AS ws_ext_discount_amt,
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(1 - l_discount AS DECIMAL(6,4)) AS ws_net_paid,
-           (l_orderkey * 7919 + l_linenumber * 86393) % 86400 AS ws_sold_time_sk
+           (l_orderkey * 7919 + l_linenumber * 86393) % 86400 AS ws_sold_time_sk,
+           CASE WHEN (l_orderkey + l_linenumber) % 37 = 0 THEN NULL
+                ELSE o_custkey END AS ws_ship_customer_sk,
+           CAST(l_quantity AS INTEGER) AS ws_quantity,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(l_discount AS DECIMAL(6,4)) - CAST(0.05 AS DECIMAL(6,4)))
+               AS ws_net_profit,
+           l_orderkey AS ws_order_number,
+           l_suppkey % 5 AS ws_warehouse_sk,
+           datediff('day', DATE '{_EPOCH}', CAST(l_shipdate AS DATE)) AS ws_ship_date_sk,
+           o_custkey AS ws_ship_addr_sk,
+           (l_orderkey + l_linenumber * 7) % 20 AS ws_web_page_sk,
+           l_suppkey % 10 AS ws_web_site_sk,
+           o_custkey % {_HD_ROWS} AS ws_ship_hdemo_sk,
+           (l_orderkey + l_suppkey) % 20 AS ws_ship_mode_sk,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_tax AS DECIMAL(6,4)) AS ws_ext_wholesale_cost,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 + l_tax AS DECIMAL(6,4)) AS ws_ext_list_price,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_tax AS DECIMAL(6,4)) AS ws_ext_ship_cost
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE (l_orderkey + l_linenumber) % 3 = 0
        OR ((l_orderkey + l_linenumber) % 3 = 2 AND o_custkey % 7 = 3)
@@ -725,7 +861,24 @@ catalog_sales AS (
                AS cs_net_profit,
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(l_discount AS DECIMAL(6,4)) AS cs_ext_discount_amt,
-           (l_orderkey * 7919 + l_linenumber * 86393) % 86400 AS cs_sold_time_sk
+           (l_orderkey * 7919 + l_linenumber * 86393) % 86400 AS cs_sold_time_sk,
+           CASE WHEN (l_orderkey + l_linenumber) % 41 = 0 THEN NULL
+                ELSE o_custkey END AS cs_ship_addr_sk,
+           l_orderkey AS cs_order_number,
+           l_suppkey % 5 AS cs_warehouse_sk,
+           datediff('day', DATE '{_EPOCH}', CAST(l_shipdate AS DATE)) AS cs_ship_date_sk,
+           (l_orderkey + l_suppkey) % 20 AS cs_ship_mode_sk,
+           o_custkey % 6 AS cs_call_center_sk,
+           (l_orderkey + l_linenumber * 11) % 100 AS cs_catalog_page_sk,
+           o_custkey AS cs_ship_customer_sk,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_tax AS DECIMAL(6,4)) AS cs_ext_ship_cost,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_tax AS DECIMAL(6,4)) AS cs_ext_wholesale_cost,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 + l_tax AS DECIMAL(6,4)) AS cs_ext_list_price,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_discount AS DECIMAL(6,4)) AS cs_net_paid
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE (l_orderkey + l_linenumber) % 3 = 1
        OR ((l_orderkey + l_linenumber) % 3 = 2 AND o_custkey % 5 = 0)
@@ -737,7 +890,13 @@ customer_demographics AS (
                AS cd_marital_status,
            ['Primary','Secondary','College','2 yr Degree','4 yr Degree',
             'Advanced Degree','Unknown'][CAST(c_custkey % 7 AS INTEGER) + 1]
-               AS cd_education_status
+               AS cd_education_status,
+           ((c_custkey * 7) % 20) * 500 + 500 AS cd_purchase_estimate,
+           ['Low Risk','Good','High Risk','Unknown']
+               [CAST(c_custkey % 4 AS INTEGER) + 1] AS cd_credit_rating,
+           c_custkey % 7 AS cd_dep_count,
+           (c_custkey * 3) % 7 AS cd_dep_employed_count,
+           (c_custkey * 5) % 7 AS cd_dep_college_count
     FROM main.customer
 ),
 promotion AS (
@@ -2319,6 +2478,152 @@ ORDER BY segment, num_customers
 LIMIT 100
 """
 
+_Q9 = """
+SELECT CASE WHEN (SELECT COUNT(*) FROM store_sales
+                  WHERE ss_quantity BETWEEN 1 AND 10) > 5000
+            THEN (SELECT AVG(ss_ext_discount_amt) FROM store_sales
+                  WHERE ss_quantity BETWEEN 1 AND 10)
+            ELSE (SELECT AVG(ss_net_paid) FROM store_sales
+                  WHERE ss_quantity BETWEEN 1 AND 10) END bucket1,
+       CASE WHEN (SELECT COUNT(*) FROM store_sales
+                  WHERE ss_quantity BETWEEN 11 AND 20) > 4000
+            THEN (SELECT AVG(ss_ext_discount_amt) FROM store_sales
+                  WHERE ss_quantity BETWEEN 11 AND 20)
+            ELSE (SELECT AVG(ss_net_paid) FROM store_sales
+                  WHERE ss_quantity BETWEEN 11 AND 20) END bucket2,
+       CASE WHEN (SELECT COUNT(*) FROM store_sales
+                  WHERE ss_quantity BETWEEN 21 AND 30) > 3000
+            THEN (SELECT AVG(ss_ext_discount_amt) FROM store_sales
+                  WHERE ss_quantity BETWEEN 21 AND 30)
+            ELSE (SELECT AVG(ss_net_paid) FROM store_sales
+                  WHERE ss_quantity BETWEEN 21 AND 30) END bucket3,
+       CASE WHEN (SELECT COUNT(*) FROM store_sales
+                  WHERE ss_quantity BETWEEN 31 AND 40) > 2000
+            THEN (SELECT AVG(ss_ext_discount_amt) FROM store_sales
+                  WHERE ss_quantity BETWEEN 31 AND 40)
+            ELSE (SELECT AVG(ss_net_paid) FROM store_sales
+                  WHERE ss_quantity BETWEEN 31 AND 40) END bucket4,
+       CASE WHEN (SELECT COUNT(*) FROM store_sales
+                  WHERE ss_quantity BETWEEN 41 AND 50) > 1000
+            THEN (SELECT AVG(ss_ext_discount_amt) FROM store_sales
+                  WHERE ss_quantity BETWEEN 41 AND 50)
+            ELSE (SELECT AVG(ss_net_paid) FROM store_sales
+                  WHERE ss_quantity BETWEEN 41 AND 50) END bucket5
+FROM reason
+WHERE r_reason_sk = 1
+"""
+
+_Q28 = """
+SELECT *
+FROM (SELECT AVG(ss_list_price) B1_LP, COUNT(ss_list_price) B1_CNT,
+             COUNT(DISTINCT ss_list_price) B1_CNTD
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 0 AND 5
+        AND (ss_list_price BETWEEN 8000 AND 8000 + 100
+             OR ss_coupon_amt BETWEEN 400 AND 400 + 1000
+             OR ss_wholesale_cost BETWEEN 5000 AND 5000 + 200)) B1,
+     (SELECT AVG(ss_list_price) B2_LP, COUNT(ss_list_price) B2_CNT,
+             COUNT(DISTINCT ss_list_price) B2_CNTD
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 6 AND 10
+        AND (ss_list_price BETWEEN 9000 AND 9000 + 100
+             OR ss_coupon_amt BETWEEN 800 AND 800 + 1000
+             OR ss_wholesale_cost BETWEEN 6000 AND 6000 + 200)) B2,
+     (SELECT AVG(ss_list_price) B3_LP, COUNT(ss_list_price) B3_CNT,
+             COUNT(DISTINCT ss_list_price) B3_CNTD
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 11 AND 15
+        AND (ss_list_price BETWEEN 10000 AND 10000 + 100
+             OR ss_coupon_amt BETWEEN 1200 AND 1200 + 1000
+             OR ss_wholesale_cost BETWEEN 7000 AND 7000 + 200)) B3,
+     (SELECT AVG(ss_list_price) B4_LP, COUNT(ss_list_price) B4_CNT,
+             COUNT(DISTINCT ss_list_price) B4_CNTD
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 16 AND 20
+        AND (ss_list_price BETWEEN 12000 AND 12000 + 100
+             OR ss_coupon_amt BETWEEN 1600 AND 1600 + 1000
+             OR ss_wholesale_cost BETWEEN 8000 AND 8000 + 200)) B4,
+     (SELECT AVG(ss_list_price) B5_LP, COUNT(ss_list_price) B5_CNT,
+             COUNT(DISTINCT ss_list_price) B5_CNTD
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 21 AND 25
+        AND (ss_list_price BETWEEN 15000 AND 15000 + 100
+             OR ss_coupon_amt BETWEEN 2000 AND 2000 + 1000
+             OR ss_wholesale_cost BETWEEN 9000 AND 9000 + 200)) B5,
+     (SELECT AVG(ss_list_price) B6_LP, COUNT(ss_list_price) B6_CNT,
+             COUNT(DISTINCT ss_list_price) B6_CNTD
+      FROM store_sales
+      WHERE ss_quantity BETWEEN 26 AND 30
+        AND (ss_list_price BETWEEN 20000 AND 20000 + 100
+             OR ss_coupon_amt BETWEEN 2400 AND 2400 + 1000
+             OR ss_wholesale_cost BETWEEN 10000 AND 10000 + 200)) B6
+LIMIT 100
+"""
+
+_Q41 = """
+SELECT DISTINCT (i_product_name)
+FROM item i1
+WHERE i_manufact_id BETWEEN 20 AND 20 + 40
+  AND (SELECT COUNT(*) AS item_cnt
+       FROM item
+       WHERE (i_manufact = i1.i_manufact AND
+              ((i_category = 'MEDIUM' AND (i_color = 'red' OR i_color = 'blue')
+                AND (i_units = 'Ounce' OR i_units = 'Each')
+                AND (i_size = 'medium' OR i_size = 'extra large'))
+               OR (i_category = 'MEDIUM' AND (i_color = 'hot' OR i_color = 'cold')
+                   AND (i_units = 'Case' OR i_units = 'Bunch')
+                   AND (i_size = 'petite' OR i_size = 'large'))
+               OR (i_category = 'STANDARD' AND (i_color = 'small' OR i_color = 'old')
+                   AND (i_units = 'Ton' OR i_units = 'Gram')
+                   AND (i_size = 'medium' OR i_size = 'extra large'))
+               OR (i_category = 'STANDARD' AND (i_color = 'large' OR i_color = 'new')
+                   AND (i_units = 'Dozen' OR i_units = 'Unknown')
+                   AND (i_size = 'petite' OR i_size = 'large'))))
+          OR (i_manufact = i1.i_manufact AND
+              ((i_category = 'PROMO' AND (i_color = 'red' OR i_color = 'cold')
+                AND (i_units = 'Each' OR i_units = 'Ton')
+                AND (i_size = 'medium' OR i_size = 'extra large'))
+               OR (i_category = 'PROMO' AND (i_color = 'blue' OR i_color = 'new')
+                   AND (i_units = 'Dozen' OR i_units = 'Bunch')
+                   AND (i_size = 'petite' OR i_size = 'large'))
+               OR (i_category = 'ECONOMY' AND (i_color = 'hot' OR i_color = 'small')
+                   AND (i_units = 'Case' OR i_units = 'Gram')
+                   AND (i_size = 'medium' OR i_size = 'extra large'))
+               OR (i_category = 'ECONOMY' AND (i_color = 'old' OR i_color = 'large')
+                   AND (i_units = 'Ounce' OR i_units = 'Unknown')
+                   AND (i_size = 'petite' OR i_size = 'large'))))) > 0
+ORDER BY i_product_name
+LIMIT 100
+"""
+
+_Q76 = """
+SELECT channel, col_name, d_year, d_qoy, i_category, COUNT(*) sales_cnt,
+       SUM(ext_sales_price) sales_amt
+FROM (SELECT 'store' AS channel, 'ss_store_sk' col_name, d_year, d_qoy,
+             i_category, ss_ext_sales_price ext_sales_price
+      FROM store_sales, item, date_dim
+      WHERE ss_store_sk IS NULL
+        AND ss_sold_date_sk = d_date_sk
+        AND ss_item_sk = i_item_sk
+      UNION ALL
+      SELECT 'web' AS channel, 'ws_ship_customer_sk' col_name, d_year, d_qoy,
+             i_category, ws_ext_sales_price ext_sales_price
+      FROM web_sales, item, date_dim
+      WHERE ws_ship_customer_sk IS NULL
+        AND ws_sold_date_sk = d_date_sk
+        AND ws_item_sk = i_item_sk
+      UNION ALL
+      SELECT 'catalog' AS channel, 'cs_ship_addr_sk' col_name, d_year, d_qoy,
+             i_category, cs_ext_sales_price ext_sales_price
+      FROM catalog_sales, item, date_dim
+      WHERE cs_ship_addr_sk IS NULL
+        AND cs_sold_date_sk = d_date_sk
+        AND cs_item_sk = i_item_sk) foo
+GROUP BY channel, col_name, d_year, d_qoy, i_category
+ORDER BY channel, col_name, d_year, d_qoy, i_category
+LIMIT 100
+"""
+
 _WRAPPED = {
     "tpcds_q1": f"SELECT c_customer_id FROM ({_Q1}) v",
     "tpcds_q3": (
@@ -2626,6 +2931,31 @@ _WRAPPED = {
         "CAST(catalog_only AS BIGINT) AS catalog_only, "
         "CAST(store_and_catalog AS BIGINT) AS store_and_catalog "
         f"FROM ({_Q97}) v"
+    ),
+    "tpcds_q9": (
+        "SELECT "
+        + ", ".join(
+            f"floor(CAST(bucket{i} AS DOUBLE) * 1e4) / 1e4 AS bucket{i}"
+            for i in range(1, 6)
+        )
+        + f" FROM ({_Q9}) v"
+    ),
+    "tpcds_q28": (
+        "SELECT "
+        + ", ".join(
+            f"floor(CAST(B{i}_LP AS DOUBLE) * 1e4) / 1e4 AS b{i}_lp, "
+            f"CAST(B{i}_CNT AS BIGINT) AS b{i}_cnt, "
+            f"CAST(B{i}_CNTD AS BIGINT) AS b{i}_cntd"
+            for i in range(1, 7)
+        )
+        + f" FROM ({_Q28}) v"
+    ),
+    "tpcds_q41": f"SELECT i_product_name FROM ({_Q41}) v",
+    "tpcds_q76": (
+        "SELECT channel, col_name, d_year, d_qoy, i_category, "
+        "CAST(sales_cnt AS BIGINT) AS sales_cnt, "
+        "CAST(sales_amt AS DOUBLE) AS sales_amt "
+        f"FROM ({_Q76}) v"
     ),
 }
 

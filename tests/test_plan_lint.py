@@ -29,6 +29,8 @@ ALLOWED_NESTED_LOOP = {
     "simsearch_sq": "1-row quantizer-stats + 1-row query vector broadcast onto the corpus scan",
     "tpcds_q61": "verbatim template: promotional_sales x all_sales is a "
     "1-row x 1-row join of two scalar aggregates",
+    "tpcds_q28": "verbatim template: six 1-row bucket aggregates cross-joined "
+    "(B1 x ... x B6), like q88's 1-row x 8",
     "tpcds_q88": "verbatim template: eight 1-row COUNT(*) time-band "
     "subqueries cross-joined into one output row",
 }
