@@ -931,6 +931,41 @@ store_returns AS (
 """
 
 
+# q18's template re-CASTs the catalog price columns to DECIMAL(12,2) inside
+# AVG; on halfway cents (scale-6 products ending .xx5000) Spark's cast rounds
+# HALF_UP (away from zero) while DuckDB's rounds HALF_EVEN — a genuine engine
+# divergence the output wrapper cannot repair. The q18 oracle therefore runs
+# over dims whose four affected columns are pre-rounded with DuckDB's
+# round(x, 2) — which IS half-away-from-zero, i.e. exactly Spark's cast — so
+# the verbatim in-template cast becomes a no-op on both engines. The Spark
+# side is untouched.
+import re as _re
+
+_DDB_DIMS_CS_HALFUP = _DDB_DIMS
+for _col, _expr in (
+    ("cs_sales_price", r"CAST\(1 - l_discount AS DECIMAL\(6,4\)\)"),
+    ("cs_list_price", r"CAST\(1 \+ l_tax AS DECIMAL\(6,4\)\)"),
+    ("cs_coupon_amt", r"CAST\(l_discount AS DECIMAL\(6,4\)\)"),
+    (
+        "cs_net_profit",
+        r"\(CAST\(l_discount AS DECIMAL\(6,4\)\) - CAST\(0.05 AS DECIMAL\(6,4\)\)\)",
+    ),
+):
+    _pat = (
+        r"CAST\(l_extendedprice AS DECIMAL\(12,2\)\)\s*\*\s*"
+        + _expr
+        + r"\s*AS "
+        + _col
+    )
+    _new, _n = _re.subn(
+        _pat,
+        lambda m: "round(" + m.group(0)[: -len(" AS " + _col)] + ", 2) AS " + _col,
+        _DDB_DIMS_CS_HALFUP,
+    )
+    assert _n == 1, f"halfup rewrite missed {_col}"
+    _DDB_DIMS_CS_HALFUP = _new
+
+
 # ------------------------------------------------------- verbatim templates
 # Public TPC-DS query templates with parameters bound to values the derived
 # data contains (year/month/state/manufact/manager/month_seq); the template
@@ -2624,6 +2659,153 @@ ORDER BY channel, col_name, d_year, d_qoy, i_category
 LIMIT 100
 """
 
+_Q10 = """
+SELECT cd_gender, cd_marital_status, cd_education_status, COUNT(*) cnt1,
+       cd_purchase_estimate, COUNT(*) cnt2, cd_credit_rating, COUNT(*) cnt3,
+       cd_dep_count, COUNT(*) cnt4, cd_dep_employed_count, COUNT(*) cnt5,
+       cd_dep_college_count, COUNT(*) cnt6
+FROM customer c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND ca_county IN ('Williamson County', 'Ziebach County', 'Walker County',
+                    'Daviess County', 'Barrow County')
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk
+                AND ss_sold_date_sk = d_date_sk
+                AND d_year = 1997 AND d_moy BETWEEN 1 AND 1 + 3)
+  AND (EXISTS (SELECT * FROM web_sales, date_dim
+               WHERE c.c_customer_sk = ws_bill_customer_sk
+                 AND ws_sold_date_sk = d_date_sk
+                 AND d_year = 1997 AND d_moy BETWEEN 1 AND 1 + 3)
+       OR EXISTS (SELECT * FROM catalog_sales, date_dim
+                  WHERE c.c_customer_sk = cs_ship_customer_sk
+                    AND cs_sold_date_sk = d_date_sk
+                    AND d_year = 1997 AND d_moy BETWEEN 1 AND 1 + 3))
+GROUP BY cd_gender, cd_marital_status, cd_education_status, cd_purchase_estimate,
+         cd_credit_rating, cd_dep_count, cd_dep_employed_count, cd_dep_college_count
+ORDER BY cd_gender, cd_marital_status, cd_education_status, cd_purchase_estimate,
+         cd_credit_rating, cd_dep_count, cd_dep_employed_count, cd_dep_college_count
+LIMIT 100
+"""
+
+# q35's aggregate columns carry aliases (avg1/max1/sum1, ...) so the
+# type-normalizing wrapper can reference them; the official template leaves
+# them unnamed, which yields engine-specific auto-generated names.
+_Q35 = """
+SELECT ca_state, cd_gender, cd_marital_status, cd_dep_count, COUNT(*) cnt1,
+       AVG(cd_dep_count) avg1, MAX(cd_dep_count) max1, SUM(cd_dep_count) sum1,
+       cd_dep_employed_count, COUNT(*) cnt2,
+       AVG(cd_dep_employed_count) avg2, MAX(cd_dep_employed_count) max2,
+       SUM(cd_dep_employed_count) sum2,
+       cd_dep_college_count, COUNT(*) cnt3,
+       AVG(cd_dep_college_count) avg3, MAX(cd_dep_college_count) max3,
+       SUM(cd_dep_college_count) sum3
+FROM customer c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk
+                AND ss_sold_date_sk = d_date_sk
+                AND d_year = 1997 AND d_qoy < 4)
+  AND (EXISTS (SELECT * FROM web_sales, date_dim
+               WHERE c.c_customer_sk = ws_bill_customer_sk
+                 AND ws_sold_date_sk = d_date_sk
+                 AND d_year = 1997 AND d_qoy < 4)
+       OR EXISTS (SELECT * FROM catalog_sales, date_dim
+                  WHERE c.c_customer_sk = cs_ship_customer_sk
+                    AND cs_sold_date_sk = d_date_sk
+                    AND d_year = 1997 AND d_qoy < 4))
+GROUP BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+ORDER BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+         cd_dep_employed_count, cd_dep_college_count
+LIMIT 100
+"""
+
+_Q69 = """
+SELECT cd_gender, cd_marital_status, cd_education_status, COUNT(*) cnt1,
+       cd_purchase_estimate, COUNT(*) cnt2, cd_credit_rating, COUNT(*) cnt3
+FROM customer c, customer_address ca, customer_demographics
+WHERE c.c_current_addr_sk = ca.ca_address_sk
+  AND ca_state IN ('KY', 'GA', 'CA')
+  AND cd_demo_sk = c.c_current_cdemo_sk
+  AND EXISTS (SELECT * FROM store_sales, date_dim
+              WHERE c.c_customer_sk = ss_customer_sk
+                AND ss_sold_date_sk = d_date_sk
+                AND d_year = 1997 AND d_moy BETWEEN 4 AND 4 + 0)
+  AND (NOT EXISTS (SELECT * FROM web_sales, date_dim
+                   WHERE c.c_customer_sk = ws_bill_customer_sk
+                     AND ws_sold_date_sk = d_date_sk
+                     AND d_year = 1997 AND d_moy BETWEEN 4 AND 4 + 0)
+       AND NOT EXISTS (SELECT * FROM catalog_sales, date_dim
+                       WHERE c.c_customer_sk = cs_ship_customer_sk
+                         AND cs_sold_date_sk = d_date_sk
+                         AND d_year = 1997 AND d_moy BETWEEN 4 AND 4 + 0))
+GROUP BY cd_gender, cd_marital_status, cd_education_status, cd_purchase_estimate,
+         cd_credit_rating
+ORDER BY cd_gender, cd_marital_status, cd_education_status, cd_purchase_estimate,
+         cd_credit_rating
+LIMIT 100
+"""
+
+# q8's zip list is bound to the derived domain (ca_zip = 10000 + 7*custkey for
+# small keys, all prefixed '10' like the store zips); the preferred-customer
+# HAVING threshold is bound to 0 — the official "> 10" assumes dsdgen's
+# 100k-customer-per-SF zip density that a mini schema cannot reach.
+_Q8_ZIPS = ", ".join(f"'{10000 + 14 * k}'" for k in range(1, 101))
+
+_Q8 = f"""
+SELECT s_store_name, SUM(ss_net_profit) profit
+FROM store_sales, date_dim, store,
+     (SELECT ca_zip
+      FROM (
+        (SELECT substr(ca_zip, 1, 5) ca_zip
+         FROM customer_address
+         WHERE substr(ca_zip, 1, 5) IN ({_Q8_ZIPS}))
+        INTERSECT
+        (SELECT ca_zip
+         FROM (SELECT substr(ca_zip, 1, 5) ca_zip, COUNT(*) cnt
+               FROM customer_address, customer
+               WHERE ca_address_sk = c_current_addr_sk
+                 AND c_preferred_cust_flag = 'Y'
+               GROUP BY ca_zip
+               HAVING COUNT(*) > 0) A1)) A2) V1
+WHERE ss_store_sk = s_store_sk
+  AND ss_sold_date_sk = d_date_sk
+  AND d_qoy = 2 AND d_year = 1997
+  AND (substr(s_zip, 1, 2) = substr(V1.ca_zip, 1, 2))
+GROUP BY s_store_name
+ORDER BY s_store_name
+LIMIT 100
+"""
+
+_Q18 = """
+SELECT i_item_id, ca_country, ca_state, ca_county,
+       AVG(CAST(cs_quantity AS DECIMAL(12,2))) agg1,
+       AVG(CAST(cs_list_price AS DECIMAL(12,2))) agg2,
+       AVG(CAST(cs_coupon_amt AS DECIMAL(12,2))) agg3,
+       AVG(CAST(cs_sales_price AS DECIMAL(12,2))) agg4,
+       AVG(CAST(cs_net_profit AS DECIMAL(12,2))) agg5,
+       AVG(CAST(c_birth_year AS DECIMAL(12,2))) agg6,
+       AVG(CAST(cd1.cd_dep_count AS DECIMAL(12,2))) agg7
+FROM catalog_sales, customer_demographics cd1, customer_demographics cd2,
+     customer, customer_address, date_dim, item
+WHERE cs_sold_date_sk = d_date_sk
+  AND cs_item_sk = i_item_sk
+  AND cs_bill_cdemo_sk = cd1.cd_demo_sk
+  AND cs_bill_customer_sk = c_customer_sk
+  AND cd1.cd_gender = 'F'
+  AND cd1.cd_education_status = 'Unknown'
+  AND c_current_cdemo_sk = cd2.cd_demo_sk
+  AND c_current_addr_sk = ca_address_sk
+  AND c_birth_month IN (12)
+  AND d_year = 2001
+  AND ca_state IN ('GA')
+GROUP BY ROLLUP (i_item_id, ca_country, ca_state, ca_county)
+ORDER BY ca_country, ca_state, ca_county, i_item_id
+LIMIT 100
+"""
+
 _WRAPPED = {
     "tpcds_q1": f"SELECT c_customer_id FROM ({_Q1}) v",
     "tpcds_q3": (
@@ -2951,6 +3133,56 @@ _WRAPPED = {
         + f" FROM ({_Q28}) v"
     ),
     "tpcds_q41": f"SELECT i_product_name FROM ({_Q41}) v",
+    "tpcds_q8": (
+        f"SELECT s_store_name, CAST(profit AS DOUBLE) AS profit FROM ({_Q8}) v"
+    ),
+    "tpcds_q10": (
+        "SELECT cd_gender, cd_marital_status, cd_education_status, "
+        "CAST(cnt1 AS BIGINT) AS cnt1, CAST(cd_purchase_estimate AS BIGINT) "
+        "AS cd_purchase_estimate, CAST(cnt2 AS BIGINT) AS cnt2, "
+        "cd_credit_rating, CAST(cnt3 AS BIGINT) AS cnt3, "
+        "CAST(cd_dep_count AS BIGINT) AS cd_dep_count, "
+        "CAST(cnt4 AS BIGINT) AS cnt4, "
+        "CAST(cd_dep_employed_count AS BIGINT) AS cd_dep_employed_count, "
+        "CAST(cnt5 AS BIGINT) AS cnt5, "
+        "CAST(cd_dep_college_count AS BIGINT) AS cd_dep_college_count, "
+        "CAST(cnt6 AS BIGINT) AS cnt6 "
+        f"FROM ({_Q10}) v"
+    ),
+    "tpcds_q35": (
+        "SELECT ca_state, cd_gender, cd_marital_status, "
+        "CAST(cd_dep_count AS BIGINT) AS cd_dep_count, "
+        "CAST(cnt1 AS BIGINT) AS cnt1, CAST(avg1 AS DOUBLE) AS avg1, "
+        "CAST(max1 AS BIGINT) AS max1, CAST(sum1 AS BIGINT) AS sum1, "
+        "CAST(cd_dep_employed_count AS BIGINT) AS cd_dep_employed_count, "
+        "CAST(cnt2 AS BIGINT) AS cnt2, CAST(avg2 AS DOUBLE) AS avg2, "
+        "CAST(max2 AS BIGINT) AS max2, CAST(sum2 AS BIGINT) AS sum2, "
+        "CAST(cd_dep_college_count AS BIGINT) AS cd_dep_college_count, "
+        "CAST(cnt3 AS BIGINT) AS cnt3, CAST(avg3 AS DOUBLE) AS avg3, "
+        "CAST(max3 AS BIGINT) AS max3, CAST(sum3 AS BIGINT) AS sum3 "
+        f"FROM ({_Q35}) v"
+    ),
+    "tpcds_q69": (
+        "SELECT cd_gender, cd_marital_status, cd_education_status, "
+        "CAST(cnt1 AS BIGINT) AS cnt1, CAST(cd_purchase_estimate AS BIGINT) "
+        "AS cd_purchase_estimate, CAST(cnt2 AS BIGINT) AS cnt2, "
+        "cd_credit_rating, CAST(cnt3 AS BIGINT) AS cnt3 "
+        f"FROM ({_Q69}) v"
+    ),
+    # round (not floor): agg5 averages a signed profit — floor amplifies
+    # -1-ulp double noise on negative grid values (see q36's convention note).
+    # The i_item_id IS NOT NULL guard drops exactly the ROLLUP grand-total
+    # row (the only level without an item key): on EMPTY input DuckDB still
+    # emits that one all-NULL row while Spark emits nothing — an engine
+    # divergence the guard normalizes identically on both sides.
+    "tpcds_q18": (
+        "SELECT i_item_id, ca_country, ca_state, ca_county, "
+        + ", ".join(
+            f"round(CAST(agg{i} AS DOUBLE) * 1e4) / 1e4 AS agg{i}"
+            for i in range(1, 8)
+        )
+        + f" FROM ({_Q18}) v WHERE i_item_id IS NOT NULL"
+    ),
     "tpcds_q76": (
         "SELECT channel, col_name, d_year, d_qoy, i_category, "
         "CAST(sales_cnt AS BIGINT) AS sales_cnt, "
@@ -2975,5 +3207,10 @@ def _tpcds_query(name: str):
     return run
 
 
+# per-query oracle dim overrides (engine-rounding emulation; see
+# _DDB_DIMS_CS_HALFUP above)
+_ORACLE_DIMS = {"tpcds_q18": _DDB_DIMS_CS_HALFUP}
+
 for _name in _WRAPPED:
-    query(_name, oracle=f"WITH {_DDB_DIMS} {_WRAPPED[_name]}")(_tpcds_query(_name))
+    _dims = _ORACLE_DIMS.get(_name, _DDB_DIMS)
+    query(_name, oracle=f"WITH {_dims} {_WRAPPED[_name]}")(_tpcds_query(_name))
