@@ -2806,6 +2806,239 @@ ORDER BY ca_country, ca_state, ca_county, i_item_id
 LIMIT 100
 """
 
+_Q74 = """
+WITH year_total AS (
+    SELECT c_customer_id customer_id, c_first_name customer_first_name,
+           c_last_name customer_last_name, d_year AS year,
+           SUM(ss_net_paid) year_total, 's' sale_type
+    FROM customer, store_sales, date_dim
+    WHERE c_customer_sk = ss_customer_sk
+      AND ss_sold_date_sk = d_date_sk
+      AND d_year IN (1996, 1996 + 1)
+    GROUP BY c_customer_id, c_first_name, c_last_name, d_year
+    UNION ALL
+    SELECT c_customer_id customer_id, c_first_name customer_first_name,
+           c_last_name customer_last_name, d_year AS year,
+           SUM(ws_net_paid) year_total, 'w' sale_type
+    FROM customer, web_sales, date_dim
+    WHERE c_customer_sk = ws_bill_customer_sk
+      AND ws_sold_date_sk = d_date_sk
+      AND d_year IN (1996, 1996 + 1)
+    GROUP BY c_customer_id, c_first_name, c_last_name, d_year)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's'
+  AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's'
+  AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.year = 1996
+  AND t_s_secyear.year = 1996 + 1
+  AND t_w_firstyear.year = 1996
+  AND t_w_secyear.year = 1996 + 1
+  AND t_s_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_w_firstyear.year_total > 0
+           THEN t_w_secyear.year_total / t_w_firstyear.year_total
+           ELSE NULL END
+      > CASE WHEN t_s_firstyear.year_total > 0
+             THEN t_s_secyear.year_total / t_s_firstyear.year_total
+             ELSE NULL END
+ORDER BY 1, 1, 1
+LIMIT 100
+"""
+
+_Q11 = """
+WITH year_total AS (
+    SELECT c_customer_id customer_id, c_first_name customer_first_name,
+           c_last_name customer_last_name,
+           c_preferred_cust_flag customer_preferred_cust_flag,
+           d_year AS dyear,
+           SUM(ss_ext_list_price - ss_ext_discount_amt) year_total,
+           's' sale_type
+    FROM customer, store_sales, date_dim
+    WHERE c_customer_sk = ss_customer_sk
+      AND ss_sold_date_sk = d_date_sk
+    GROUP BY c_customer_id, c_first_name, c_last_name,
+             c_preferred_cust_flag, d_year
+    UNION ALL
+    SELECT c_customer_id customer_id, c_first_name customer_first_name,
+           c_last_name customer_last_name,
+           c_preferred_cust_flag customer_preferred_cust_flag,
+           d_year AS dyear,
+           SUM(ws_ext_list_price - ws_ext_discount_amt) year_total,
+           'w' sale_type
+    FROM customer, web_sales, date_dim
+    WHERE c_customer_sk = ws_bill_customer_sk
+      AND ws_sold_date_sk = d_date_sk
+    GROUP BY c_customer_id, c_first_name, c_last_name,
+             c_preferred_cust_flag, d_year)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name,
+       t_s_secyear.customer_preferred_cust_flag
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.sale_type = 's'
+  AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's'
+  AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 1996
+  AND t_s_secyear.dyear = 1996 + 1
+  AND t_w_firstyear.dyear = 1996
+  AND t_w_secyear.dyear = 1996 + 1
+  AND t_s_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_w_firstyear.year_total > 0
+           THEN t_w_secyear.year_total / t_w_firstyear.year_total
+           ELSE 0.0 END
+      > CASE WHEN t_s_firstyear.year_total > 0
+             THEN t_s_secyear.year_total / t_s_firstyear.year_total
+             ELSE 0.0 END
+ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+         t_s_secyear.customer_last_name,
+         t_s_secyear.customer_preferred_cust_flag
+LIMIT 100
+"""
+
+_Q4 = """
+WITH year_total AS (
+    SELECT c_customer_id customer_id, c_first_name customer_first_name,
+           c_last_name customer_last_name,
+           c_preferred_cust_flag customer_preferred_cust_flag,
+           d_year AS dyear,
+           SUM(((ss_ext_list_price - ss_ext_wholesale_cost
+                 - ss_ext_discount_amt) + ss_ext_sales_price) / 2) year_total,
+           's' sale_type
+    FROM customer, store_sales, date_dim
+    WHERE c_customer_sk = ss_customer_sk
+      AND ss_sold_date_sk = d_date_sk
+    GROUP BY c_customer_id, c_first_name, c_last_name,
+             c_preferred_cust_flag, d_year
+    UNION ALL
+    SELECT c_customer_id customer_id, c_first_name customer_first_name,
+           c_last_name customer_last_name,
+           c_preferred_cust_flag customer_preferred_cust_flag,
+           d_year AS dyear,
+           SUM(((cs_ext_list_price - cs_ext_wholesale_cost
+                 - cs_ext_discount_amt) + cs_ext_sales_price) / 2) year_total,
+           'c' sale_type
+    FROM customer, catalog_sales, date_dim
+    WHERE c_customer_sk = cs_bill_customer_sk
+      AND cs_sold_date_sk = d_date_sk
+    GROUP BY c_customer_id, c_first_name, c_last_name,
+             c_preferred_cust_flag, d_year
+    UNION ALL
+    SELECT c_customer_id customer_id, c_first_name customer_first_name,
+           c_last_name customer_last_name,
+           c_preferred_cust_flag customer_preferred_cust_flag,
+           d_year AS dyear,
+           SUM(((ws_ext_list_price - ws_ext_wholesale_cost
+                 - ws_ext_discount_amt) + ws_ext_sales_price) / 2) year_total,
+           'w' sale_type
+    FROM customer, web_sales, date_dim
+    WHERE c_customer_sk = ws_bill_customer_sk
+      AND ws_sold_date_sk = d_date_sk
+    GROUP BY c_customer_id, c_first_name, c_last_name,
+             c_preferred_cust_flag, d_year)
+SELECT t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+       t_s_secyear.customer_last_name,
+       t_s_secyear.customer_preferred_cust_flag
+FROM year_total t_s_firstyear, year_total t_s_secyear,
+     year_total t_c_firstyear, year_total t_c_secyear,
+     year_total t_w_firstyear, year_total t_w_secyear
+WHERE t_s_secyear.customer_id = t_s_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_secyear.customer_id
+  AND t_s_firstyear.customer_id = t_c_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_firstyear.customer_id
+  AND t_s_firstyear.customer_id = t_w_secyear.customer_id
+  AND t_s_firstyear.sale_type = 's'
+  AND t_c_firstyear.sale_type = 'c'
+  AND t_w_firstyear.sale_type = 'w'
+  AND t_s_secyear.sale_type = 's'
+  AND t_c_secyear.sale_type = 'c'
+  AND t_w_secyear.sale_type = 'w'
+  AND t_s_firstyear.dyear = 1996
+  AND t_s_secyear.dyear = 1996 + 1
+  AND t_c_firstyear.dyear = 1996
+  AND t_c_secyear.dyear = 1996 + 1
+  AND t_w_firstyear.dyear = 1996
+  AND t_w_secyear.dyear = 1996 + 1
+  AND t_s_firstyear.year_total > 0
+  AND t_c_firstyear.year_total > 0
+  AND t_w_firstyear.year_total > 0
+  AND CASE WHEN t_c_firstyear.year_total > 0
+           THEN t_c_secyear.year_total / t_c_firstyear.year_total
+           ELSE NULL END
+      > CASE WHEN t_s_firstyear.year_total > 0
+             THEN t_s_secyear.year_total / t_s_firstyear.year_total
+             ELSE NULL END
+  AND CASE WHEN t_c_firstyear.year_total > 0
+           THEN t_c_secyear.year_total / t_c_firstyear.year_total
+           ELSE NULL END
+      > CASE WHEN t_w_firstyear.year_total > 0
+             THEN t_w_secyear.year_total / t_w_firstyear.year_total
+             ELSE NULL END
+ORDER BY t_s_secyear.customer_id, t_s_secyear.customer_first_name,
+         t_s_secyear.customer_last_name,
+         t_s_secyear.customer_preferred_cust_flag
+LIMIT 100
+"""
+
+_Q58 = """
+WITH ss_items AS (
+    SELECT i_item_id item_id, SUM(ss_ext_sales_price) ss_item_rev
+    FROM store_sales, item, date_dim
+    WHERE ss_item_sk = i_item_sk
+      AND d_date IN (SELECT d_date FROM date_dim
+                     WHERE d_week_seq = (SELECT d_week_seq FROM date_dim
+                                         WHERE d_date = '1997-03-19'))
+      AND ss_sold_date_sk = d_date_sk
+    GROUP BY i_item_id),
+cs_items AS (
+    SELECT i_item_id item_id, SUM(cs_ext_sales_price) cs_item_rev
+    FROM catalog_sales, item, date_dim
+    WHERE cs_item_sk = i_item_sk
+      AND d_date IN (SELECT d_date FROM date_dim
+                     WHERE d_week_seq = (SELECT d_week_seq FROM date_dim
+                                         WHERE d_date = '1997-03-19'))
+      AND cs_sold_date_sk = d_date_sk
+    GROUP BY i_item_id),
+ws_items AS (
+    SELECT i_item_id item_id, SUM(ws_ext_sales_price) ws_item_rev
+    FROM web_sales, item, date_dim
+    WHERE ws_item_sk = i_item_sk
+      AND d_date IN (SELECT d_date FROM date_dim
+                     WHERE d_week_seq = (SELECT d_week_seq FROM date_dim
+                                         WHERE d_date = '1997-03-19'))
+      AND ws_sold_date_sk = d_date_sk
+    GROUP BY i_item_id)
+SELECT ss_items.item_id, ss_item_rev,
+       ss_item_rev / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100 ss_dev,
+       cs_item_rev,
+       cs_item_rev / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100 cs_dev,
+       ws_item_rev,
+       ws_item_rev / ((ss_item_rev + cs_item_rev + ws_item_rev) / 3) * 100 ws_dev,
+       (ss_item_rev + cs_item_rev + ws_item_rev) / 3 average
+FROM ss_items, cs_items, ws_items
+WHERE ss_items.item_id = cs_items.item_id
+  AND ss_items.item_id = ws_items.item_id
+  AND ss_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+  AND cs_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+  AND ss_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+  AND ws_item_rev BETWEEN 0.9 * ss_item_rev AND 1.1 * ss_item_rev
+  AND cs_item_rev BETWEEN 0.9 * ws_item_rev AND 1.1 * ws_item_rev
+  AND ws_item_rev BETWEEN 0.9 * cs_item_rev AND 1.1 * cs_item_rev
+ORDER BY ss_items.item_id, ss_item_rev
+LIMIT 100
+"""
+
 _WRAPPED = {
     "tpcds_q1": f"SELECT c_customer_id FROM ({_Q1}) v",
     "tpcds_q3": (
@@ -3133,6 +3366,30 @@ _WRAPPED = {
         + f" FROM ({_Q28}) v"
     ),
     "tpcds_q41": f"SELECT i_product_name FROM ({_Q41}) v",
+    "tpcds_q74": (
+        "SELECT customer_id, customer_first_name, customer_last_name "
+        f"FROM ({_Q74}) v"
+    ),
+    "tpcds_q11": (
+        "SELECT customer_id, customer_first_name, customer_last_name, "
+        "customer_preferred_cust_flag "
+        f"FROM ({_Q11}) v"
+    ),
+    "tpcds_q4": (
+        "SELECT customer_id, customer_first_name, customer_last_name, "
+        "customer_preferred_cust_flag "
+        f"FROM ({_Q4}) v"
+    ),
+    "tpcds_q58": (
+        "SELECT item_id, CAST(ss_item_rev AS DOUBLE) AS ss_item_rev, "
+        "round(CAST(ss_dev AS DOUBLE) * 1e4) / 1e4 AS ss_dev, "
+        "CAST(cs_item_rev AS DOUBLE) AS cs_item_rev, "
+        "round(CAST(cs_dev AS DOUBLE) * 1e4) / 1e4 AS cs_dev, "
+        "CAST(ws_item_rev AS DOUBLE) AS ws_item_rev, "
+        "round(CAST(ws_dev AS DOUBLE) * 1e4) / 1e4 AS ws_dev, "
+        "round(CAST(average AS DOUBLE) * 1e4) / 1e4 AS average "
+        f"FROM ({_Q58}) v"
+    ),
     "tpcds_q8": (
         f"SELECT s_store_name, CAST(profit AS DOUBLE) AS profit FROM ({_Q8}) v"
     ),
