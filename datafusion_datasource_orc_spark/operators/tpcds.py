@@ -106,6 +106,21 @@ _HD_ROWS = 720  # hd_demo_sk domain; ss_hdemo_sk = o_custkey % 720
 _I_SIZES = ("petite", "small", "medium", "large", "extra large", "N/A")
 _I_UNITS = ("Unknown", "Each", "Dozen", "Case", "Bunch", "Ounce", "Ton", "Gram")
 _CD_CREDIT = ("Low Risk", "Good", "High Risk", "Unknown")
+_BIRTH_COUNTRIES = (
+    "UNITED STATES",
+    "CANADA",
+    "MEXICO",
+    "FRANCE",
+    "GERMANY",
+    "JAPAN",
+    "BRAZIL",
+)
+_SM_TYPES = ("EXPRESS", "AIR", "SURFACE", "SEA", "OVERNIGHT")
+_SM_CARRIERS = ("UPS", "FEDEX", "DHL", "USPS")
+_CP_TYPES = ("monthly", "quarterly", "bi-annual")
+_CP_ROWS = 40  # cp_catalog_page_sk domain; sized so q5/q80's channel-id
+# ROLLUP output (25 stores + 40 pages + 10 sites + levels) stays under the
+# templates' LIMIT 100 — past it, Spark/DuckDB null-ordering diverges on cut
 
 
 # ---------------------------------------------------------------- Spark side
@@ -208,6 +223,16 @@ def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_custkey") % _HD_ROWS).alias("c_current_hdemo_sk"),
         ((F.col("c_custkey") % 12) + 1).alias("c_birth_month"),
         (1930 + F.col("c_custkey") % 60).alias("c_birth_year"),
+        ((F.col("c_custkey") % 28) + 1).alias("c_birth_day"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in _BIRTH_COUNTRIES]),
+            (F.col("c_custkey") % len(_BIRTH_COUNTRIES) + 1).cast("int"),
+        ).alias("c_birth_country"),
+        F.concat(F.lit("login_"), F.col("c_custkey").cast("string")).alias("c_login"),
+        F.concat(
+            F.lit("Customer_"), F.col("c_custkey").cast("string"), F.lit("@example.com")
+        ).alias("c_email_address"),
+        (2000 + F.col("c_custkey") % 1000).alias("c_last_review_date_sk"),
     )
 
 
@@ -230,6 +255,18 @@ def _customer_address(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ca_county"),
         F.lit(-5).alias("ca_gmt_offset"),
         F.lit("United States").alias("ca_country"),
+        (100 + F.col("c_custkey") % 900).cast("string").alias("ca_street_number"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in _CITIES]),
+            (F.col("c_custkey") % 10 + 1).cast("int"),
+        ).alias("ca_street_name"),
+        F.lit("Street").alias("ca_street_type"),
+        F.concat(F.lit("Suite "), (F.col("c_custkey") % 100).cast("string")).alias(
+            "ca_suite_number"
+        ),
+        F.when(F.col("c_custkey") % 3 == 0, "apartment")
+        .otherwise(F.lit("single family"))
+        .alias("ca_location_type"),
     )
 
 
@@ -508,7 +545,7 @@ def _catalog_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ((F.col("l_orderkey") + F.col("l_suppkey")) % 20).alias("cs_ship_mode_sk"),
         (F.col("o_custkey") % 6).alias("cs_call_center_sk"),
-        ((F.col("l_orderkey") + F.col("l_linenumber") * 11) % 100).alias(
+        ((F.col("l_orderkey") + F.col("l_linenumber") * 11) % _CP_ROWS).alias(
             "cs_catalog_page_sk"
         ),
         F.col("o_custkey").alias("cs_ship_customer_sk"),
@@ -616,6 +653,189 @@ def _promotion(spark: SparkSession) -> DataFrame:
     )
 
 
+def _web_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Returns of the WEB channel slice only (incl. the mirrored multi-channel
+    # shopper lines), so every wr row joins back to its ws row on
+    # (order_number, item) — the q49/q78/q85 closure.
+    s = (F.col("l_orderkey") + F.col("l_linenumber")) % 3
+    j = _sales_base(spark, sf_dir).filter(
+        (F.col("l_returnflag") == "R")
+        & ((s == 0) | ((s == 2) & (F.col("o_custkey") % 7 == 3)))
+    )
+    return j.select(
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit(_EPOCH).cast("date")).alias(
+            "wr_returned_date_sk"
+        ),
+        F.col("l_partkey").alias("wr_item_sk"),
+        F.col("l_orderkey").alias("wr_order_number"),
+        F.col("o_custkey").alias("wr_returning_customer_sk"),
+        F.col("o_custkey").alias("wr_refunded_customer_sk"),
+        F.col("o_custkey").alias("wr_returning_addr_sk"),
+        F.col("o_custkey").alias("wr_refunded_addr_sk"),
+        F.col("o_custkey").alias("wr_returning_cdemo_sk"),
+        F.col("o_custkey").alias("wr_refunded_cdemo_sk"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("wr_return_amt"),
+        F.col("l_quantity").cast("int").alias("wr_return_quantity"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(0.1).cast("decimal(6,4)") + F.col("l_tax").cast("decimal(6,4)"))
+        ).alias("wr_net_loss"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+        ).alias("wr_refunded_cash"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(6,4)")
+        ).alias("wr_fee"),
+        (F.col("l_linenumber") % 10).alias("wr_reason_sk"),
+        ((F.col("l_orderkey") + F.col("l_linenumber") * 7) % 20).alias("wr_web_page_sk"),
+    )
+
+
+def _catalog_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Returns of the CATALOG channel slice (incl. mirrored lines); cr rows
+    # join back to cs rows on (order_number, item).
+    s = (F.col("l_orderkey") + F.col("l_linenumber")) % 3
+    j = _sales_base(spark, sf_dir).filter(
+        (F.col("l_returnflag") == "R")
+        & ((s == 1) | ((s == 2) & (F.col("o_custkey") % 5 == 0)))
+    )
+    return j.select(
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit(_EPOCH).cast("date")).alias(
+            "cr_returned_date_sk"
+        ),
+        F.col("l_partkey").alias("cr_item_sk"),
+        F.col("l_orderkey").alias("cr_order_number"),
+        F.col("o_custkey").alias("cr_returning_customer_sk"),
+        F.col("o_custkey").alias("cr_refunded_customer_sk"),
+        F.col("o_custkey").alias("cr_returning_addr_sk"),
+        F.col("o_custkey").alias("cr_refunded_addr_sk"),
+        F.col("o_custkey").alias("cr_returning_cdemo_sk"),
+        F.col("o_custkey").alias("cr_refunded_cdemo_sk"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("cr_return_amount"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
+        ).alias("cr_return_amt_inc_tax"),
+        F.col("l_quantity").cast("int").alias("cr_return_quantity"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(0.1).cast("decimal(6,4)") + F.col("l_tax").cast("decimal(6,4)"))
+        ).alias("cr_net_loss"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+        ).alias("cr_refunded_cash"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(6,4)")
+        ).alias("cr_fee"),
+        (F.col("l_linenumber") % 10).alias("cr_reason_sk"),
+        (F.col("o_custkey") % 6).alias("cr_call_center_sk"),
+        ((F.col("l_orderkey") + F.col("l_linenumber") * 11) % _CP_ROWS).alias(
+            "cr_catalog_page_sk"
+        ),
+        (F.col("l_suppkey") % 5).alias("cr_warehouse_sk"),
+    )
+
+
+def _warehouse(spark: SparkSession) -> DataFrame:
+    w = spark.sql("SELECT explode(sequence(0, 4)) AS w_warehouse_sk")
+    return w.select(
+        "w_warehouse_sk",
+        F.concat(F.lit("Warehouse_"), F.col("w_warehouse_sk").cast("string")).alias(
+            "w_warehouse_name"
+        ),
+        ((F.col("w_warehouse_sk") + 1) * 10000).alias("w_warehouse_sq_ft"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in _CITIES]),
+            (F.col("w_warehouse_sk") % 10 + 1).cast("int"),
+        ).alias("w_city"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in _COUNTIES]),
+            (F.col("w_warehouse_sk") % 5 + 1).cast("int"),
+        ).alias("w_county"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in _STATES]),
+            (F.col("w_warehouse_sk") % 5 + 1).cast("int"),
+        ).alias("w_state"),
+        F.lit("United States").alias("w_country"),
+    )
+
+
+def _ship_mode(spark: SparkSession) -> DataFrame:
+    s = spark.sql("SELECT explode(sequence(0, 19)) AS sm_ship_mode_sk")
+    return s.select(
+        "sm_ship_mode_sk",
+        F.element_at(
+            F.array(*[F.lit(t) for t in _SM_TYPES]),
+            (F.col("sm_ship_mode_sk") % 5 + 1).cast("int"),
+        ).alias("sm_type"),
+        F.element_at(
+            F.array(*[F.lit(c) for c in _SM_CARRIERS]),
+            (F.col("sm_ship_mode_sk") % 4 + 1).cast("int"),
+        ).alias("sm_carrier"),
+        F.concat(F.lit("code_"), F.col("sm_ship_mode_sk").cast("string")).alias(
+            "sm_code"
+        ),
+    )
+
+
+def _call_center(spark: SparkSession) -> DataFrame:
+    c = spark.sql("SELECT explode(sequence(0, 5)) AS cc_call_center_sk")
+    return c.select(
+        "cc_call_center_sk",
+        F.concat(F.lit("cc_"), F.col("cc_call_center_sk").cast("string")).alias(
+            "cc_call_center_id"
+        ),
+        F.concat(F.lit("CallCenter_"), F.col("cc_call_center_sk").cast("string")).alias(
+            "cc_name"
+        ),
+        F.concat(F.lit("Manager_"), F.col("cc_call_center_sk").cast("string")).alias(
+            "cc_manager"
+        ),
+        F.element_at(
+            F.array(*[F.lit(c) for c in _COUNTIES]),
+            (F.col("cc_call_center_sk") % 5 + 1).cast("int"),
+        ).alias("cc_county"),
+    )
+
+
+def _web_site(spark: SparkSession) -> DataFrame:
+    w = spark.sql("SELECT explode(sequence(0, 9)) AS web_site_sk")
+    return w.select(
+        "web_site_sk",
+        F.concat(F.lit("site_"), F.col("web_site_sk").cast("string")).alias(
+            "web_site_id"
+        ),
+        F.concat(F.lit("site_"), F.col("web_site_sk").cast("string")).alias("web_name"),
+        F.lit("pri").alias("web_company_name"),
+    )
+
+
+def _web_page(spark: SparkSession) -> DataFrame:
+    w = spark.sql("SELECT explode(sequence(0, 19)) AS wp_web_page_sk")
+    return w.select(
+        "wp_web_page_sk",
+        (2500 + F.col("wp_web_page_sk") * 100).alias("wp_char_count"),
+    )
+
+
+def _catalog_page(spark: SparkSession) -> DataFrame:
+    c = spark.sql(f"SELECT explode(sequence(0, {_CP_ROWS - 1})) AS cp_catalog_page_sk")
+    return c.select(
+        "cp_catalog_page_sk",
+        F.concat(F.lit("page_"), F.col("cp_catalog_page_sk").cast("string")).alias(
+            "cp_catalog_page_id"
+        ),
+        F.element_at(
+            F.array(*[F.lit(t) for t in _CP_TYPES]),
+            (F.col("cp_catalog_page_sk") % 3 + 1).cast("int"),
+        ).alias("cp_type"),
+    )
+
+
 def _reason(spark: SparkSession) -> DataFrame:
     r = spark.sql("SELECT explode(sequence(0, 9)) AS r_reason_sk")
     return r.select(
@@ -642,6 +862,14 @@ def _register_tpcds_views(spark: SparkSession, sf_dir: str) -> None:
     _time_dim(spark).createOrReplaceTempView("time_dim")
     _reason(spark).createOrReplaceTempView("reason")
     _income_band(spark).createOrReplaceTempView("income_band")
+    _web_returns(spark, sf_dir).createOrReplaceTempView("web_returns")
+    _catalog_returns(spark, sf_dir).createOrReplaceTempView("catalog_returns")
+    _warehouse(spark).createOrReplaceTempView("warehouse")
+    _ship_mode(spark).createOrReplaceTempView("ship_mode")
+    _call_center(spark).createOrReplaceTempView("call_center")
+    _web_site(spark).createOrReplaceTempView("web_site")
+    _web_page(spark).createOrReplaceTempView("web_page")
+    _catalog_page(spark).createOrReplaceTempView("catalog_page")
 
 
 # --------------------------------------------------------------- DuckDB side
@@ -701,7 +929,14 @@ customer AS (
            c_custkey AS c_current_cdemo_sk,
            c_custkey % 720 AS c_current_hdemo_sk,
            (c_custkey % 12) + 1 AS c_birth_month,
-           1930 + c_custkey % 60 AS c_birth_year
+           1930 + c_custkey % 60 AS c_birth_year,
+           (c_custkey % 28) + 1 AS c_birth_day,
+           ['UNITED STATES','CANADA','MEXICO','FRANCE','GERMANY','JAPAN','BRAZIL']
+               [CAST(c_custkey % 7 AS INTEGER) + 1] AS c_birth_country,
+           'login_' || CAST(c_custkey AS VARCHAR) AS c_login,
+           'Customer_' || CAST(c_custkey AS VARCHAR) || '@example.com'
+               AS c_email_address,
+           2000 + c_custkey % 1000 AS c_last_review_date_sk
     FROM main.customer
 ),
 customer_address AS (
@@ -714,7 +949,14 @@ customer_address AS (
             'Daviess County','Barrow County']
                [CAST(c_custkey % 5 AS INTEGER) + 1] AS ca_county,
            -5 AS ca_gmt_offset,
-           'United States' AS ca_country
+           'United States' AS ca_country,
+           CAST(100 + c_custkey % 900 AS VARCHAR) AS ca_street_number,
+           [{", ".join("'%s'" % c for c in _CITIES)}]
+               [CAST(c_custkey % 10 AS INTEGER) + 1] AS ca_street_name,
+           'Street' AS ca_street_type,
+           'Suite ' || CAST(c_custkey % 100 AS VARCHAR) AS ca_suite_number,
+           CASE WHEN c_custkey % 3 = 0 THEN 'apartment'
+                ELSE 'single family' END AS ca_location_type
     FROM main.customer
 ),
 store AS (
@@ -869,7 +1111,7 @@ catalog_sales AS (
            datediff('day', DATE '{_EPOCH}', CAST(l_shipdate AS DATE)) AS cs_ship_date_sk,
            (l_orderkey + l_suppkey) % 20 AS cs_ship_mode_sk,
            o_custkey % 6 AS cs_call_center_sk,
-           (l_orderkey + l_linenumber * 11) % 100 AS cs_catalog_page_sk,
+           (l_orderkey + l_linenumber * 11) % {_CP_ROWS} AS cs_catalog_page_sk,
            o_custkey AS cs_ship_customer_sk,
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(l_tax AS DECIMAL(6,4)) AS cs_ext_ship_cost,
@@ -927,6 +1169,109 @@ store_returns AS (
            o_custkey AS sr_cdemo_sk
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_returnflag = 'R' AND (l_orderkey + l_linenumber) % 3 = 2
+),
+web_returns AS (
+    SELECT datediff('day', DATE '{_EPOCH}', CAST(l_shipdate AS DATE)) AS wr_returned_date_sk,
+           l_partkey AS wr_item_sk,
+           l_orderkey AS wr_order_number,
+           o_custkey AS wr_returning_customer_sk,
+           o_custkey AS wr_refunded_customer_sk,
+           o_custkey AS wr_returning_addr_sk,
+           o_custkey AS wr_refunded_addr_sk,
+           o_custkey AS wr_returning_cdemo_sk,
+           o_custkey AS wr_refunded_cdemo_sk,
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS wr_return_amt,
+           CAST(l_quantity AS INTEGER) AS wr_return_quantity,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(0.1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))
+               AS wr_net_loss,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_discount AS DECIMAL(6,4)) AS wr_refunded_cash,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(6,4)) AS wr_fee,
+           l_linenumber % 10 AS wr_reason_sk,
+           (l_orderkey + l_linenumber * 7) % 20 AS wr_web_page_sk
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND ((l_orderkey + l_linenumber) % 3 = 0
+           OR ((l_orderkey + l_linenumber) % 3 = 2 AND o_custkey % 7 = 3))
+),
+catalog_returns AS (
+    SELECT datediff('day', DATE '{_EPOCH}', CAST(l_shipdate AS DATE)) AS cr_returned_date_sk,
+           l_partkey AS cr_item_sk,
+           l_orderkey AS cr_order_number,
+           o_custkey AS cr_returning_customer_sk,
+           o_custkey AS cr_refunded_customer_sk,
+           o_custkey AS cr_returning_addr_sk,
+           o_custkey AS cr_refunded_addr_sk,
+           o_custkey AS cr_returning_cdemo_sk,
+           o_custkey AS cr_refunded_cdemo_sk,
+           CAST(l_extendedprice AS DECIMAL(12,2)) AS cr_return_amount,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 + l_tax AS DECIMAL(6,4)) AS cr_return_amt_inc_tax,
+           CAST(l_quantity AS INTEGER) AS cr_return_quantity,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(0.1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))
+               AS cr_net_loss,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_discount AS DECIMAL(6,4)) AS cr_refunded_cash,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(6,4)) AS cr_fee,
+           l_linenumber % 10 AS cr_reason_sk,
+           o_custkey % 6 AS cr_call_center_sk,
+           (l_orderkey + l_linenumber * 11) % {_CP_ROWS} AS cr_catalog_page_sk,
+           l_suppkey % 5 AS cr_warehouse_sk
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND ((l_orderkey + l_linenumber) % 3 = 1
+           OR ((l_orderkey + l_linenumber) % 3 = 2 AND o_custkey % 5 = 0))
+),
+warehouse AS (
+    SELECT i AS w_warehouse_sk,
+           'Warehouse_' || CAST(i AS VARCHAR) AS w_warehouse_name,
+           (i + 1) * 10000 AS w_warehouse_sq_ft,
+           [{", ".join("'%s'" % c for c in _CITIES)}]
+               [CAST(i % 10 AS INTEGER) + 1] AS w_city,
+           [{", ".join("'%s'" % c for c in _COUNTIES)}]
+               [CAST(i % 5 AS INTEGER) + 1] AS w_county,
+           ['{_STATES[0]}','{_STATES[1]}','{_STATES[2]}','{_STATES[3]}','{_STATES[4]}']
+               [CAST(i % 5 AS INTEGER) + 1] AS w_state,
+           'United States' AS w_country
+    FROM (SELECT UNNEST(generate_series(0, 4)) AS i)
+),
+ship_mode AS (
+    SELECT i AS sm_ship_mode_sk,
+           ['EXPRESS','AIR','SURFACE','SEA','OVERNIGHT']
+               [CAST(i % 5 AS INTEGER) + 1] AS sm_type,
+           ['UPS','FEDEX','DHL','USPS'][CAST(i % 4 AS INTEGER) + 1] AS sm_carrier,
+           'code_' || CAST(i AS VARCHAR) AS sm_code
+    FROM (SELECT UNNEST(generate_series(0, 19)) AS i)
+),
+call_center AS (
+    SELECT i AS cc_call_center_sk,
+           'cc_' || CAST(i AS VARCHAR) AS cc_call_center_id,
+           'CallCenter_' || CAST(i AS VARCHAR) AS cc_name,
+           'Manager_' || CAST(i AS VARCHAR) AS cc_manager,
+           [{", ".join("'%s'" % c for c in _COUNTIES)}]
+               [CAST(i % 5 AS INTEGER) + 1] AS cc_county
+    FROM (SELECT UNNEST(generate_series(0, 5)) AS i)
+),
+web_site AS (
+    SELECT i AS web_site_sk,
+           'site_' || CAST(i AS VARCHAR) AS web_site_id,
+           'site_' || CAST(i AS VARCHAR) AS web_name,
+           'pri' AS web_company_name
+    FROM (SELECT UNNEST(generate_series(0, 9)) AS i)
+),
+web_page AS (
+    SELECT i AS wp_web_page_sk, 2500 + i * 100 AS wp_char_count
+    FROM (SELECT UNNEST(generate_series(0, 19)) AS i)
+),
+catalog_page AS (
+    SELECT i AS cp_catalog_page_sk,
+           'page_' || CAST(i AS VARCHAR) AS cp_catalog_page_id,
+           ['monthly','quarterly','bi-annual'][CAST(i % 3 AS INTEGER) + 1] AS cp_type
+    FROM (SELECT UNNEST(generate_series(0, {_CP_ROWS - 1})) AS i)
 )
 """
 
@@ -3039,6 +3384,128 @@ ORDER BY ss_items.item_id, ss_item_rev
 LIMIT 100
 """
 
+_Q30 = """
+WITH customer_total_return AS (
+    SELECT wr_returning_customer_sk AS ctr_customer_sk, ca_state AS ctr_state,
+           SUM(wr_return_amt) AS ctr_total_return
+    FROM web_returns, date_dim, customer_address
+    WHERE wr_returned_date_sk = d_date_sk AND d_year = 1997
+      AND wr_returning_addr_sk = ca_address_sk
+    GROUP BY wr_returning_customer_sk, ca_state)
+SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+       c_preferred_cust_flag, c_birth_day, c_birth_month, c_birth_year,
+       c_birth_country, c_login, c_email_address, c_last_review_date_sk,
+       ctr_total_return
+FROM customer_total_return ctr1, customer_address, customer
+WHERE ctr1.ctr_total_return > (SELECT AVG(ctr_total_return) * 1.2
+                               FROM customer_total_return ctr2
+                               WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ca_address_sk = c_current_addr_sk
+  AND ca_state = 'GA'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name,
+         c_preferred_cust_flag, c_birth_day, c_birth_month, c_birth_year,
+         c_birth_country, c_login, c_email_address, c_last_review_date_sk,
+         ctr_total_return
+LIMIT 100
+"""
+
+_Q81 = """
+WITH customer_total_return AS (
+    SELECT cr_returning_customer_sk AS ctr_customer_sk, ca_state AS ctr_state,
+           SUM(cr_return_amt_inc_tax) AS ctr_total_return
+    FROM catalog_returns, date_dim, customer_address
+    WHERE cr_returned_date_sk = d_date_sk AND d_year = 1997
+      AND cr_returning_addr_sk = ca_address_sk
+    GROUP BY cr_returning_customer_sk, ctr_state)
+SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+       ca_street_number, ca_street_name, ca_street_type, ca_suite_number,
+       ca_city, ca_county, ca_state, ca_zip, ca_country, ca_gmt_offset,
+       ca_location_type, ctr_total_return
+FROM customer_total_return ctr1, customer_address, customer
+WHERE ctr1.ctr_total_return > (SELECT AVG(ctr_total_return) * 1.2
+                               FROM customer_total_return ctr2
+                               WHERE ctr1.ctr_state = ctr2.ctr_state)
+  AND ca_address_sk = c_current_addr_sk
+  AND ca_state = 'TN'
+  AND ctr1.ctr_customer_sk = c_customer_sk
+ORDER BY c_customer_id, c_salutation, c_first_name, c_last_name,
+         ca_street_number, ca_street_name, ca_street_type, ca_suite_number,
+         ca_city, ca_county, ca_state, ca_zip, ca_country, ca_gmt_offset,
+         ca_location_type, ctr_total_return
+LIMIT 100
+"""
+
+_Q83 = """
+WITH sr_items AS (
+    SELECT i_item_id item_id, SUM(sr_return_quantity) sr_item_qty
+    FROM store_returns, item, date_dim
+    WHERE sr_item_sk = i_item_sk
+      AND d_date IN (SELECT d_date FROM date_dim
+                     WHERE d_week_seq IN (SELECT d_week_seq FROM date_dim
+                                          WHERE d_date IN ('1997-03-19',
+                                                           '1997-06-25',
+                                                           '1997-10-16')))
+      AND sr_returned_date_sk = d_date_sk
+    GROUP BY i_item_id),
+cr_items AS (
+    SELECT i_item_id item_id, SUM(cr_return_quantity) cr_item_qty
+    FROM catalog_returns, item, date_dim
+    WHERE cr_item_sk = i_item_sk
+      AND d_date IN (SELECT d_date FROM date_dim
+                     WHERE d_week_seq IN (SELECT d_week_seq FROM date_dim
+                                          WHERE d_date IN ('1997-03-19',
+                                                           '1997-06-25',
+                                                           '1997-10-16')))
+      AND cr_returned_date_sk = d_date_sk
+    GROUP BY i_item_id),
+wr_items AS (
+    SELECT i_item_id item_id, SUM(wr_return_quantity) wr_item_qty
+    FROM web_returns, item, date_dim
+    WHERE wr_item_sk = i_item_sk
+      AND d_date IN (SELECT d_date FROM date_dim
+                     WHERE d_week_seq IN (SELECT d_week_seq FROM date_dim
+                                          WHERE d_date IN ('1997-03-19',
+                                                           '1997-06-25',
+                                                           '1997-10-16')))
+      AND wr_returned_date_sk = d_date_sk
+    GROUP BY i_item_id)
+SELECT sr_items.item_id, sr_item_qty,
+       sr_item_qty / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 sr_dev,
+       cr_item_qty,
+       cr_item_qty / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 cr_dev,
+       wr_item_qty,
+       wr_item_qty / (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 * 100 wr_dev,
+       (sr_item_qty + cr_item_qty + wr_item_qty) / 3.0 average
+FROM sr_items, cr_items, wr_items
+WHERE sr_items.item_id = cr_items.item_id
+  AND sr_items.item_id = wr_items.item_id
+ORDER BY sr_items.item_id, sr_item_qty
+LIMIT 100
+"""
+
+_Q91 = """
+SELECT cc_call_center_id Call_Center, cc_name Call_Center_Name,
+       cc_manager Manager, SUM(cr_net_loss) Returns_Loss
+FROM call_center, catalog_returns, date_dim, customer, customer_address,
+     customer_demographics, household_demographics
+WHERE cr_call_center_sk = cc_call_center_sk
+  AND cr_returned_date_sk = d_date_sk
+  AND cr_returning_customer_sk = c_customer_sk
+  AND cd_demo_sk = c_current_cdemo_sk
+  AND hd_demo_sk = c_current_hdemo_sk
+  AND ca_address_sk = c_current_addr_sk
+  AND d_year = 1997
+  AND d_moy = 11
+  AND ((cd_marital_status = 'M' AND cd_education_status = 'Unknown')
+       OR (cd_marital_status = 'W' AND cd_education_status = 'Advanced Degree'))
+  AND hd_buy_potential LIKE 'Unknown%'
+  AND ca_gmt_offset = -5
+GROUP BY cc_call_center_id, cc_name, cc_manager, cd_marital_status,
+         cd_education_status
+ORDER BY SUM(cr_net_loss) DESC
+"""
+
 _WRAPPED = {
     "tpcds_q1": f"SELECT c_customer_id FROM ({_Q1}) v",
     "tpcds_q3": (
@@ -3392,6 +3859,39 @@ _WRAPPED = {
     ),
     "tpcds_q8": (
         f"SELECT s_store_name, CAST(profit AS DOUBLE) AS profit FROM ({_Q8}) v"
+    ),
+    "tpcds_q30": (
+        "SELECT c_customer_id, c_salutation, c_first_name, c_last_name, "
+        "c_preferred_cust_flag, CAST(c_birth_day AS BIGINT) AS c_birth_day, "
+        "CAST(c_birth_month AS BIGINT) AS c_birth_month, "
+        "CAST(c_birth_year AS BIGINT) AS c_birth_year, c_birth_country, "
+        "c_login, c_email_address, "
+        "CAST(c_last_review_date_sk AS BIGINT) AS c_last_review_date_sk, "
+        "CAST(ctr_total_return AS DOUBLE) AS ctr_total_return "
+        f"FROM ({_Q30}) v"
+    ),
+    "tpcds_q81": (
+        "SELECT c_customer_id, c_salutation, c_first_name, c_last_name, "
+        "ca_street_number, ca_street_name, ca_street_type, ca_suite_number, "
+        "ca_city, ca_county, ca_state, ca_zip, ca_country, "
+        "CAST(ca_gmt_offset AS BIGINT) AS ca_gmt_offset, ca_location_type, "
+        "CAST(ctr_total_return AS DOUBLE) AS ctr_total_return "
+        f"FROM ({_Q81}) v"
+    ),
+    "tpcds_q83": (
+        "SELECT item_id, CAST(sr_item_qty AS BIGINT) AS sr_item_qty, "
+        "round(CAST(sr_dev AS DOUBLE) * 1e6) / 1e6 AS sr_dev, "
+        "CAST(cr_item_qty AS BIGINT) AS cr_item_qty, "
+        "round(CAST(cr_dev AS DOUBLE) * 1e6) / 1e6 AS cr_dev, "
+        "CAST(wr_item_qty AS BIGINT) AS wr_item_qty, "
+        "round(CAST(wr_dev AS DOUBLE) * 1e6) / 1e6 AS wr_dev, "
+        "round(CAST(average AS DOUBLE) * 1e6) / 1e6 AS average "
+        f"FROM ({_Q83}) v"
+    ),
+    "tpcds_q91": (
+        "SELECT Call_Center AS call_center, Call_Center_Name AS call_center_name, "
+        "Manager AS manager, CAST(Returns_Loss AS DOUBLE) AS returns_loss "
+        f"FROM ({_Q91}) v"
     ),
     "tpcds_q10": (
         "SELECT cd_gender, cd_marital_status, cd_education_status, "
