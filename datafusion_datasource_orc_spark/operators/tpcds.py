@@ -162,6 +162,13 @@ def _item(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_brand").alias("i_brand"),
         F.regexp_extract("p_brand", r"([0-9]+)$", 1).cast("int").alias("i_brand_id"),
         F.split(F.col("p_name"), " ")[1].alias("i_class"),
+        # portable int id per class (same first-char x100 + length scheme as
+        # i_category_id; collisions across classes are harmless — it is a
+        # grouping key, not a unique key)
+        (
+            F.ascii(F.split(F.col("p_name"), " ")[1]) * 100
+            + F.length(F.split(F.col("p_name"), " ")[1])
+        ).cast("int").alias("i_class_id"),
         F.split(F.col("p_name"), " ")[0].alias("i_color"),
         F.col("p_type").alias("i_category"),
         # stable portable int id per category (6 single-word categories;
@@ -415,7 +422,9 @@ def _store_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") % 25).alias("sr_store_sk"),
         F.col("l_orderkey").alias("sr_ticket_number"),
         F.col("l_extendedprice").cast("decimal(12,2)").alias("sr_return_amt"),
-        F.col("l_quantity").cast("int").alias("sr_return_quantity"),
+        # partial returns (half the sold quantity, floor): full-quantity
+        # returns would zero q75's net sales_cnt and hit ANSI /0
+        F.floor(F.col("l_quantity") / 2).cast("int").alias("sr_return_quantity"),
         (
             F.col("l_extendedprice").cast("decimal(12,2)")
             * (F.lit(0.1).cast("decimal(6,4)") + F.col("l_tax").cast("decimal(6,4)"))
@@ -445,6 +454,7 @@ def _web_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("ws_item_sk"),
         F.col("o_custkey").alias("ws_bill_customer_sk"),
         F.col("o_custkey").alias("ws_bill_addr_sk"),
+        ((F.col("l_orderkey") + F.col("l_linenumber") * 13) % 100).alias("ws_promo_sk"),
         F.col("l_extendedprice").cast("decimal(12,2)").alias("ws_ext_sales_price"),
         (
             F.col("l_extendedprice").cast("decimal(12,2)")
@@ -484,6 +494,10 @@ def _web_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(12,2)")
             * (F.lit(1) - F.col("l_tax")).cast("decimal(6,4)")
         ).alias("ws_ext_wholesale_cost"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_tax")).cast("decimal(6,4)")
+        ).alias("ws_wholesale_cost"),
         (
             F.col("l_extendedprice").cast("decimal(12,2)")
             * (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
@@ -557,6 +571,10 @@ def _catalog_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(12,2)")
             * (F.lit(1) - F.col("l_tax")).cast("decimal(6,4)")
         ).alias("cs_ext_wholesale_cost"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_tax")).cast("decimal(6,4)")
+        ).alias("cs_wholesale_cost"),
         (
             F.col("l_extendedprice").cast("decimal(12,2)")
             * (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
@@ -675,7 +693,9 @@ def _web_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("wr_returning_cdemo_sk"),
         F.col("o_custkey").alias("wr_refunded_cdemo_sk"),
         F.col("l_extendedprice").cast("decimal(12,2)").alias("wr_return_amt"),
-        F.col("l_quantity").cast("int").alias("wr_return_quantity"),
+        # partial returns (half the sold quantity, floor): full-quantity
+        # returns would zero q75's net sales_cnt and hit ANSI /0
+        F.floor(F.col("l_quantity") / 2).cast("int").alias("wr_return_quantity"),
         (
             F.col("l_extendedprice").cast("decimal(12,2)")
             * (F.lit(0.1).cast("decimal(6,4)") + F.col("l_tax").cast("decimal(6,4)"))
@@ -718,7 +738,9 @@ def _catalog_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(12,2)")
             * (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
         ).alias("cr_return_amt_inc_tax"),
-        F.col("l_quantity").cast("int").alias("cr_return_quantity"),
+        # partial returns (half the sold quantity, floor): full-quantity
+        # returns would zero q75's net sales_cnt and hit ANSI /0
+        F.floor(F.col("l_quantity") / 2).cast("int").alias("cr_return_quantity"),
         (
             F.col("l_extendedprice").cast("decimal(12,2)")
             * (F.lit(0.1).cast("decimal(6,4)") + F.col("l_tax").cast("decimal(6,4)"))
@@ -901,6 +923,8 @@ item AS (
            p_brand AS i_brand,
            CAST(regexp_extract(p_brand, '([0-9]+)$', 1) AS INTEGER) AS i_brand_id,
            split_part(p_name, ' ', 2) AS i_class,
+           CAST(ascii(split_part(p_name, ' ', 2)) * 100
+                + length(split_part(p_name, ' ', 2)) AS INTEGER) AS i_class_id,
            split_part(p_name, ' ', 1) AS i_color,
            p_type AS i_category,
            CAST(ascii(p_type) * 100 + length(p_type) AS INTEGER) AS i_category_id,
@@ -1051,6 +1075,7 @@ web_sales AS (
            l_partkey AS ws_item_sk,
            o_custkey AS ws_bill_customer_sk,
            o_custkey AS ws_bill_addr_sk,
+           (l_orderkey + l_linenumber * 13) % 100 AS ws_promo_sk,
            CAST(l_extendedprice AS DECIMAL(12,2)) AS ws_ext_sales_price,
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(1 - l_discount AS DECIMAL(6,4)) AS ws_sales_price,
@@ -1075,6 +1100,8 @@ web_sales AS (
            (l_orderkey + l_suppkey) % 20 AS ws_ship_mode_sk,
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(1 - l_tax AS DECIMAL(6,4)) AS ws_ext_wholesale_cost,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_tax AS DECIMAL(6,4)) AS ws_wholesale_cost,
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(1 + l_tax AS DECIMAL(6,4)) AS ws_ext_list_price,
            CAST(l_extendedprice AS DECIMAL(12,2))
@@ -1117,6 +1144,8 @@ catalog_sales AS (
                * CAST(l_tax AS DECIMAL(6,4)) AS cs_ext_ship_cost,
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(1 - l_tax AS DECIMAL(6,4)) AS cs_ext_wholesale_cost,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 - l_tax AS DECIMAL(6,4)) AS cs_wholesale_cost,
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(1 + l_tax AS DECIMAL(6,4)) AS cs_ext_list_price,
            CAST(l_extendedprice AS DECIMAL(12,2))
@@ -1161,7 +1190,7 @@ store_returns AS (
            l_suppkey % 25 AS sr_store_sk,
            l_orderkey AS sr_ticket_number,
            CAST(l_extendedprice AS DECIMAL(12,2)) AS sr_return_amt,
-           CAST(l_quantity AS INTEGER) AS sr_return_quantity,
+           CAST(floor(l_quantity / 2) AS INTEGER) AS sr_return_quantity,
            CAST(l_extendedprice AS DECIMAL(12,2))
                * (CAST(0.1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))
                AS sr_net_loss,
@@ -1181,7 +1210,7 @@ web_returns AS (
            o_custkey AS wr_returning_cdemo_sk,
            o_custkey AS wr_refunded_cdemo_sk,
            CAST(l_extendedprice AS DECIMAL(12,2)) AS wr_return_amt,
-           CAST(l_quantity AS INTEGER) AS wr_return_quantity,
+           CAST(floor(l_quantity / 2) AS INTEGER) AS wr_return_quantity,
            CAST(l_extendedprice AS DECIMAL(12,2))
                * (CAST(0.1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))
                AS wr_net_loss,
@@ -1209,7 +1238,7 @@ catalog_returns AS (
            CAST(l_extendedprice AS DECIMAL(12,2)) AS cr_return_amount,
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(1 + l_tax AS DECIMAL(6,4)) AS cr_return_amt_inc_tax,
-           CAST(l_quantity AS INTEGER) AS cr_return_quantity,
+           CAST(floor(l_quantity / 2) AS INTEGER) AS cr_return_quantity,
            CAST(l_extendedprice AS DECIMAL(12,2))
                * (CAST(0.1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))
                AS cr_net_loss,
@@ -3506,6 +3535,338 @@ GROUP BY cc_call_center_id, cc_name, cc_manager, cd_marital_status,
 ORDER BY SUM(cr_net_loss) DESC
 """
 
+_Q77 = """
+WITH ss AS (
+    SELECT s_store_sk, SUM(ss_ext_sales_price) AS sales,
+           SUM(ss_net_profit) AS profit
+    FROM store_sales, date_dim, store
+    WHERE ss_sold_date_sk = d_date_sk
+      AND d_date BETWEEN CAST('1997-08-03' AS DATE)
+                     AND (CAST('1997-08-03' AS DATE) + INTERVAL 30 DAY)
+      AND ss_store_sk = s_store_sk
+    GROUP BY s_store_sk),
+sr AS (
+    SELECT s_store_sk, SUM(sr_return_amt) AS returns,
+           SUM(sr_net_loss) AS profit_loss
+    FROM store_returns, date_dim, store
+    WHERE sr_returned_date_sk = d_date_sk
+      AND d_date BETWEEN CAST('1997-08-03' AS DATE)
+                     AND (CAST('1997-08-03' AS DATE) + INTERVAL 30 DAY)
+      AND sr_store_sk = s_store_sk
+    GROUP BY s_store_sk),
+cs AS (
+    SELECT cs_call_center_sk, SUM(cs_ext_sales_price) AS sales,
+           SUM(cs_net_profit) AS profit
+    FROM catalog_sales, date_dim
+    WHERE cs_sold_date_sk = d_date_sk
+      AND d_date BETWEEN CAST('1997-08-03' AS DATE)
+                     AND (CAST('1997-08-03' AS DATE) + INTERVAL 30 DAY)
+    GROUP BY cs_call_center_sk),
+cr AS (
+    SELECT cr_call_center_sk, SUM(cr_return_amount) AS returns,
+           SUM(cr_net_loss) AS profit_loss
+    FROM catalog_returns, date_dim
+    WHERE cr_returned_date_sk = d_date_sk
+      AND d_date BETWEEN CAST('1997-08-03' AS DATE)
+                     AND (CAST('1997-08-03' AS DATE) + INTERVAL 30 DAY)
+    GROUP BY cr_call_center_sk),
+ws AS (
+    SELECT wp_web_page_sk, SUM(ws_ext_sales_price) AS sales,
+           SUM(ws_net_profit) AS profit
+    FROM web_sales, date_dim, web_page
+    WHERE ws_sold_date_sk = d_date_sk
+      AND d_date BETWEEN CAST('1997-08-03' AS DATE)
+                     AND (CAST('1997-08-03' AS DATE) + INTERVAL 30 DAY)
+      AND ws_web_page_sk = wp_web_page_sk
+    GROUP BY wp_web_page_sk),
+wr AS (
+    SELECT wp_web_page_sk, SUM(wr_return_amt) AS returns,
+           SUM(wr_net_loss) AS profit_loss
+    FROM web_returns, date_dim, web_page
+    WHERE wr_returned_date_sk = d_date_sk
+      AND d_date BETWEEN CAST('1997-08-03' AS DATE)
+                     AND (CAST('1997-08-03' AS DATE) + INTERVAL 30 DAY)
+      AND wr_web_page_sk = wp_web_page_sk
+    GROUP BY wp_web_page_sk)
+SELECT channel, id, SUM(sales) AS sales, SUM(returns) AS returns,
+       SUM(profit) AS profit
+FROM (SELECT 'store channel' AS channel, ss.s_store_sk AS id, sales,
+             COALESCE(returns, 0) AS returns,
+             (profit - COALESCE(profit_loss, 0)) AS profit
+      FROM ss LEFT JOIN sr ON ss.s_store_sk = sr.s_store_sk
+      UNION ALL
+      SELECT 'catalog channel' AS channel, cs_call_center_sk AS id, sales,
+             returns, (profit - profit_loss) AS profit
+      FROM cs, cr
+      UNION ALL
+      SELECT 'web channel' AS channel, ws.wp_web_page_sk AS id, sales,
+             COALESCE(returns, 0) AS returns,
+             (profit - COALESCE(profit_loss, 0)) AS profit
+      FROM ws LEFT JOIN wr ON ws.wp_web_page_sk = wr.wp_web_page_sk) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel, id
+LIMIT 100
+"""
+
+_Q5 = """
+WITH ssr AS (
+    SELECT s_store_id, SUM(sales_price) AS sales, SUM(profit) AS profit,
+           SUM(return_amt) AS returns, SUM(net_loss) AS profit_loss
+    FROM (SELECT ss_store_sk AS store_sk, ss_sold_date_sk AS date_sk,
+                 ss_ext_sales_price AS sales_price, ss_net_profit AS profit,
+                 CAST(0 AS DECIMAL(7,2)) AS return_amt,
+                 CAST(0 AS DECIMAL(7,2)) AS net_loss
+          FROM store_sales
+          UNION ALL
+          SELECT sr_store_sk AS store_sk, sr_returned_date_sk AS date_sk,
+                 CAST(0 AS DECIMAL(7,2)) AS sales_price,
+                 CAST(0 AS DECIMAL(7,2)) AS profit,
+                 sr_return_amt AS return_amt, sr_net_loss AS net_loss
+          FROM store_returns) salesreturns, date_dim, store
+    WHERE date_sk = d_date_sk
+      AND d_date BETWEEN CAST('1997-08-23' AS DATE)
+                     AND (CAST('1997-08-23' AS DATE) + INTERVAL 14 DAY)
+      AND store_sk = s_store_sk
+    GROUP BY s_store_id),
+csr AS (
+    SELECT cp_catalog_page_id, SUM(sales_price) AS sales, SUM(profit) AS profit,
+           SUM(return_amt) AS returns, SUM(net_loss) AS profit_loss
+    FROM (SELECT cs_catalog_page_sk AS page_sk, cs_sold_date_sk AS date_sk,
+                 cs_ext_sales_price AS sales_price, cs_net_profit AS profit,
+                 CAST(0 AS DECIMAL(7,2)) AS return_amt,
+                 CAST(0 AS DECIMAL(7,2)) AS net_loss
+          FROM catalog_sales
+          UNION ALL
+          SELECT cr_catalog_page_sk AS page_sk, cr_returned_date_sk AS date_sk,
+                 CAST(0 AS DECIMAL(7,2)) AS sales_price,
+                 CAST(0 AS DECIMAL(7,2)) AS profit,
+                 cr_return_amount AS return_amt, cr_net_loss AS net_loss
+          FROM catalog_returns) salesreturns, date_dim, catalog_page
+    WHERE date_sk = d_date_sk
+      AND d_date BETWEEN CAST('1997-08-23' AS DATE)
+                     AND (CAST('1997-08-23' AS DATE) + INTERVAL 14 DAY)
+      AND page_sk = cp_catalog_page_sk
+    GROUP BY cp_catalog_page_id),
+wsr AS (
+    SELECT web_site_id, SUM(sales_price) AS sales, SUM(profit) AS profit,
+           SUM(return_amt) AS returns, SUM(net_loss) AS profit_loss
+    FROM (SELECT ws_web_site_sk AS wsr_web_site_sk, ws_sold_date_sk AS date_sk,
+                 ws_ext_sales_price AS sales_price, ws_net_profit AS profit,
+                 CAST(0 AS DECIMAL(7,2)) AS return_amt,
+                 CAST(0 AS DECIMAL(7,2)) AS net_loss
+          FROM web_sales
+          UNION ALL
+          SELECT ws_web_site_sk AS wsr_web_site_sk,
+                 wr_returned_date_sk AS date_sk,
+                 CAST(0 AS DECIMAL(7,2)) AS sales_price,
+                 CAST(0 AS DECIMAL(7,2)) AS profit,
+                 wr_return_amt AS return_amt, wr_net_loss AS net_loss
+          FROM web_returns LEFT OUTER JOIN web_sales
+               ON (wr_item_sk = ws_item_sk
+                   AND wr_order_number = ws_order_number)) salesreturns,
+         date_dim, web_site
+    WHERE date_sk = d_date_sk
+      AND d_date BETWEEN CAST('1997-08-23' AS DATE)
+                     AND (CAST('1997-08-23' AS DATE) + INTERVAL 14 DAY)
+      AND wsr_web_site_sk = web_site_sk
+    GROUP BY web_site_id)
+SELECT channel, id, SUM(sales) AS sales, SUM(returns) AS returns,
+       SUM(profit) AS profit
+FROM (SELECT 'store channel' AS channel, 'store' || s_store_id AS id,
+             sales, returns, (profit - profit_loss) AS profit
+      FROM ssr
+      UNION ALL
+      SELECT 'catalog channel' AS channel,
+             'catalog_page' || cp_catalog_page_id AS id,
+             sales, returns, (profit - profit_loss) AS profit
+      FROM csr
+      UNION ALL
+      SELECT 'web channel' AS channel, 'web_site' || web_site_id AS id,
+             sales, returns, (profit - profit_loss) AS profit
+      FROM wsr) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel, id
+LIMIT 100
+"""
+
+_Q80 = """
+WITH ssr AS (
+    SELECT s_store_id AS store_id, SUM(ss_ext_sales_price) AS sales,
+           SUM(COALESCE(sr_return_amt, 0)) AS returns,
+           SUM(ss_net_profit - COALESCE(sr_net_loss, 0)) AS profit
+    FROM store_sales LEFT OUTER JOIN store_returns
+         ON (ss_item_sk = sr_item_sk AND ss_ticket_number = sr_ticket_number),
+         date_dim, store, item, promotion
+    WHERE ss_sold_date_sk = d_date_sk
+      AND d_date BETWEEN CAST('1997-08-23' AS DATE)
+                     AND (CAST('1997-08-23' AS DATE) + INTERVAL 30 DAY)
+      AND ss_store_sk = s_store_sk
+      AND ss_item_sk = i_item_sk
+      AND i_current_price > 50
+      AND ss_promo_sk = p_promo_sk
+      AND p_channel_tv = 'N'
+    GROUP BY s_store_id),
+csr AS (
+    SELECT cp_catalog_page_id AS catalog_page_id,
+           SUM(cs_ext_sales_price) AS sales,
+           SUM(COALESCE(cr_return_amount, 0)) AS returns,
+           SUM(cs_net_profit - COALESCE(cr_net_loss, 0)) AS profit
+    FROM catalog_sales LEFT OUTER JOIN catalog_returns
+         ON (cs_item_sk = cr_item_sk AND cs_order_number = cr_order_number),
+         date_dim, catalog_page, item, promotion
+    WHERE cs_sold_date_sk = d_date_sk
+      AND d_date BETWEEN CAST('1997-08-23' AS DATE)
+                     AND (CAST('1997-08-23' AS DATE) + INTERVAL 30 DAY)
+      AND cs_catalog_page_sk = cp_catalog_page_sk
+      AND cs_item_sk = i_item_sk
+      AND i_current_price > 50
+      AND cs_promo_sk = p_promo_sk
+      AND p_channel_tv = 'N'
+    GROUP BY cp_catalog_page_id),
+wsr AS (
+    SELECT web_site_id, SUM(ws_ext_sales_price) AS sales,
+           SUM(COALESCE(wr_return_amt, 0)) AS returns,
+           SUM(ws_net_profit - COALESCE(wr_net_loss, 0)) AS profit
+    FROM web_sales LEFT OUTER JOIN web_returns
+         ON (ws_item_sk = wr_item_sk AND ws_order_number = wr_order_number),
+         date_dim, web_site, item, promotion
+    WHERE ws_sold_date_sk = d_date_sk
+      AND d_date BETWEEN CAST('1997-08-23' AS DATE)
+                     AND (CAST('1997-08-23' AS DATE) + INTERVAL 30 DAY)
+      AND ws_web_site_sk = web_site_sk
+      AND ws_item_sk = i_item_sk
+      AND i_current_price > 50
+      AND ws_promo_sk = p_promo_sk
+      AND p_channel_tv = 'N'
+    GROUP BY web_site_id)
+SELECT channel, id, SUM(sales) AS sales, SUM(returns) AS returns,
+       SUM(profit) AS profit
+FROM (SELECT 'store channel' AS channel, 'store' || store_id AS id,
+             sales, returns, profit
+      FROM ssr
+      UNION ALL
+      SELECT 'catalog channel' AS channel,
+             'catalog_page' || catalog_page_id AS id,
+             sales, returns, profit
+      FROM csr
+      UNION ALL
+      SELECT 'web channel' AS channel, 'web_site' || web_site_id AS id,
+             sales, returns, profit
+      FROM wsr) x
+GROUP BY ROLLUP (channel, id)
+ORDER BY channel, id
+LIMIT 100
+"""
+
+_Q75 = """
+WITH all_sales AS (
+    SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+           SUM(sales_cnt) AS sales_cnt, SUM(sales_amt) AS sales_amt
+    FROM (SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+                 cs_quantity - COALESCE(cr_return_quantity, 0) AS sales_cnt,
+                 cs_ext_sales_price - COALESCE(cr_return_amount, 0.0) AS sales_amt
+          FROM catalog_sales
+               JOIN item ON i_item_sk = cs_item_sk
+               JOIN date_dim ON d_date_sk = cs_sold_date_sk
+               LEFT JOIN catalog_returns ON (cs_order_number = cr_order_number
+                                             AND cs_item_sk = cr_item_sk)
+          WHERE i_category = 'STANDARD'
+          UNION
+          SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+                 ss_quantity - COALESCE(sr_return_quantity, 0) AS sales_cnt,
+                 ss_ext_sales_price - COALESCE(sr_return_amt, 0.0) AS sales_amt
+          FROM store_sales
+               JOIN item ON i_item_sk = ss_item_sk
+               JOIN date_dim ON d_date_sk = ss_sold_date_sk
+               LEFT JOIN store_returns ON (ss_ticket_number = sr_ticket_number
+                                           AND ss_item_sk = sr_item_sk)
+          WHERE i_category = 'STANDARD'
+          UNION
+          SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+                 ws_quantity - COALESCE(wr_return_quantity, 0) AS sales_cnt,
+                 ws_ext_sales_price - COALESCE(wr_return_amt, 0.0) AS sales_amt
+          FROM web_sales
+               JOIN item ON i_item_sk = ws_item_sk
+               JOIN date_dim ON d_date_sk = ws_sold_date_sk
+               LEFT JOIN web_returns ON (ws_order_number = wr_order_number
+                                         AND ws_item_sk = wr_item_sk)
+          WHERE i_category = 'STANDARD') sales_detail
+    GROUP BY d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id)
+SELECT prev_yr.d_year AS prev_year, curr_yr.d_year AS year,
+       curr_yr.i_brand_id, curr_yr.i_class_id, curr_yr.i_category_id,
+       curr_yr.i_manufact_id, prev_yr.sales_cnt AS prev_yr_cnt,
+       curr_yr.sales_cnt AS curr_yr_cnt,
+       curr_yr.sales_cnt - prev_yr.sales_cnt AS sales_cnt_diff,
+       curr_yr.sales_amt - prev_yr.sales_amt AS sales_amt_diff
+FROM all_sales curr_yr, all_sales prev_yr
+WHERE curr_yr.i_brand_id = prev_yr.i_brand_id
+  AND curr_yr.i_class_id = prev_yr.i_class_id
+  AND curr_yr.i_category_id = prev_yr.i_category_id
+  AND curr_yr.i_manufact_id = prev_yr.i_manufact_id
+  AND curr_yr.d_year = 1997
+  AND prev_yr.d_year = 1997 - 1
+  AND CAST(curr_yr.sales_cnt AS DECIMAL(17,2))
+      / CAST(prev_yr.sales_cnt AS DECIMAL(17,2)) < 0.9
+ORDER BY sales_cnt_diff, sales_amt_diff
+LIMIT 100
+"""
+
+_Q78 = """
+WITH ws AS (
+    SELECT d_year AS ws_sold_year, ws_item_sk,
+           ws_bill_customer_sk ws_customer_sk,
+           SUM(ws_quantity) ws_qty, SUM(ws_wholesale_cost) ws_wc,
+           SUM(ws_sales_price) ws_sp
+    FROM web_sales
+         LEFT JOIN web_returns ON wr_order_number = ws_order_number
+                                  AND ws_item_sk = wr_item_sk
+         JOIN date_dim ON ws_sold_date_sk = d_date_sk
+    WHERE wr_order_number IS NULL
+    GROUP BY d_year, ws_item_sk, ws_bill_customer_sk),
+cs AS (
+    SELECT d_year AS cs_sold_year, cs_item_sk,
+           cs_bill_customer_sk cs_customer_sk,
+           SUM(cs_quantity) cs_qty, SUM(cs_wholesale_cost) cs_wc,
+           SUM(cs_sales_price) cs_sp
+    FROM catalog_sales
+         LEFT JOIN catalog_returns ON cr_order_number = cs_order_number
+                                      AND cs_item_sk = cr_item_sk
+         JOIN date_dim ON cs_sold_date_sk = d_date_sk
+    WHERE cr_order_number IS NULL
+    GROUP BY d_year, cs_item_sk, cs_bill_customer_sk),
+ss AS (
+    SELECT d_year AS ss_sold_year, ss_item_sk,
+           ss_customer_sk,
+           SUM(ss_quantity) ss_qty, SUM(ss_wholesale_cost) ss_wc,
+           SUM(ss_sales_price) ss_sp
+    FROM store_sales
+         LEFT JOIN store_returns ON sr_ticket_number = ss_ticket_number
+                                    AND ss_item_sk = sr_item_sk
+         JOIN date_dim ON ss_sold_date_sk = d_date_sk
+    WHERE sr_ticket_number IS NULL
+    GROUP BY d_year, ss_item_sk, ss_customer_sk)
+SELECT ss_sold_year, ss_item_sk, ss_customer_sk,
+       round(ss_qty / (COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0)), 2) ratio,
+       ss_qty store_qty, ss_wc store_wholesale_cost,
+       ss_sp store_sales_price,
+       COALESCE(ws_qty, 0) + COALESCE(cs_qty, 0) other_chan_qty,
+       COALESCE(ws_wc, 0) + COALESCE(cs_wc, 0) other_chan_wholesale_cost,
+       COALESCE(ws_sp, 0) + COALESCE(cs_sp, 0) other_chan_sales_price
+FROM ss
+     LEFT JOIN ws ON (ws_sold_year = ss_sold_year
+                      AND ws_item_sk = ss_item_sk
+                      AND ws_customer_sk = ss_customer_sk)
+     LEFT JOIN cs ON (cs_sold_year = ss_sold_year
+                      AND cs_item_sk = ss_item_sk
+                      AND cs_customer_sk = ss_customer_sk)
+WHERE (COALESCE(ws_qty, 0) > 0 OR COALESCE(cs_qty, 0) > 0)
+  AND ss_sold_year = 1997
+ORDER BY ss_sold_year, ss_item_sk, ss_customer_sk, ss_qty DESC, ss_wc DESC,
+         ss_sp DESC, other_chan_qty, other_chan_wholesale_cost,
+         other_chan_sales_price, ratio
+LIMIT 100
+"""
+
 _WRAPPED = {
     "tpcds_q1": f"SELECT c_customer_id FROM ({_Q1}) v",
     "tpcds_q3": (
@@ -3859,6 +4220,47 @@ _WRAPPED = {
     ),
     "tpcds_q8": (
         f"SELECT s_store_name, CAST(profit AS DOUBLE) AS profit FROM ({_Q8}) v"
+    ),
+    "tpcds_q77": (
+        "SELECT channel, CAST(id AS BIGINT) AS id, "
+        "CAST(sales AS DOUBLE) AS sales, CAST(returns AS DOUBLE) AS returns, "
+        "CAST(profit AS DOUBLE) AS profit "
+        f"FROM ({_Q77}) v"
+    ),
+    "tpcds_q5": (
+        "SELECT channel, id, CAST(sales AS DOUBLE) AS sales, "
+        "CAST(returns AS DOUBLE) AS returns, CAST(profit AS DOUBLE) AS profit "
+        f"FROM ({_Q5}) v"
+    ),
+    "tpcds_q80": (
+        "SELECT channel, id, CAST(sales AS DOUBLE) AS sales, "
+        "CAST(returns AS DOUBLE) AS returns, CAST(profit AS DOUBLE) AS profit "
+        f"FROM ({_Q80}) v"
+    ),
+    "tpcds_q75": (
+        "SELECT CAST(prev_year AS INT) AS prev_year, CAST(year AS INT) AS year, "
+        "CAST(i_brand_id AS INT) AS i_brand_id, "
+        "CAST(i_class_id AS INT) AS i_class_id, "
+        "CAST(i_category_id AS INT) AS i_category_id, "
+        "CAST(i_manufact_id AS INT) AS i_manufact_id, "
+        "CAST(prev_yr_cnt AS BIGINT) AS prev_yr_cnt, "
+        "CAST(curr_yr_cnt AS BIGINT) AS curr_yr_cnt, "
+        "CAST(sales_cnt_diff AS BIGINT) AS sales_cnt_diff, "
+        "CAST(sales_amt_diff AS DOUBLE) AS sales_amt_diff "
+        f"FROM ({_Q75}) v"
+    ),
+    "tpcds_q78": (
+        "SELECT CAST(ss_sold_year AS INT) AS ss_sold_year, "
+        "CAST(ss_item_sk AS BIGINT) AS ss_item_sk, "
+        "CAST(ss_customer_sk AS BIGINT) AS ss_customer_sk, "
+        "CAST(ratio AS DOUBLE) AS ratio, "
+        "CAST(store_qty AS BIGINT) AS store_qty, "
+        "CAST(store_wholesale_cost AS DOUBLE) AS store_wholesale_cost, "
+        "CAST(store_sales_price AS DOUBLE) AS store_sales_price, "
+        "CAST(other_chan_qty AS BIGINT) AS other_chan_qty, "
+        "CAST(other_chan_wholesale_cost AS DOUBLE) AS other_chan_wholesale_cost, "
+        "CAST(other_chan_sales_price AS DOUBLE) AS other_chan_sales_price "
+        f"FROM ({_Q78}) v"
     ),
     "tpcds_q30": (
         "SELECT c_customer_id, c_salutation, c_first_name, c_last_name, "
