@@ -506,6 +506,10 @@ def _web_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(12,2)")
             * F.col("l_tax").cast("decimal(6,4)")
         ).alias("ws_ext_ship_cost"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
+        ).alias("ws_net_paid_inc_tax"),
     )
 
 
@@ -583,6 +587,10 @@ def _catalog_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(12,2)")
             * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
         ).alias("cs_net_paid"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
+        ).alias("cs_net_paid_inc_tax"),
     )
 
 
@@ -651,6 +659,7 @@ def _time_dim(spark: SparkSession) -> DataFrame:
     hour = F.floor(F.col("t_time_sk") / 3600).cast("int")
     return t.select(
         "t_time_sk",
+        F.col("t_time_sk").alias("t_time"),
         hour.alias("t_hour"),
         F.floor((F.col("t_time_sk") % 3600) / 60).cast("int").alias("t_minute"),
         F.when((hour >= 6) & (hour <= 8), "breakfast")
@@ -1063,6 +1072,7 @@ income_band AS (
 ),
 time_dim AS (
     SELECT i AS t_time_sk,
+           i AS t_time,
            CAST(floor(i / 3600) AS INTEGER) AS t_hour,
            CAST(floor((i % 3600) / 60) AS INTEGER) AS t_minute,
            CASE WHEN floor(i / 3600) BETWEEN 6 AND 8 THEN 'breakfast'
@@ -1105,7 +1115,9 @@ web_sales AS (
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(1 + l_tax AS DECIMAL(6,4)) AS ws_ext_list_price,
            CAST(l_extendedprice AS DECIMAL(12,2))
-               * CAST(l_tax AS DECIMAL(6,4)) AS ws_ext_ship_cost
+               * CAST(l_tax AS DECIMAL(6,4)) AS ws_ext_ship_cost,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 + l_tax AS DECIMAL(6,4)) AS ws_net_paid_inc_tax
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE (l_orderkey + l_linenumber) % 3 = 0
        OR ((l_orderkey + l_linenumber) % 3 = 2 AND o_custkey % 7 = 3)
@@ -1149,7 +1161,9 @@ catalog_sales AS (
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(1 + l_tax AS DECIMAL(6,4)) AS cs_ext_list_price,
            CAST(l_extendedprice AS DECIMAL(12,2))
-               * CAST(1 - l_discount AS DECIMAL(6,4)) AS cs_net_paid
+               * CAST(1 - l_discount AS DECIMAL(6,4)) AS cs_net_paid,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 + l_tax AS DECIMAL(6,4)) AS cs_net_paid_inc_tax
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE (l_orderkey + l_linenumber) % 3 = 1
        OR ((l_orderkey + l_linenumber) % 3 = 2 AND o_custkey % 5 = 0)
@@ -3867,6 +3881,346 @@ ORDER BY ss_sold_year, ss_item_sk, ss_customer_sk, ss_qty DESC, ss_wc DESC,
 LIMIT 100
 """
 
+# q16/q94's official quoted aliases ("order count", ...) are rendered as the
+# repo's usual snake_case aliases — quoted identifiers parse as string
+# literals on Spark without a session conf the driver does not set.
+_Q16 = """
+SELECT COUNT(DISTINCT cs_order_number) AS order_count,
+       SUM(cs_ext_ship_cost) AS total_shipping_cost,
+       SUM(cs_net_profit) AS total_net_profit
+FROM catalog_sales cs1, date_dim, customer_address, call_center
+WHERE d_date BETWEEN '1997-02-01'
+                 AND (CAST('1997-02-01' AS DATE) + INTERVAL 60 DAY)
+  AND cs1.cs_ship_date_sk = d_date_sk
+  AND cs1.cs_ship_addr_sk = ca_address_sk
+  AND ca_state = 'GA'
+  AND cs1.cs_call_center_sk = cc_call_center_sk
+  AND cc_county IN ('Williamson County', 'Ziebach County', 'Walker County',
+                    'Daviess County', 'Barrow County')
+  AND EXISTS (SELECT * FROM catalog_sales cs2
+              WHERE cs1.cs_order_number = cs2.cs_order_number
+                AND cs1.cs_warehouse_sk <> cs2.cs_warehouse_sk)
+  AND NOT EXISTS (SELECT * FROM catalog_returns cr1
+                  WHERE cs1.cs_order_number = cr1.cr_order_number)
+ORDER BY COUNT(DISTINCT cs_order_number)
+LIMIT 100
+"""
+
+_Q94 = """
+SELECT COUNT(DISTINCT ws_order_number) AS order_count,
+       SUM(ws_ext_ship_cost) AS total_shipping_cost,
+       SUM(ws_net_profit) AS total_net_profit
+FROM web_sales ws1, date_dim, customer_address, web_site
+WHERE d_date BETWEEN '1997-02-01'
+                 AND (CAST('1997-02-01' AS DATE) + INTERVAL 60 DAY)
+  AND ws1.ws_ship_date_sk = d_date_sk
+  AND ws1.ws_ship_addr_sk = ca_address_sk
+  AND ca_state = 'GA'
+  AND ws1.ws_web_site_sk = web_site_sk
+  AND web_company_name = 'pri'
+  AND EXISTS (SELECT * FROM web_sales ws2
+              WHERE ws1.ws_order_number = ws2.ws_order_number
+                AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+  AND NOT EXISTS (SELECT * FROM web_returns wr1
+                  WHERE ws1.ws_order_number = wr1.wr_order_number)
+ORDER BY COUNT(DISTINCT ws_order_number)
+LIMIT 100
+"""
+
+_Q40 = """
+SELECT w_state, i_item_id,
+       SUM(CASE WHEN (CAST(d_date AS DATE) < CAST('1997-03-11' AS DATE))
+                THEN cs_sales_price - COALESCE(cr_refunded_cash, 0)
+                ELSE 0 END) AS sales_before,
+       SUM(CASE WHEN (CAST(d_date AS DATE) >= CAST('1997-03-11' AS DATE))
+                THEN cs_sales_price - COALESCE(cr_refunded_cash, 0)
+                ELSE 0 END) AS sales_after
+FROM catalog_sales LEFT OUTER JOIN catalog_returns
+     ON (cs_order_number = cr_order_number AND cs_item_sk = cr_item_sk),
+     warehouse, item, date_dim
+WHERE i_current_price BETWEEN 99 AND 129
+  AND i_item_sk = cs_item_sk
+  AND cs_warehouse_sk = w_warehouse_sk
+  AND cs_sold_date_sk = d_date_sk
+  AND d_date BETWEEN (CAST('1997-03-11' AS DATE) - INTERVAL 30 DAY)
+                 AND (CAST('1997-03-11' AS DATE) + INTERVAL 30 DAY)
+GROUP BY w_state, i_item_id
+ORDER BY w_state, i_item_id
+LIMIT 100
+"""
+
+_Q62 = """
+SELECT substr(w_warehouse_name, 1, 20) AS warehouse_name, sm_type, web_name,
+       SUM(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk <= 30)
+                THEN 1 ELSE 0 END) AS days30,
+       SUM(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 30)
+                 AND (ws_ship_date_sk - ws_sold_date_sk <= 60)
+                THEN 1 ELSE 0 END) AS days31_60,
+       SUM(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 60)
+                 AND (ws_ship_date_sk - ws_sold_date_sk <= 90)
+                THEN 1 ELSE 0 END) AS days61_90,
+       SUM(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 90)
+                 AND (ws_ship_date_sk - ws_sold_date_sk <= 120)
+                THEN 1 ELSE 0 END) AS days91_120,
+       SUM(CASE WHEN (ws_ship_date_sk - ws_sold_date_sk > 120)
+                THEN 1 ELSE 0 END) AS days120plus
+FROM web_sales, warehouse, ship_mode, web_site, date_dim
+WHERE d_month_seq BETWEEN 84 AND 84 + 11
+  AND ws_ship_date_sk = d_date_sk
+  AND ws_warehouse_sk = w_warehouse_sk
+  AND ws_ship_mode_sk = sm_ship_mode_sk
+  AND ws_web_site_sk = web_site_sk
+GROUP BY substr(w_warehouse_name, 1, 20), sm_type, web_name
+ORDER BY substr(w_warehouse_name, 1, 20), sm_type, web_name
+LIMIT 100
+"""
+
+_Q99 = """
+SELECT substr(w_warehouse_name, 1, 20) AS warehouse_name, sm_type, cc_name,
+       SUM(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk <= 30)
+                THEN 1 ELSE 0 END) AS days30,
+       SUM(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 30)
+                 AND (cs_ship_date_sk - cs_sold_date_sk <= 60)
+                THEN 1 ELSE 0 END) AS days31_60,
+       SUM(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 60)
+                 AND (cs_ship_date_sk - cs_sold_date_sk <= 90)
+                THEN 1 ELSE 0 END) AS days61_90,
+       SUM(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 90)
+                 AND (cs_ship_date_sk - cs_sold_date_sk <= 120)
+                THEN 1 ELSE 0 END) AS days91_120,
+       SUM(CASE WHEN (cs_ship_date_sk - cs_sold_date_sk > 120)
+                THEN 1 ELSE 0 END) AS days120plus
+FROM catalog_sales, warehouse, ship_mode, call_center, date_dim
+WHERE d_month_seq BETWEEN 84 AND 84 + 11
+  AND cs_ship_date_sk = d_date_sk
+  AND cs_warehouse_sk = w_warehouse_sk
+  AND cs_ship_mode_sk = sm_ship_mode_sk
+  AND cs_call_center_sk = cc_call_center_sk
+GROUP BY substr(w_warehouse_name, 1, 20), sm_type, cc_name
+ORDER BY substr(w_warehouse_name, 1, 20), sm_type, cc_name
+LIMIT 100
+"""
+
+_Q90 = """
+SELECT CAST(amc AS DECIMAL(15,4)) / CAST(pmc AS DECIMAL(15,4)) am_pm_ratio
+FROM (SELECT COUNT(*) amc
+      FROM web_sales, household_demographics, time_dim, web_page
+      WHERE ws_sold_time_sk = time_dim.t_time_sk
+        AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+        AND ws_web_page_sk = web_page.wp_web_page_sk
+        AND time_dim.t_hour BETWEEN 8 AND 8 + 1
+        AND household_demographics.hd_dep_count = 6
+        AND web_page.wp_char_count BETWEEN 2500 AND 4400) at,
+     (SELECT COUNT(*) pmc
+      FROM web_sales, household_demographics, time_dim, web_page
+      WHERE ws_sold_time_sk = time_dim.t_time_sk
+        AND ws_ship_hdemo_sk = household_demographics.hd_demo_sk
+        AND ws_web_page_sk = web_page.wp_web_page_sk
+        AND time_dim.t_hour BETWEEN 19 AND 19 + 1
+        AND household_demographics.hd_dep_count = 6
+        AND web_page.wp_char_count BETWEEN 2500 AND 4400) pt
+ORDER BY am_pm_ratio
+LIMIT 100
+"""
+
+_Q85 = """
+SELECT substr(r_reason_desc, 1, 20) AS reason_desc, AVG(ws_quantity) avg_qty,
+       AVG(wr_refunded_cash) avg_refunded, AVG(wr_fee) avg_fee
+FROM web_sales, web_returns, web_page, customer_demographics cd1,
+     customer_demographics cd2, customer_address, date_dim, reason
+WHERE ws_web_page_sk = wp_web_page_sk
+  AND ws_item_sk = wr_item_sk
+  AND ws_order_number = wr_order_number
+  AND ws_sold_date_sk = d_date_sk
+  AND d_year = 1997
+  AND cd1.cd_demo_sk = wr_refunded_cdemo_sk
+  AND cd2.cd_demo_sk = wr_returning_cdemo_sk
+  AND ca_address_sk = wr_refunded_addr_sk
+  AND r_reason_sk = wr_reason_sk
+  AND ((cd1.cd_marital_status = 'M'
+        AND cd1.cd_marital_status = cd2.cd_marital_status
+        AND cd1.cd_education_status = 'Advanced Degree'
+        AND cd1.cd_education_status = cd2.cd_education_status
+        AND ws_sales_price BETWEEN 5000.00 AND 10000.00)
+       OR (cd1.cd_marital_status = 'S'
+           AND cd1.cd_marital_status = cd2.cd_marital_status
+           AND cd1.cd_education_status = 'College'
+           AND cd1.cd_education_status = cd2.cd_education_status
+           AND ws_sales_price BETWEEN 1000.00 AND 5000.00)
+       OR (cd1.cd_marital_status = 'W'
+           AND cd1.cd_marital_status = cd2.cd_marital_status
+           AND cd1.cd_education_status = '2 yr Degree'
+           AND cd1.cd_education_status = cd2.cd_education_status
+           AND ws_sales_price BETWEEN 10000.00 AND 20000.00))
+  AND ((ca_country = 'United States'
+        AND ca_state IN ('TN', 'SD', 'AL')
+        AND ws_net_profit BETWEEN 100 AND 2000)
+       OR (ca_country = 'United States'
+           AND ca_state IN ('GA', 'KY', 'CA')
+           AND ws_net_profit BETWEEN 0 AND 100)
+       OR (ca_country = 'United States'
+           AND ca_state IN ('WA', 'TN', 'GA')
+           AND ws_net_profit BETWEEN -2000 AND 0))
+GROUP BY r_reason_desc
+ORDER BY substr(r_reason_desc, 1, 20), AVG(ws_quantity),
+         AVG(wr_refunded_cash), AVG(wr_fee)
+LIMIT 100
+"""
+
+_Q66 = """
+SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+       w_country, ship_carriers, year,
+       SUM(jan_sales) AS jan_sales, SUM(feb_sales) AS feb_sales,
+       SUM(mar_sales) AS mar_sales, SUM(apr_sales) AS apr_sales,
+       SUM(may_sales) AS may_sales, SUM(jun_sales) AS jun_sales,
+       SUM(jul_sales) AS jul_sales, SUM(aug_sales) AS aug_sales,
+       SUM(sep_sales) AS sep_sales, SUM(oct_sales) AS oct_sales,
+       SUM(nov_sales) AS nov_sales, SUM(dec_sales) AS dec_sales,
+       SUM(jan_sales / w_warehouse_sq_ft) AS jan_sales_per_sq_foot,
+       SUM(feb_sales / w_warehouse_sq_ft) AS feb_sales_per_sq_foot,
+       SUM(mar_sales / w_warehouse_sq_ft) AS mar_sales_per_sq_foot,
+       SUM(apr_sales / w_warehouse_sq_ft) AS apr_sales_per_sq_foot,
+       SUM(may_sales / w_warehouse_sq_ft) AS may_sales_per_sq_foot,
+       SUM(jun_sales / w_warehouse_sq_ft) AS jun_sales_per_sq_foot,
+       SUM(jul_sales / w_warehouse_sq_ft) AS jul_sales_per_sq_foot,
+       SUM(aug_sales / w_warehouse_sq_ft) AS aug_sales_per_sq_foot,
+       SUM(sep_sales / w_warehouse_sq_ft) AS sep_sales_per_sq_foot,
+       SUM(oct_sales / w_warehouse_sq_ft) AS oct_sales_per_sq_foot,
+       SUM(nov_sales / w_warehouse_sq_ft) AS nov_sales_per_sq_foot,
+       SUM(dec_sales / w_warehouse_sq_ft) AS dec_sales_per_sq_foot,
+       SUM(jan_net) AS jan_net, SUM(feb_net) AS feb_net,
+       SUM(mar_net) AS mar_net, SUM(apr_net) AS apr_net,
+       SUM(may_net) AS may_net, SUM(jun_net) AS jun_net,
+       SUM(jul_net) AS jul_net, SUM(aug_net) AS aug_net,
+       SUM(sep_net) AS sep_net, SUM(oct_net) AS oct_net,
+       SUM(nov_net) AS nov_net, SUM(dec_net) AS dec_net
+FROM (SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+             w_country, 'DHL,UPS' AS ship_carriers, d_year AS year,
+             SUM(CASE WHEN d_moy = 1 THEN ws_ext_sales_price * ws_quantity
+                      ELSE 0 END) AS jan_sales,
+             SUM(CASE WHEN d_moy = 2 THEN ws_ext_sales_price * ws_quantity
+                      ELSE 0 END) AS feb_sales,
+             SUM(CASE WHEN d_moy = 3 THEN ws_ext_sales_price * ws_quantity
+                      ELSE 0 END) AS mar_sales,
+             SUM(CASE WHEN d_moy = 4 THEN ws_ext_sales_price * ws_quantity
+                      ELSE 0 END) AS apr_sales,
+             SUM(CASE WHEN d_moy = 5 THEN ws_ext_sales_price * ws_quantity
+                      ELSE 0 END) AS may_sales,
+             SUM(CASE WHEN d_moy = 6 THEN ws_ext_sales_price * ws_quantity
+                      ELSE 0 END) AS jun_sales,
+             SUM(CASE WHEN d_moy = 7 THEN ws_ext_sales_price * ws_quantity
+                      ELSE 0 END) AS jul_sales,
+             SUM(CASE WHEN d_moy = 8 THEN ws_ext_sales_price * ws_quantity
+                      ELSE 0 END) AS aug_sales,
+             SUM(CASE WHEN d_moy = 9 THEN ws_ext_sales_price * ws_quantity
+                      ELSE 0 END) AS sep_sales,
+             SUM(CASE WHEN d_moy = 10 THEN ws_ext_sales_price * ws_quantity
+                      ELSE 0 END) AS oct_sales,
+             SUM(CASE WHEN d_moy = 11 THEN ws_ext_sales_price * ws_quantity
+                      ELSE 0 END) AS nov_sales,
+             SUM(CASE WHEN d_moy = 12 THEN ws_ext_sales_price * ws_quantity
+                      ELSE 0 END) AS dec_sales,
+             SUM(CASE WHEN d_moy = 1 THEN ws_net_paid_inc_tax * ws_quantity
+                      ELSE 0 END) AS jan_net,
+             SUM(CASE WHEN d_moy = 2 THEN ws_net_paid_inc_tax * ws_quantity
+                      ELSE 0 END) AS feb_net,
+             SUM(CASE WHEN d_moy = 3 THEN ws_net_paid_inc_tax * ws_quantity
+                      ELSE 0 END) AS mar_net,
+             SUM(CASE WHEN d_moy = 4 THEN ws_net_paid_inc_tax * ws_quantity
+                      ELSE 0 END) AS apr_net,
+             SUM(CASE WHEN d_moy = 5 THEN ws_net_paid_inc_tax * ws_quantity
+                      ELSE 0 END) AS may_net,
+             SUM(CASE WHEN d_moy = 6 THEN ws_net_paid_inc_tax * ws_quantity
+                      ELSE 0 END) AS jun_net,
+             SUM(CASE WHEN d_moy = 7 THEN ws_net_paid_inc_tax * ws_quantity
+                      ELSE 0 END) AS jul_net,
+             SUM(CASE WHEN d_moy = 8 THEN ws_net_paid_inc_tax * ws_quantity
+                      ELSE 0 END) AS aug_net,
+             SUM(CASE WHEN d_moy = 9 THEN ws_net_paid_inc_tax * ws_quantity
+                      ELSE 0 END) AS sep_net,
+             SUM(CASE WHEN d_moy = 10 THEN ws_net_paid_inc_tax * ws_quantity
+                      ELSE 0 END) AS oct_net,
+             SUM(CASE WHEN d_moy = 11 THEN ws_net_paid_inc_tax * ws_quantity
+                      ELSE 0 END) AS nov_net,
+             SUM(CASE WHEN d_moy = 12 THEN ws_net_paid_inc_tax * ws_quantity
+                      ELSE 0 END) AS dec_net
+      FROM web_sales, warehouse, date_dim, time_dim, ship_mode
+      WHERE ws_warehouse_sk = w_warehouse_sk
+        AND ws_sold_date_sk = d_date_sk
+        AND ws_sold_time_sk = t_time_sk
+        AND ws_ship_mode_sk = sm_ship_mode_sk
+        AND d_year = 1997
+        AND t_time BETWEEN 0 AND 0 + 43200
+        AND sm_carrier IN ('DHL', 'UPS')
+      GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+               w_country, d_year
+      UNION ALL
+      SELECT w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+             w_country, 'DHL,UPS' AS ship_carriers, d_year AS year,
+             SUM(CASE WHEN d_moy = 1 THEN cs_sales_price * cs_quantity
+                      ELSE 0 END) AS jan_sales,
+             SUM(CASE WHEN d_moy = 2 THEN cs_sales_price * cs_quantity
+                      ELSE 0 END) AS feb_sales,
+             SUM(CASE WHEN d_moy = 3 THEN cs_sales_price * cs_quantity
+                      ELSE 0 END) AS mar_sales,
+             SUM(CASE WHEN d_moy = 4 THEN cs_sales_price * cs_quantity
+                      ELSE 0 END) AS apr_sales,
+             SUM(CASE WHEN d_moy = 5 THEN cs_sales_price * cs_quantity
+                      ELSE 0 END) AS may_sales,
+             SUM(CASE WHEN d_moy = 6 THEN cs_sales_price * cs_quantity
+                      ELSE 0 END) AS jun_sales,
+             SUM(CASE WHEN d_moy = 7 THEN cs_sales_price * cs_quantity
+                      ELSE 0 END) AS jul_sales,
+             SUM(CASE WHEN d_moy = 8 THEN cs_sales_price * cs_quantity
+                      ELSE 0 END) AS aug_sales,
+             SUM(CASE WHEN d_moy = 9 THEN cs_sales_price * cs_quantity
+                      ELSE 0 END) AS sep_sales,
+             SUM(CASE WHEN d_moy = 10 THEN cs_sales_price * cs_quantity
+                      ELSE 0 END) AS oct_sales,
+             SUM(CASE WHEN d_moy = 11 THEN cs_sales_price * cs_quantity
+                      ELSE 0 END) AS nov_sales,
+             SUM(CASE WHEN d_moy = 12 THEN cs_sales_price * cs_quantity
+                      ELSE 0 END) AS dec_sales,
+             SUM(CASE WHEN d_moy = 1 THEN cs_net_paid_inc_tax * cs_quantity
+                      ELSE 0 END) AS jan_net,
+             SUM(CASE WHEN d_moy = 2 THEN cs_net_paid_inc_tax * cs_quantity
+                      ELSE 0 END) AS feb_net,
+             SUM(CASE WHEN d_moy = 3 THEN cs_net_paid_inc_tax * cs_quantity
+                      ELSE 0 END) AS mar_net,
+             SUM(CASE WHEN d_moy = 4 THEN cs_net_paid_inc_tax * cs_quantity
+                      ELSE 0 END) AS apr_net,
+             SUM(CASE WHEN d_moy = 5 THEN cs_net_paid_inc_tax * cs_quantity
+                      ELSE 0 END) AS may_net,
+             SUM(CASE WHEN d_moy = 6 THEN cs_net_paid_inc_tax * cs_quantity
+                      ELSE 0 END) AS jun_net,
+             SUM(CASE WHEN d_moy = 7 THEN cs_net_paid_inc_tax * cs_quantity
+                      ELSE 0 END) AS jul_net,
+             SUM(CASE WHEN d_moy = 8 THEN cs_net_paid_inc_tax * cs_quantity
+                      ELSE 0 END) AS aug_net,
+             SUM(CASE WHEN d_moy = 9 THEN cs_net_paid_inc_tax * cs_quantity
+                      ELSE 0 END) AS sep_net,
+             SUM(CASE WHEN d_moy = 10 THEN cs_net_paid_inc_tax * cs_quantity
+                      ELSE 0 END) AS oct_net,
+             SUM(CASE WHEN d_moy = 11 THEN cs_net_paid_inc_tax * cs_quantity
+                      ELSE 0 END) AS nov_net,
+             SUM(CASE WHEN d_moy = 12 THEN cs_net_paid_inc_tax * cs_quantity
+                      ELSE 0 END) AS dec_net
+      FROM catalog_sales, warehouse, date_dim, time_dim, ship_mode
+      WHERE cs_warehouse_sk = w_warehouse_sk
+        AND cs_sold_date_sk = d_date_sk
+        AND cs_sold_time_sk = t_time_sk
+        AND cs_ship_mode_sk = sm_ship_mode_sk
+        AND d_year = 1997
+        AND t_time BETWEEN 0 AND 0 + 43200
+        AND sm_carrier IN ('DHL', 'UPS')
+      GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+               w_country, d_year) x
+GROUP BY w_warehouse_name, w_warehouse_sq_ft, w_city, w_county, w_state,
+         w_country, ship_carriers, year
+ORDER BY w_warehouse_name
+LIMIT 100
+"""
+
 _WRAPPED = {
     "tpcds_q1": f"SELECT c_customer_id FROM ({_Q1}) v",
     "tpcds_q3": (
@@ -4221,6 +4575,79 @@ _WRAPPED = {
     "tpcds_q8": (
         f"SELECT s_store_name, CAST(profit AS DOUBLE) AS profit FROM ({_Q8}) v"
     ),
+    "tpcds_q16": (
+        "SELECT CAST(order_count AS BIGINT) AS order_count, "
+        "CAST(total_shipping_cost AS DOUBLE) AS total_shipping_cost, "
+        "CAST(total_net_profit AS DOUBLE) AS total_net_profit "
+        f"FROM ({_Q16}) v"
+    ),
+    "tpcds_q94": (
+        "SELECT CAST(order_count AS BIGINT) AS order_count, "
+        "CAST(total_shipping_cost AS DOUBLE) AS total_shipping_cost, "
+        "CAST(total_net_profit AS DOUBLE) AS total_net_profit "
+        f"FROM ({_Q94}) v"
+    ),
+    "tpcds_q40": (
+        "SELECT w_state, i_item_id, "
+        "CAST(sales_before AS DOUBLE) AS sales_before, "
+        "CAST(sales_after AS DOUBLE) AS sales_after "
+        f"FROM ({_Q40}) v"
+    ),
+    "tpcds_q62": (
+        "SELECT warehouse_name, sm_type, web_name, "
+        + ", ".join(
+            f"CAST({c} AS BIGINT) AS {c}"
+            for c in ("days30", "days31_60", "days61_90", "days91_120", "days120plus")
+        )
+        + f" FROM ({_Q62}) v"
+    ),
+    "tpcds_q99": (
+        "SELECT warehouse_name, sm_type, cc_name, "
+        + ", ".join(
+            f"CAST({c} AS BIGINT) AS {c}"
+            for c in ("days30", "days31_60", "days61_90", "days91_120", "days120plus")
+        )
+        + f" FROM ({_Q99}) v"
+    ),
+    "tpcds_q90": (
+        "SELECT round(CAST(am_pm_ratio AS DOUBLE) * 1e6) / 1e6 AS am_pm_ratio "
+        f"FROM ({_Q90}) v"
+    ),
+    "tpcds_q85": (
+        "SELECT reason_desc, "
+        "round(CAST(avg_qty AS DOUBLE) * 1e4) / 1e4 AS avg_qty, "
+        "round(CAST(avg_refunded AS DOUBLE) * 1e4) / 1e4 AS avg_refunded, "
+        "round(CAST(avg_fee AS DOUBLE) * 1e4) / 1e4 AS avg_fee "
+        f"FROM ({_Q85}) v"
+    ),
+    # sales/net sums are exact decimal-by-int products on both engines; the
+    # per-sq-foot columns sum DOUBLE quotients on DuckDB vs exact decimals on
+    # Spark — normalized on a cent grid (values O(1e2-1e4), noise O(1e-9))
+    "tpcds_q66": (
+        "SELECT w_warehouse_name, "
+        "CAST(w_warehouse_sq_ft AS BIGINT) AS w_warehouse_sq_ft, "
+        "w_city, w_county, w_state, w_country, ship_carriers, "
+        "CAST(year AS INT) AS year, "
+        + ", ".join(
+            f"CAST({m}_sales AS DOUBLE) AS {m}_sales"
+            for m in ("jan", "feb", "mar", "apr", "may", "jun",
+                      "jul", "aug", "sep", "oct", "nov", "dec")
+        )
+        + ", "
+        + ", ".join(
+            f"round(CAST({m}_sales_per_sq_foot AS DOUBLE) * 1e2) / 1e2 "
+            f"AS {m}_sales_per_sq_foot"
+            for m in ("jan", "feb", "mar", "apr", "may", "jun",
+                      "jul", "aug", "sep", "oct", "nov", "dec")
+        )
+        + ", "
+        + ", ".join(
+            f"CAST({m}_net AS DOUBLE) AS {m}_net"
+            for m in ("jan", "feb", "mar", "apr", "may", "jun",
+                      "jul", "aug", "sep", "oct", "nov", "dec")
+        )
+        + f" FROM ({_Q66}) v"
+    ),
     "tpcds_q77": (
         "SELECT channel, CAST(id AS BIGINT) AS id, "
         "CAST(sales AS DOUBLE) AS sales, CAST(returns AS DOUBLE) AS returns, "
@@ -4366,9 +4793,21 @@ def _tpcds_query(name: str):
     return run
 
 
+# q66 UNION-ALLs a web branch summing ws_ext_sales_price*qty (scale 2) with a
+# catalog branch summing cs_sales_price*qty (scale 6). Both SUMs saturate
+# DECIMAL(38,s); at that width DuckDB unifies the UNION at the NARROWER scale
+# (rounding the catalog cents away) while Spark keeps scale 6. Storing the
+# oracle's ws_ext_sales_price at scale 6 — value-identical, 2-dp prices are
+# exact at 6 dp — makes both branches scale 6 so no engine rescales anything.
+_DDB_DIMS_WS_SCALE6 = _DDB_DIMS.replace(
+    "CAST(l_extendedprice AS DECIMAL(12,2)) AS ws_ext_sales_price",
+    "CAST(l_extendedprice AS DECIMAL(16,6)) AS ws_ext_sales_price",
+)
+assert _DDB_DIMS_WS_SCALE6 != _DDB_DIMS
+
 # per-query oracle dim overrides (engine-rounding emulation; see
 # _DDB_DIMS_CS_HALFUP above)
-_ORACLE_DIMS = {"tpcds_q18": _DDB_DIMS_CS_HALFUP}
+_ORACLE_DIMS = {"tpcds_q18": _DDB_DIMS_CS_HALFUP, "tpcds_q66": _DDB_DIMS_WS_SCALE6}
 
 for _name in _WRAPPED:
     _dims = _ORACLE_DIMS.get(_name, _DDB_DIMS)
