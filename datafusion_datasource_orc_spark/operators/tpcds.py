@@ -4390,6 +4390,160 @@ ORDER BY total_cnt DESC, i_item_desc, w_warehouse_name, d1.d_week_seq
 LIMIT 100
 """
 
+_Q95 = """
+WITH ws_wh AS (
+    SELECT ws1.ws_order_number, ws1.ws_warehouse_sk wh1, ws2.ws_warehouse_sk wh2
+    FROM web_sales ws1, web_sales ws2
+    WHERE ws1.ws_order_number = ws2.ws_order_number
+      AND ws1.ws_warehouse_sk <> ws2.ws_warehouse_sk)
+SELECT COUNT(DISTINCT ws_order_number) AS order_count,
+       SUM(ws_ext_ship_cost) AS total_shipping_cost,
+       SUM(ws_net_profit) AS total_net_profit
+FROM web_sales ws1, date_dim, customer_address, web_site
+WHERE d_date BETWEEN '1997-02-01'
+                 AND (CAST('1997-02-01' AS DATE) + INTERVAL 60 DAY)
+  AND ws1.ws_ship_date_sk = d_date_sk
+  AND ws1.ws_ship_addr_sk = ca_address_sk
+  AND ca_state = 'GA'
+  AND ws1.ws_web_site_sk = web_site_sk
+  AND web_company_name = 'pri'
+  AND ws1.ws_order_number IN (SELECT ws_order_number FROM ws_wh)
+  AND ws1.ws_order_number IN (SELECT wr_order_number
+                              FROM web_returns, ws_wh
+                              WHERE wr_order_number = ws_wh.ws_order_number)
+ORDER BY COUNT(DISTINCT ws_order_number)
+LIMIT 100
+"""
+
+_Q57 = """
+WITH v1 AS (
+    SELECT i_category, i_brand, cc_name, d_year, d_moy,
+           SUM(cs_sales_price) sum_sales,
+           AVG(SUM(cs_sales_price)) OVER (PARTITION BY i_category, i_brand,
+                                          cc_name, d_year) avg_monthly_sales,
+           RANK() OVER (PARTITION BY i_category, i_brand, cc_name
+                        ORDER BY d_year, d_moy) rn
+    FROM item, catalog_sales, date_dim, call_center
+    WHERE cs_item_sk = i_item_sk
+      AND cs_sold_date_sk = d_date_sk
+      AND cc_call_center_sk = cs_call_center_sk
+      AND (d_year = 1997
+           OR (d_year = 1997 - 1 AND d_moy = 12)
+           OR (d_year = 1997 + 1 AND d_moy = 1))
+    GROUP BY i_category, i_brand, cc_name, d_year, d_moy),
+v2 AS (
+    SELECT v1.i_category, v1.i_brand, v1.cc_name, v1.d_year, v1.d_moy,
+           v1.avg_monthly_sales, v1.sum_sales, v1_lag.sum_sales psum,
+           v1_lead.sum_sales nsum
+    FROM v1, v1 v1_lag, v1 v1_lead
+    WHERE v1.i_category = v1_lag.i_category
+      AND v1.i_category = v1_lead.i_category
+      AND v1.i_brand = v1_lag.i_brand
+      AND v1.i_brand = v1_lead.i_brand
+      AND v1.cc_name = v1_lag.cc_name
+      AND v1.cc_name = v1_lead.cc_name
+      AND v1.rn = v1_lag.rn + 1
+      AND v1.rn = v1_lead.rn - 1)
+SELECT *
+FROM v2
+WHERE d_year = 1997
+  AND avg_monthly_sales > 0
+  AND CASE WHEN avg_monthly_sales > 0
+           THEN abs(sum_sales - avg_monthly_sales) / avg_monthly_sales
+           ELSE NULL END > 0.1
+ORDER BY sum_sales - avg_monthly_sales, cc_name
+LIMIT 100
+"""
+
+_Q49 = """
+SELECT channel, item, return_ratio, return_rank, currency_rank
+FROM (SELECT 'web' AS channel, web.item, web.return_ratio, web.return_rank,
+             web.currency_rank
+      FROM (SELECT item, return_ratio, currency_ratio,
+                   RANK() OVER (ORDER BY return_ratio) AS return_rank,
+                   RANK() OVER (ORDER BY currency_ratio) AS currency_rank
+            FROM (SELECT ws.ws_item_sk AS item,
+                         (CAST(SUM(COALESCE(wr.wr_return_quantity, 0))
+                               AS DECIMAL(15,4))
+                          / CAST(SUM(COALESCE(ws.ws_quantity, 0))
+                                 AS DECIMAL(15,4))) AS return_ratio,
+                         (CAST(SUM(COALESCE(wr.wr_return_amt, 0))
+                               AS DECIMAL(15,4))
+                          / CAST(SUM(COALESCE(ws.ws_net_paid, 0))
+                                 AS DECIMAL(15,4))) AS currency_ratio
+                  FROM web_sales ws
+                       LEFT OUTER JOIN web_returns wr
+                       ON (ws.ws_order_number = wr.wr_order_number
+                           AND ws.ws_item_sk = wr.wr_item_sk), date_dim
+                  WHERE wr.wr_return_amt > 10000
+                    AND ws.ws_net_profit > 1
+                    AND ws.ws_net_paid > 0
+                    AND ws.ws_quantity > 0
+                    AND ws_sold_date_sk = d_date_sk
+                    AND d_year = 1997
+                    AND d_moy = 12
+                  GROUP BY ws.ws_item_sk) in_web) web
+      WHERE (web.return_rank <= 10 OR web.currency_rank <= 10)
+      UNION
+      SELECT 'catalog' AS channel, catalog.item, catalog.return_ratio,
+             catalog.return_rank, catalog.currency_rank
+      FROM (SELECT item, return_ratio, currency_ratio,
+                   RANK() OVER (ORDER BY return_ratio) AS return_rank,
+                   RANK() OVER (ORDER BY currency_ratio) AS currency_rank
+            FROM (SELECT cs.cs_item_sk AS item,
+                         (CAST(SUM(COALESCE(cr.cr_return_quantity, 0))
+                               AS DECIMAL(15,4))
+                          / CAST(SUM(COALESCE(cs.cs_quantity, 0))
+                                 AS DECIMAL(15,4))) AS return_ratio,
+                         (CAST(SUM(COALESCE(cr.cr_return_amount, 0))
+                               AS DECIMAL(15,4))
+                          / CAST(SUM(COALESCE(cs.cs_net_paid, 0))
+                                 AS DECIMAL(15,4))) AS currency_ratio
+                  FROM catalog_sales cs
+                       LEFT OUTER JOIN catalog_returns cr
+                       ON (cs.cs_order_number = cr.cr_order_number
+                           AND cs.cs_item_sk = cr.cr_item_sk), date_dim
+                  WHERE cr.cr_return_amount > 10000
+                    AND cs.cs_net_profit > 1
+                    AND cs.cs_net_paid > 0
+                    AND cs.cs_quantity > 0
+                    AND cs_sold_date_sk = d_date_sk
+                    AND d_year = 1997
+                    AND d_moy = 12
+                  GROUP BY cs.cs_item_sk) in_cat) catalog
+      WHERE (catalog.return_rank <= 10 OR catalog.currency_rank <= 10)
+      UNION
+      SELECT 'store' AS channel, store.item, store.return_ratio,
+             store.return_rank, store.currency_rank
+      FROM (SELECT item, return_ratio, currency_ratio,
+                   RANK() OVER (ORDER BY return_ratio) AS return_rank,
+                   RANK() OVER (ORDER BY currency_ratio) AS currency_rank
+            FROM (SELECT sts.ss_item_sk AS item,
+                         (CAST(SUM(COALESCE(sr.sr_return_quantity, 0))
+                               AS DECIMAL(15,4))
+                          / CAST(SUM(COALESCE(sts.ss_quantity, 0))
+                                 AS DECIMAL(15,4))) AS return_ratio,
+                         (CAST(SUM(COALESCE(sr.sr_return_amt, 0))
+                               AS DECIMAL(15,4))
+                          / CAST(SUM(COALESCE(sts.ss_net_paid, 0))
+                                 AS DECIMAL(15,4))) AS currency_ratio
+                  FROM store_sales sts
+                       LEFT OUTER JOIN store_returns sr
+                       ON (sts.ss_ticket_number = sr.sr_ticket_number
+                           AND sts.ss_item_sk = sr.sr_item_sk), date_dim
+                  WHERE sr.sr_return_amt > 10000
+                    AND sts.ss_net_profit > 1
+                    AND sts.ss_net_paid > 0
+                    AND sts.ss_quantity > 0
+                    AND ss_sold_date_sk = d_date_sk
+                    AND d_year = 1997
+                    AND d_moy = 12
+                  GROUP BY sts.ss_item_sk) in_store) store
+      WHERE (store.return_rank <= 10 OR store.currency_rank <= 10)) tmp
+ORDER BY 1, 4, 5, 2
+LIMIT 100
+"""
+
 _WRAPPED = {
     "tpcds_q1": f"SELECT c_customer_id FROM ({_Q1}) v",
     "tpcds_q3": (
@@ -4744,6 +4898,27 @@ _WRAPPED = {
     "tpcds_q8": (
         f"SELECT s_store_name, CAST(profit AS DOUBLE) AS profit FROM ({_Q8}) v"
     ),
+    "tpcds_q95": (
+        "SELECT CAST(order_count AS BIGINT) AS order_count, "
+        "CAST(total_shipping_cost AS DOUBLE) AS total_shipping_cost, "
+        "CAST(total_net_profit AS DOUBLE) AS total_net_profit "
+        f"FROM ({_Q95}) v"
+    ),
+    "tpcds_q57": (
+        "SELECT i_category, i_brand, cc_name, CAST(d_year AS INT) AS d_year, "
+        "CAST(d_moy AS INT) AS d_moy, "
+        "round(CAST(avg_monthly_sales AS DOUBLE) * 1e4) / 1e4 AS avg_monthly_sales, "
+        "CAST(sum_sales AS DOUBLE) AS sum_sales, "
+        "CAST(psum AS DOUBLE) AS psum, CAST(nsum AS DOUBLE) AS nsum "
+        f"FROM ({_Q57}) v"
+    ),
+    "tpcds_q49": (
+        "SELECT channel, CAST(item AS BIGINT) AS item, "
+        "round(CAST(return_ratio AS DOUBLE) * 1e6) / 1e6 AS return_ratio, "
+        "CAST(return_rank AS BIGINT) AS return_rank, "
+        "CAST(currency_rank AS BIGINT) AS currency_rank "
+        f"FROM ({_Q49}) v"
+    ),
     "tpcds_q21": (
         "SELECT w_warehouse_name, i_item_id, "
         "CAST(inv_before AS BIGINT) AS inv_before, "
@@ -5084,6 +5259,90 @@ _ORACLE_WRAPPED = {
 }
 assert _ORACLE_WRAPPED["tpcds_q21"] != _WRAPPED["tpcds_q21"]
 assert _ORACLE_WRAPPED["tpcds_q72"] != _WRAPPED["tpcds_q72"]
+
+# q49 RANKs over DECIMAL(15,4)/DECIMAL(15,4) quotients. Spark evaluates the
+# division in DECIMAL at scale 20 (HALF_UP), so equal true ratios (e.g. the
+# single-discount 1/0.94 family) are exactly equal and tie; DuckDB evaluates
+# it in DOUBLE, where different operand magnitudes of the same rational can
+# land 1 ulp apart — splitting the tie and shifting every downstream rank.
+# The oracle therefore ranks on Spark's value computed EXACTLY in HUGEINT:
+# key = round_half_up(A/B * 10^20) = (2*A*10^20 + B) // (2*B), with A and B
+# the half-up-4dp operands (round(x,4) is half-away in DuckDB = Spark's
+# cast). Output ratio columns keep the double quotient — the wrapper's 1e-6
+# grid makes it indistinguishable from Spark's scale-20 decimal.
+def _q49_oracle_channel(fact, ret, qty_r, qty_s, amt_r, amt_s):
+    s20 = "100000000000000000000"
+    return f"""
+            (SELECT item, return_ratio, currency_ratio,
+                    RANK() OVER (ORDER BY (2 * rq * {s20} + sq) // (2 * sq))
+                        AS return_rank,
+                    RANK() OVER (ORDER BY (2 * ra * {s20} + sp) // (2 * sp))
+                        AS currency_rank
+             FROM (SELECT {fact}_item_sk AS item,
+                          CAST(SUM(COALESCE({qty_r}, 0)) AS HUGEINT) AS rq,
+                          CAST(SUM(COALESCE({qty_s}, 0)) AS HUGEINT) AS sq,
+                          CAST(round(SUM(COALESCE({amt_r}, 0)), 4) * 10000
+                               AS HUGEINT) AS ra,
+                          CAST(round(SUM(COALESCE({amt_s}, 0)), 4) * 10000
+                               AS HUGEINT) AS sp,
+                          (CAST(SUM(COALESCE({qty_r}, 0)) AS DECIMAL(15,4))
+                           / CAST(SUM(COALESCE({qty_s}, 0)) AS DECIMAL(15,4)))
+                              AS return_ratio,
+                          (CAST(SUM(COALESCE({amt_r}, 0)) AS DECIMAL(15,4))
+                           / CAST(SUM(COALESCE({amt_s}, 0)) AS DECIMAL(15,4)))
+                              AS currency_ratio
+                   FROM {{body}}
+                   GROUP BY {fact}_item_sk) inner_q) ranked
+             WHERE (ranked.return_rank <= 10 OR ranked.currency_rank <= 10)"""
+
+
+_Q49_ORACLE_BODY = f"""
+SELECT channel, item, return_ratio, return_rank, currency_rank
+FROM (SELECT 'web' AS channel, ranked.item, ranked.return_ratio,
+             ranked.return_rank, ranked.currency_rank
+      FROM {_q49_oracle_channel("ws", "wr", "wr_return_quantity",
+                                "ws_quantity", "wr_return_amt",
+                                "ws_net_paid").format(body='''
+                        web_sales LEFT OUTER JOIN web_returns
+                        ON (ws_order_number = wr_order_number
+                            AND ws_item_sk = wr_item_sk), date_dim
+                   WHERE wr_return_amt > 10000 AND ws_net_profit > 1
+                     AND ws_net_paid > 0 AND ws_quantity > 0
+                     AND ws_sold_date_sk = d_date_sk
+                     AND d_year = 1997 AND d_moy = 12''')}
+      UNION
+      SELECT 'catalog' AS channel, ranked.item, ranked.return_ratio,
+             ranked.return_rank, ranked.currency_rank
+      FROM {_q49_oracle_channel("cs", "cr", "cr_return_quantity",
+                                "cs_quantity", "cr_return_amount",
+                                "cs_net_paid").format(body='''
+                        catalog_sales LEFT OUTER JOIN catalog_returns
+                        ON (cs_order_number = cr_order_number
+                            AND cs_item_sk = cr_item_sk), date_dim
+                   WHERE cr_return_amount > 10000 AND cs_net_profit > 1
+                     AND cs_net_paid > 0 AND cs_quantity > 0
+                     AND cs_sold_date_sk = d_date_sk
+                     AND d_year = 1997 AND d_moy = 12''')}
+      UNION
+      SELECT 'store' AS channel, ranked.item, ranked.return_ratio,
+             ranked.return_rank, ranked.currency_rank
+      FROM {_q49_oracle_channel("ss", "sr", "sr_return_quantity",
+                                "ss_quantity", "sr_return_amt",
+                                "ss_net_paid").format(body='''
+                        store_sales LEFT OUTER JOIN store_returns
+                        ON (ss_ticket_number = sr_ticket_number
+                            AND ss_item_sk = sr_item_sk), date_dim
+                   WHERE sr_return_amt > 10000 AND ss_net_profit > 1
+                     AND ss_net_paid > 0 AND ss_quantity > 0
+                     AND ss_sold_date_sk = d_date_sk
+                     AND d_year = 1997 AND d_moy = 12''')}
+     ) tmp
+ORDER BY 1, 4, 5, 2
+LIMIT 100
+"""
+
+_ORACLE_WRAPPED["tpcds_q49"] = _WRAPPED["tpcds_q49"].replace(_Q49, _Q49_ORACLE_BODY)
+assert _ORACLE_WRAPPED["tpcds_q49"] != _WRAPPED["tpcds_q49"]
 
 for _name in _WRAPPED:
     _dims = _ORACLE_DIMS.get(_name, _DDB_DIMS)
