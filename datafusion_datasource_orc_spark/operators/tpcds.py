@@ -240,6 +240,8 @@ def _customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("Customer_"), F.col("c_custkey").cast("string"), F.lit("@example.com")
         ).alias("c_email_address"),
         (2000 + F.col("c_custkey") % 1000).alias("c_last_review_date_sk"),
+        (1900 + F.col("c_custkey") % 1500).alias("c_first_sales_date_sk"),
+        (1930 + F.col("c_custkey") % 1500).alias("c_first_shipto_date_sk"),
     )
 
 
@@ -295,7 +297,10 @@ def _store(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.alias("s_state"),
         city.alias("s_city"),
         county.alias("s_county"),
-        (10000 + F.col("n_nationkey") * 37).cast("string").alias("s_zip"),
+        # zips live in the customer-zip domain (10000 + 7k, still prefix
+        # '10') so q24's s_zip = ca_zip equi-join has matching customers
+        (10000 + F.col("n_nationkey") * 7 * 37).cast("string").alias("s_zip"),
+        (F.col("n_nationkey") % 10).alias("s_market_id"),
         F.lit(-5).alias("s_gmt_offset"),
         (200 + F.col("n_nationkey") * 5).alias("s_number_employees"),
         # constant, like the official dsdgen store table (q47/q89 group on it)
@@ -455,6 +460,10 @@ def _web_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("ws_bill_customer_sk"),
         F.col("o_custkey").alias("ws_bill_addr_sk"),
         ((F.col("l_orderkey") + F.col("l_linenumber") * 13) % 100).alias("ws_promo_sk"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
+        ).alias("ws_list_price"),
         F.col("l_extendedprice").cast("decimal(12,2)").alias("ws_ext_sales_price"),
         (
             F.col("l_extendedprice").cast("decimal(12,2)")
@@ -763,6 +772,14 @@ def _catalog_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(12,2)")
             * F.col("l_discount").cast("decimal(6,4)")
         ).alias("cr_fee"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_tax").cast("decimal(6,4)")
+        ).alias("cr_reversed_charge"),
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.lit(0.05).cast("decimal(6,4)")
+        ).alias("cr_store_credit"),
         (F.col("l_linenumber") % 10).alias("cr_reason_sk"),
         (F.col("o_custkey") % 6).alias("cr_call_center_sk"),
         ((F.col("l_orderkey") + F.col("l_linenumber") * 11) % _CP_ROWS).alias(
@@ -999,7 +1016,9 @@ customer AS (
            'login_' || CAST(c_custkey AS VARCHAR) AS c_login,
            'Customer_' || CAST(c_custkey AS VARCHAR) || '@example.com'
                AS c_email_address,
-           2000 + c_custkey % 1000 AS c_last_review_date_sk
+           2000 + c_custkey % 1000 AS c_last_review_date_sk,
+           1900 + c_custkey % 1500 AS c_first_sales_date_sk,
+           1930 + c_custkey % 1500 AS c_first_shipto_date_sk
     FROM main.customer
 ),
 customer_address AS (
@@ -1026,7 +1045,8 @@ store AS (
     SELECT n_nationkey AS s_store_sk,
            'store_' || CAST(n_nationkey AS VARCHAR) AS s_store_id,
            'Store_' || n_name AS s_store_name,
-           CAST(10000 + n_nationkey * 37 AS VARCHAR) AS s_zip,
+           CAST(10000 + n_nationkey * 7 * 37 AS VARCHAR) AS s_zip,
+           n_nationkey % 10 AS s_market_id,
            ['{_STATES[0]}','{_STATES[1]}','{_STATES[2]}','{_STATES[3]}','{_STATES[4]}']
                [CAST(n_nationkey % 5 AS INTEGER) + 1] AS s_state,
            [{", ".join("'%s'" % c for c in _CITIES)}]
@@ -1116,6 +1136,8 @@ web_sales AS (
            o_custkey AS ws_bill_customer_sk,
            o_custkey AS ws_bill_addr_sk,
            (l_orderkey + l_linenumber * 13) % 100 AS ws_promo_sk,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(1 + l_tax AS DECIMAL(6,4)) AS ws_list_price,
            CAST(l_extendedprice AS DECIMAL(12,2)) AS ws_ext_sales_price,
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(1 - l_discount AS DECIMAL(6,4)) AS ws_sales_price,
@@ -1291,6 +1313,10 @@ catalog_returns AS (
                * CAST(1 - l_discount AS DECIMAL(6,4)) AS cr_refunded_cash,
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(l_discount AS DECIMAL(6,4)) AS cr_fee,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_tax AS DECIMAL(6,4)) AS cr_reversed_charge,
+           CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(0.05 AS DECIMAL(6,4)) AS cr_store_credit,
            l_linenumber % 10 AS cr_reason_sk,
            o_custkey % 6 AS cr_call_center_sk,
            (l_orderkey + l_linenumber * 11) % {_CP_ROWS} AS cr_catalog_page_sk,
@@ -4544,6 +4570,185 @@ ORDER BY 1, 4, 5, 2
 LIMIT 100
 """
 
+# q23's "frequent item" HAVING is bound to > 0: same-item-same-day repeat
+# sales (dsdgen's > 4) are vanishingly rare in a lineitem-derived fact at
+# these scales — a larger literal empties the CTE and degenerates the query
+# to SUM(NULL) at every SF.
+_Q23 = """
+WITH frequent_ss_items AS (
+    SELECT substr(i_item_desc, 1, 30) itemdesc, i_item_sk item_sk,
+           d_date solddate, COUNT(*) cnt
+    FROM store_sales, date_dim, item
+    WHERE ss_sold_date_sk = d_date_sk
+      AND ss_item_sk = i_item_sk
+      AND d_year IN (1995, 1995 + 1, 1995 + 2, 1995 + 3)
+    GROUP BY substr(i_item_desc, 1, 30), i_item_sk, d_date
+    HAVING COUNT(*) > 0),
+max_store_sales AS (
+    SELECT MAX(csales) tpcds_cmax
+    FROM (SELECT c_customer_sk, SUM(ss_quantity * ss_sales_price) csales
+          FROM store_sales, customer, date_dim
+          WHERE ss_customer_sk = c_customer_sk
+            AND ss_sold_date_sk = d_date_sk
+            AND d_year IN (1995, 1995 + 1, 1995 + 2, 1995 + 3)
+          GROUP BY c_customer_sk) x),
+best_ss_customer AS (
+    SELECT c_customer_sk, SUM(ss_quantity * ss_sales_price) ssales
+    FROM store_sales, customer
+    WHERE ss_customer_sk = c_customer_sk
+    GROUP BY c_customer_sk
+    HAVING SUM(ss_quantity * ss_sales_price)
+           > (50 / 100.0) * (SELECT * FROM max_store_sales))
+SELECT SUM(sales) total_sales
+FROM (SELECT cs_quantity * cs_list_price sales
+      FROM catalog_sales, date_dim
+      WHERE d_year = 1995
+        AND d_moy = 2
+        AND cs_sold_date_sk = d_date_sk
+        AND cs_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND cs_bill_customer_sk IN (SELECT c_customer_sk FROM best_ss_customer)
+      UNION ALL
+      SELECT ws_quantity * ws_list_price sales
+      FROM web_sales, date_dim
+      WHERE d_year = 1995
+        AND d_moy = 2
+        AND ws_sold_date_sk = d_date_sk
+        AND ws_item_sk IN (SELECT item_sk FROM frequent_ss_items)
+        AND ws_bill_customer_sk IN (SELECT c_customer_sk
+                                    FROM best_ss_customer)) y
+LIMIT 100
+"""
+
+_Q24 = """
+WITH ssales AS (
+    SELECT c_last_name, c_first_name, s_store_name, ca_state, s_state,
+           i_color, i_current_price, i_manager_id, i_units, i_size,
+           SUM(ss_net_paid) netpaid
+    FROM store_sales, store_returns, store, item, customer, customer_address
+    WHERE ss_ticket_number = sr_ticket_number
+      AND ss_item_sk = sr_item_sk
+      AND ss_customer_sk = c_customer_sk
+      AND ss_item_sk = i_item_sk
+      AND ss_store_sk = s_store_sk
+      AND c_current_addr_sk = ca_address_sk
+      AND c_birth_country <> upper(ca_country)
+      AND s_zip = ca_zip
+      AND s_market_id = 8
+    GROUP BY c_last_name, c_first_name, s_store_name, ca_state, s_state,
+             i_color, i_current_price, i_manager_id, i_units, i_size)
+SELECT c_last_name, c_first_name, s_store_name, SUM(netpaid) paid
+FROM ssales
+WHERE i_color = 'red'
+GROUP BY c_last_name, c_first_name, s_store_name
+HAVING SUM(netpaid) > (SELECT 0.05 * AVG(netpaid) FROM ssales)
+ORDER BY c_last_name, c_first_name, s_store_name
+"""
+
+_Q14 = """
+WITH cross_items AS (
+    SELECT i_item_sk ss_item_sk
+    FROM item,
+         (SELECT iss.i_brand_id brand_id, iss.i_class_id class_id,
+                 iss.i_category_id category_id
+          FROM store_sales, item iss, date_dim d1
+          WHERE ss_item_sk = iss.i_item_sk
+            AND ss_sold_date_sk = d1.d_date_sk
+            AND d1.d_year BETWEEN 1995 AND 1995 + 2
+          INTERSECT
+          SELECT ics.i_brand_id, ics.i_class_id, ics.i_category_id
+          FROM catalog_sales, item ics, date_dim d2
+          WHERE cs_item_sk = ics.i_item_sk
+            AND cs_sold_date_sk = d2.d_date_sk
+            AND d2.d_year BETWEEN 1995 AND 1995 + 2
+          INTERSECT
+          SELECT iws.i_brand_id, iws.i_class_id, iws.i_category_id
+          FROM web_sales, item iws, date_dim d3
+          WHERE ws_item_sk = iws.i_item_sk
+            AND ws_sold_date_sk = d3.d_date_sk
+            AND d3.d_year BETWEEN 1995 AND 1995 + 2) x
+    WHERE i_brand_id = brand_id
+      AND i_class_id = class_id
+      AND i_category_id = category_id),
+avg_sales AS (
+    SELECT AVG(quantity * list_price) average_sales
+    FROM (SELECT ss_quantity quantity, ss_list_price list_price
+          FROM store_sales, date_dim
+          WHERE ss_sold_date_sk = d_date_sk
+            AND d_year BETWEEN 1995 AND 1995 + 2
+          UNION ALL
+          SELECT cs_quantity quantity, cs_list_price list_price
+          FROM catalog_sales, date_dim
+          WHERE cs_sold_date_sk = d_date_sk
+            AND d_year BETWEEN 1995 AND 1995 + 2
+          UNION ALL
+          SELECT ws_quantity quantity, ws_list_price list_price
+          FROM web_sales, date_dim
+          WHERE ws_sold_date_sk = d_date_sk
+            AND d_year BETWEEN 1995 AND 1995 + 2) x)
+SELECT channel, i_brand_id, i_class_id, i_category_id, SUM(sales) sum_sales,
+       SUM(number_sales) sum_number_sales
+FROM (SELECT 'store' channel, i_brand_id, i_class_id, i_category_id,
+             SUM(ss_quantity * ss_list_price) sales,
+             COUNT(*) number_sales
+      FROM store_sales, item, date_dim
+      WHERE ss_item_sk IN (SELECT ss_item_sk FROM cross_items)
+        AND ss_item_sk = i_item_sk
+        AND ss_sold_date_sk = d_date_sk
+        AND d_month_seq BETWEEN 84 AND 84 + 11
+      GROUP BY i_brand_id, i_class_id, i_category_id
+      HAVING SUM(ss_quantity * ss_list_price)
+             > (SELECT average_sales FROM avg_sales)
+      UNION ALL
+      SELECT 'catalog' channel, i_brand_id, i_class_id, i_category_id,
+             SUM(cs_quantity * cs_list_price) sales,
+             COUNT(*) number_sales
+      FROM catalog_sales, item, date_dim
+      WHERE cs_item_sk IN (SELECT ss_item_sk FROM cross_items)
+        AND cs_item_sk = i_item_sk
+        AND cs_sold_date_sk = d_date_sk
+        AND d_month_seq BETWEEN 84 AND 84 + 11
+      GROUP BY i_brand_id, i_class_id, i_category_id
+      HAVING SUM(cs_quantity * cs_list_price)
+             > (SELECT average_sales FROM avg_sales)
+      UNION ALL
+      SELECT 'web' channel, i_brand_id, i_class_id, i_category_id,
+             SUM(ws_quantity * ws_list_price) sales,
+             COUNT(*) number_sales
+      FROM web_sales, item, date_dim
+      WHERE ws_item_sk IN (SELECT ss_item_sk FROM cross_items)
+        AND ws_item_sk = i_item_sk
+        AND ws_sold_date_sk = d_date_sk
+        AND d_month_seq BETWEEN 84 AND 84 + 11
+      GROUP BY i_brand_id, i_class_id, i_category_id
+      HAVING SUM(ws_quantity * ws_list_price)
+             > (SELECT average_sales FROM avg_sales)) y
+GROUP BY ROLLUP (channel, i_brand_id, i_class_id, i_category_id)
+ORDER BY channel, i_brand_id, i_class_id, i_category_id
+LIMIT 100
+"""
+
+_Q67 = """
+SELECT *
+FROM (SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+             d_moy, s_store_id, sumsales,
+             RANK() OVER (PARTITION BY i_category
+                          ORDER BY sumsales DESC) rk
+      FROM (SELECT i_category, i_class, i_brand, i_product_name, d_year,
+                   d_qoy, d_moy, s_store_id,
+                   SUM(COALESCE(ss_sales_price * ss_quantity, 0)) sumsales
+            FROM store_sales, date_dim, store, item
+            WHERE ss_sold_date_sk = d_date_sk
+              AND ss_item_sk = i_item_sk
+              AND ss_store_sk = s_store_sk
+              AND d_month_seq BETWEEN 84 AND 84 + 11
+            GROUP BY ROLLUP (i_category, i_class, i_brand, i_product_name,
+                             d_year, d_qoy, d_moy, s_store_id)) dw1) dw2
+WHERE rk <= 100
+ORDER BY i_category, i_class, i_brand, i_product_name, d_year, d_qoy, d_moy,
+         s_store_id, sumsales, rk
+LIMIT 100
+"""
+
 _WRAPPED = {
     "tpcds_q1": f"SELECT c_customer_id FROM ({_Q1}) v",
     "tpcds_q3": (
@@ -4897,6 +5102,29 @@ _WRAPPED = {
     ),
     "tpcds_q8": (
         f"SELECT s_store_name, CAST(profit AS DOUBLE) AS profit FROM ({_Q8}) v"
+    ),
+    "tpcds_q67": (
+        "SELECT i_category, i_class, i_brand, i_product_name, "
+        "CAST(d_year AS INT) AS d_year, CAST(d_qoy AS INT) AS d_qoy, "
+        "CAST(d_moy AS INT) AS d_moy, s_store_id, "
+        "CAST(sumsales AS DOUBLE) AS sumsales, CAST(rk AS BIGINT) AS rk "
+        f"FROM ({_Q67}) v"
+    ),
+    "tpcds_q23": (
+        f"SELECT CAST(total_sales AS DOUBLE) AS total_sales FROM ({_Q23}) v"
+    ),
+    "tpcds_q24": (
+        "SELECT c_last_name, c_first_name, s_store_name, "
+        "CAST(paid AS DOUBLE) AS paid "
+        f"FROM ({_Q24}) v"
+    ),
+    "tpcds_q14": (
+        "SELECT channel, CAST(i_brand_id AS INT) AS i_brand_id, "
+        "CAST(i_class_id AS INT) AS i_class_id, "
+        "CAST(i_category_id AS INT) AS i_category_id, "
+        "CAST(sum_sales AS DOUBLE) AS sum_sales, "
+        "CAST(sum_number_sales AS BIGINT) AS sum_number_sales "
+        f"FROM ({_Q14}) v"
     ),
     "tpcds_q95": (
         "SELECT CAST(order_count AS BIGINT) AS order_count, "
@@ -5343,6 +5571,31 @@ LIMIT 100
 
 _ORACLE_WRAPPED["tpcds_q49"] = _WRAPPED["tpcds_q49"].replace(_Q49, _Q49_ORACLE_BODY)
 assert _ORACLE_WRAPPED["tpcds_q49"] != _WRAPPED["tpcds_q49"]
+
+
+# ROLLUP templates whose output exceeds their LIMIT need the oracle's sort to
+# place NULL super-aggregate keys where Spark places them: Spark sorts ASC
+# NULLS FIRST, DuckDB ASC NULLS LAST — with >LIMIT rows the two engines cut
+# different sets. The oracle rewrites each ASC ORDER BY key with an explicit
+# NULLS FIRST (DESC defaults already agree); the Spark side stays verbatim.
+def _oracle_nulls_first(name: str, order_by: str) -> None:
+    keys = ", ".join(f"{k.strip()} NULLS FIRST" for k in order_by.split(","))
+    src = _ORACLE_WRAPPED.get(name, _WRAPPED[name])
+    out = src.replace(f"ORDER BY {order_by}", f"ORDER BY {keys}")
+    assert out != src, name
+    _ORACLE_WRAPPED[name] = out
+
+
+_oracle_nulls_first("tpcds_q14", "channel, i_brand_id, i_class_id, i_category_id")
+_oracle_nulls_first(
+    "tpcds_q22",
+    "qoh, i_product_name, i_brand, i_class, i_category",
+)
+_oracle_nulls_first(
+    "tpcds_q67",
+    "i_category, i_class, i_brand, i_product_name, d_year, d_qoy, d_moy,\n"
+    "         s_store_id, sumsales, rk",
+)
 
 for _name in _WRAPPED:
     _dims = _ORACLE_DIMS.get(_name, _DDB_DIMS)
