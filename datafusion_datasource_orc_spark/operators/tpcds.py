@@ -362,8 +362,14 @@ def _store_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("l_discount").cast("decimal(6,4)") - F.lit(0.05).cast("decimal(6,4)"))
         ).alias("ss_net_profit"),
         # q7 surface: demographics / promotion keys + price columns, all
-        # exact decimal products (same halfway-cent discipline as above)
-        F.col("o_custkey").alias("ss_cdemo_sk"),
+        # exact decimal products (same halfway-cent discipline as above).
+        # The at-purchase demographic is OFFSET from the customer's current
+        # one (c_current_cdemo_sk = c_custkey): q64 filters on
+        # cd1.cd_marital_status <> cd2.cd_marital_status, which an identical
+        # key would make unsatisfiable. The +linenumber-1 key dangles past
+        # the last customer for a handful of rows — dropped identically by
+        # both engines' demographic joins.
+        (F.col("o_custkey") + F.col("l_linenumber") - 1).alias("ss_cdemo_sk"),
         ((F.col("l_orderkey") + F.col("l_linenumber") * 13) % 100).alias("ss_promo_sk"),
         (
             F.col("l_extendedprice").cast("decimal(12,2)")
@@ -764,9 +770,12 @@ def _catalog_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(12,2)")
             * (F.lit(0.1).cast("decimal(6,4)") + F.col("l_tax").cast("decimal(6,4)"))
         ).alias("cr_net_loss"),
+        # cash refund is PARTIAL (0.35-0.45 of the price): with a full
+        # (1-discount) refund, q64's cs_ui filter
+        # sale > 2*(cash+charge+credit) is algebraically unsatisfiable
         (
             F.col("l_extendedprice").cast("decimal(12,2)")
-            * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+            * (F.lit(0.45).cast("decimal(6,4)") - F.col("l_discount").cast("decimal(6,4)"))
         ).alias("cr_refunded_cash"),
         (
             F.col("l_extendedprice").cast("decimal(12,2)")
@@ -1079,7 +1088,7 @@ store_sales AS (
            CAST(l_extendedprice AS DECIMAL(12,2))
                * (CAST(l_discount AS DECIMAL(6,4)) - CAST(0.05 AS DECIMAL(6,4)))
                AS ss_net_profit,
-           o_custkey AS ss_cdemo_sk,
+           o_custkey + l_linenumber - 1 AS ss_cdemo_sk,
            (l_orderkey + l_linenumber * 13) % 100 AS ss_promo_sk,
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(1 + l_tax AS DECIMAL(6,4)) AS ss_list_price,
@@ -1310,7 +1319,8 @@ catalog_returns AS (
                * (CAST(0.1 AS DECIMAL(6,4)) + CAST(l_tax AS DECIMAL(6,4)))
                AS cr_net_loss,
            CAST(l_extendedprice AS DECIMAL(12,2))
-               * CAST(1 - l_discount AS DECIMAL(6,4)) AS cr_refunded_cash,
+               * (CAST(0.45 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+               AS cr_refunded_cash,
            CAST(l_extendedprice AS DECIMAL(12,2))
                * CAST(l_discount AS DECIMAL(6,4)) AS cr_fee,
            CAST(l_extendedprice AS DECIMAL(12,2))
@@ -4727,6 +4737,77 @@ ORDER BY channel, i_brand_id, i_class_id, i_category_id
 LIMIT 100
 """
 
+_Q64 = """
+WITH cs_ui AS (
+    SELECT cs_item_sk,
+           SUM(cs_ext_list_price) AS sale,
+           SUM(cr_refunded_cash + cr_reversed_charge + cr_store_credit)
+               AS refund
+    FROM catalog_sales, catalog_returns
+    WHERE cs_item_sk = cr_item_sk
+      AND cs_order_number = cr_order_number
+    GROUP BY cs_item_sk
+    HAVING SUM(cs_ext_list_price)
+           > 2 * SUM(cr_refunded_cash + cr_reversed_charge + cr_store_credit)),
+cross_sales AS (
+    SELECT i_product_name product_name, i_item_sk item_sk,
+           s_store_name store_name, s_zip store_zip,
+           ad1.ca_street_number b_street_number,
+           ad1.ca_street_name b_street_name,
+           ad1.ca_city b_city, ad1.ca_zip b_zip,
+           ad2.ca_street_number c_street_number,
+           ad2.ca_street_name c_street_name,
+           ad2.ca_city c_city, ad2.ca_zip c_zip,
+           d1.d_year AS syear, d2.d_year AS fsyear, d3.d_year s2year,
+           COUNT(*) cnt, SUM(ss_wholesale_cost) s1, SUM(ss_list_price) s2,
+           SUM(ss_coupon_amt) s3
+    FROM store_sales, store_returns, cs_ui, date_dim d1, date_dim d2,
+         date_dim d3, store, customer, customer_demographics cd1,
+         customer_demographics cd2, promotion, household_demographics hd1,
+         household_demographics hd2, customer_address ad1,
+         customer_address ad2, income_band ib1, income_band ib2, item
+    WHERE ss_store_sk = s_store_sk
+      AND ss_sold_date_sk = d1.d_date_sk
+      AND ss_item_sk = i_item_sk
+      AND ss_customer_sk = c_customer_sk
+      AND ss_cdemo_sk = cd1.cd_demo_sk
+      AND ss_hdemo_sk = hd1.hd_demo_sk
+      AND ss_addr_sk = ad1.ca_address_sk
+      AND ss_item_sk = sr_item_sk
+      AND ss_ticket_number = sr_ticket_number
+      AND ss_item_sk = cs_ui.cs_item_sk
+      AND c_current_cdemo_sk = cd2.cd_demo_sk
+      AND c_current_hdemo_sk = hd2.hd_demo_sk
+      AND c_current_addr_sk = ad2.ca_address_sk
+      AND c_first_sales_date_sk = d2.d_date_sk
+      AND c_first_shipto_date_sk = d3.d_date_sk
+      AND ss_promo_sk = p_promo_sk
+      AND hd1.hd_income_band_sk = ib1.ib_income_band_sk
+      AND hd2.hd_income_band_sk = ib2.ib_income_band_sk
+      AND cd1.cd_marital_status <> cd2.cd_marital_status
+      AND i_color IN ('red', 'blue', 'hot', 'cold', 'small', 'large')
+      AND i_current_price BETWEEN 90 AND 90 + 10
+      AND i_current_price BETWEEN 90 + 1 AND 90 + 15
+    GROUP BY i_product_name, i_item_sk, s_store_name, s_zip,
+             ad1.ca_street_number, ad1.ca_street_name, ad1.ca_city,
+             ad1.ca_zip, ad2.ca_street_number, ad2.ca_street_name,
+             ad2.ca_city, ad2.ca_zip, d1.d_year, d2.d_year, d3.d_year)
+SELECT cs1.product_name, cs1.store_name, cs1.store_zip,
+       cs1.b_street_number, cs1.b_street_name, cs1.b_city, cs1.b_zip,
+       cs1.c_street_number, cs1.c_street_name, cs1.c_city, cs1.c_zip,
+       cs1.syear, cs1.cnt, cs1.s1 AS s11, cs1.s2 AS s21, cs1.s3 AS s31,
+       cs2.s1 AS s12, cs2.s2 AS s22, cs2.s3 AS s32, cs2.syear AS syear2,
+       cs2.cnt AS cnt2
+FROM cross_sales cs1, cross_sales cs2
+WHERE cs1.item_sk = cs2.item_sk
+  AND cs1.syear = 1996
+  AND cs2.syear = 1996 + 1
+  AND cs2.cnt <= cs1.cnt
+  AND cs1.store_name = cs2.store_name
+  AND cs1.store_zip = cs2.store_zip
+ORDER BY cs1.product_name, cs1.store_name, cs2.cnt, cs1.s1, cs2.s1
+"""
+
 _Q67 = """
 SELECT *
 FROM (SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
@@ -5102,6 +5183,17 @@ _WRAPPED = {
     ),
     "tpcds_q8": (
         f"SELECT s_store_name, CAST(profit AS DOUBLE) AS profit FROM ({_Q8}) v"
+    ),
+    "tpcds_q64": (
+        "SELECT product_name, store_name, store_zip, b_street_number, "
+        "b_street_name, b_city, b_zip, c_street_number, c_street_name, "
+        "c_city, c_zip, CAST(syear AS INT) AS syear, "
+        "CAST(cnt AS BIGINT) AS cnt, "
+        "CAST(s11 AS DOUBLE) AS s11, CAST(s21 AS DOUBLE) AS s21, "
+        "CAST(s31 AS DOUBLE) AS s31, CAST(s12 AS DOUBLE) AS s12, "
+        "CAST(s22 AS DOUBLE) AS s22, CAST(s32 AS DOUBLE) AS s32, "
+        "CAST(syear2 AS INT) AS syear2, CAST(cnt2 AS BIGINT) AS cnt2 "
+        f"FROM ({_Q64}) v"
     ),
     "tpcds_q67": (
         "SELECT i_category, i_class, i_brand, i_product_name, "
