@@ -1,65 +1,44 @@
-"""Mini TPC-DS: VERBATIM public query templates over TPC-DS tables derived
-deterministically from the driver testdata.
+"""Mini TPC-DS: ALL 99 VERBATIM public query templates over TPC-DS tables
+derived deterministically from the driver testdata.
 
 The reference's broadest claim is running all 99 TPC-DS queries over its ORC
 tables (src/bin/tpcds_bench.rs:68-69; table prep scripts/convert_tpcds_to_orc.py:33-58).
-This environment ships no TPC-DS dataset, so the star schema is DERIVED from
-the TPC-H-ish testdata with engine-portable expressions (exact integer /
-string / decimal ops only — see docs in each builder), and a diverse slice of
-the public TPC-DS query templates runs VERBATIM over it on both engines:
+This environment ships no TPC-DS dataset, so the full star schema (24
+derived tables: 7 facts incl. three returns tables and inventory, 17
+dimensions) is DERIVED from the TPC-H-ish testdata with engine-portable
+expressions (exact integer / string / decimal ops only — see docs in each
+builder), and ALL 99 public TPC-DS query templates run VERBATIM over it on
+both engines — q1 through q99, every family:
 
-  q1   CTE + correlated average subquery + 4-table join
-  q3   classic star-join aggregate with year rollup
-  q6   5-table star with a correlated category-average price filter and a
-       month-seq scalar subquery
-  q7   demographics/promotion star with four AVG aggregates
-  q12  web-channel windowed revenue-ratio (web_sales slice)
-  q13  demographics/address OR-band AVG aggregates (6-table selective star)
-  q15  catalog-channel zip/state/price OR-filter rollup
-  q19  6-table star (brand revenue where customer and store zip prefixes
-       differ — the cross-shopping filter)
-  q20  catalog-channel windowed revenue-ratio
-  q25  store/returns/catalog 3-channel profit-and-loss star (3 date dims)
-  q26  catalog demographics/promotion star with four AVG aggregates
-  q27  ROLLUP(item, state) demographics AVGs with grouping() marker
-  q29  store/returns/catalog 3-channel quantity star
-  q32  correlated 1.3x-average excess-discount filter (catalog)
-  q33  3-channel UNION ALL manufacturer rollup (per-channel CTEs)
-  q36  ROLLUP gross-margin hierarchy with grouping() rank windows
-  q45  web-channel zip/item-list OR-filter rollup with IN subquery
-  q56  3-channel UNION ALL item rollup filtered by color
-  q60  3-channel UNION ALL item rollup filtered by category
-  q42  category revenue by year (manager/month parameters)
-  q43  day-name pivot of weekly sales per store
-  q44  best/worst item ranking: two rank() windows over per-item averages,
-       correlated HAVING against the walk-in (NULL-customer) baseline,
-       self-join on the rank
-  q48  demographics/address OR-band quantity sum
-  q52  brand revenue by year (manager/month parameters)
-  q55  brand revenue TopN (manager/month parameters)
-  q59  week-over-week per-store sales ratios, year vs year+1
-  q61  promoted-vs-total sales ratio (two scalar aggregate subplans)
-  q65  nested aggregate-over-aggregate store/item join
-  q68  cross-city ticket rollup (household demographics + two address roles)
-  q71  3-channel breakfast/dinner brand revenue through time_dim
-  q73  ticket line-count banding by buy-potential demographics
-  q79  Monday coupon/profit tickets by store size
-  q84  income-band customer lookup (5-dim snowflake through store_returns)
-  q86  web ROLLUP net-paid hierarchy with grouping() rank windows
-  q88  8 half-hour time-band counts cross-joined (1-row x 8)
-  q92  correlated 1.3x-average excess-discount filter (web)
-  q93  returns-adjusted actual sales per customer (left join + reason dim)
-  q96  time-of-day count through time_dim/household_demographics
-  q98  windowed revenue-ratio over class partitions
+  star aggregates (q3/q42/q52/q55/q19/q7/q26/q13/q48/q27...), correlated
+  average filters (q1/q6/q30/q32/q44/q81/q92), windowed revenue ratios
+  (q12/q20/q98/q36/q86/q47/q57/q63/q53/q89), day/week pivots (q2/q43/q59),
+  multi-channel UNION rollups (q5/q33/q56/q60/q66/q71/q76/q77/q80),
+  channel-exclusive / same-customer sets (q38/q87/q97/q25/q29/q58/q83),
+  year-over-year customer growth (q4/q11/q74/q31/q75), EXISTS demographics
+  (q10/q35/q69), returns analytics (q49/q50/q85/q91/q93), multi-warehouse
+  shipping (q16/q62/q94/q95/q99), inventory (q21/q22/q37/q39/q72/q82),
+  time-of-day (q88/q90/q96), item attributes (q41), frequent/best-customer
+  sets (q14/q23/q54), rank-over-rollup (q67/q70), ticket banding
+  (q34/q46/q68/q73/q79), income-band snowflakes (q84), cumulative windows
+  (q51), bucket panels (q9/q28), per-customer rollforward (q17/q18/q24/q40),
+  and the 17-relation two-year self-join q64.
 
 Template parameters (year, month, state, manufacturer, ...) are bound to
 values the derived data actually contains — exactly how the official
-qualification parameters bind against the official dataset. The only
-non-verbatim text is a thin type-normalizing wrapper projection around each
-query (decimal aggregates -> DOUBLE; the driver's pandas comparator renders
-DuckDB decimals as float64 but Spark decimals as object Decimal — see
-oracle-determinism conventions); the wrapper is identical on both engines
-and does not change values or row sets.
+qualification parameters bind against the official dataset. The non-verbatim
+surface is deliberately thin and documented inline where it occurs:
+(a) a type-normalizing wrapper projection around each query (decimal
+aggregates -> DOUBLE; the driver's pandas comparator renders DuckDB decimals
+as float64 but Spark decimals as object Decimal), identical on both engines;
+(b) minimal output aliases where the official text leaves aggregate/self-join
+columns unnamed or duplicate-named (q35/q39/q16/q62...); and (c) ORACLE-side
+emulations of genuine engine divergences — halfway-cent decimal casts
+(q18/q49), DECIMAL-folded literal bounds (q21), UNION scale unification at
+the DECIMAL(38) cap (q66), planner-pathological join order (q72), and
+ASC-NULLS placement under a LIMIT cut (q14/q22/q67) — where the Spark side
+always runs the verbatim template and only DuckDB's ground-truth text is
+restructured to compute the same result.
 
 Measure columns are DECIMAL(12,2) in the derived schema — like real TPC-DS's
 decimal(7,2) — so the verbatim SUM(...) aggregates are exact and
