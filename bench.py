@@ -47,6 +47,8 @@ HEADLINE = [
     "tpcds_q59",
     "tpcds_q65",
     "tpcds_q98",
+    "tpcds_q14",
+    "tpcds_q64",
     "window_rank",
     "window_ntile",
     "rollup_agg",

@@ -911,31 +911,43 @@ def _reason(spark: SparkSession) -> DataFrame:
     )
 
 
-def _register_tpcds_views(spark: SparkSession, sf_dir: str) -> None:
-    _date_dim(spark).createOrReplaceTempView("date_dim")
-    _item(spark, sf_dir).createOrReplaceTempView("item")
-    _customer(spark, sf_dir).createOrReplaceTempView("customer")
-    _customer_address(spark, sf_dir).createOrReplaceTempView("customer_address")
-    _store(spark, sf_dir).createOrReplaceTempView("store")
-    _store_sales(spark, sf_dir).createOrReplaceTempView("store_sales")
-    _store_returns(spark, sf_dir).createOrReplaceTempView("store_returns")
-    _web_sales(spark, sf_dir).createOrReplaceTempView("web_sales")
-    _catalog_sales(spark, sf_dir).createOrReplaceTempView("catalog_sales")
-    _customer_demographics(spark, sf_dir).createOrReplaceTempView("customer_demographics")
-    _promotion(spark).createOrReplaceTempView("promotion")
-    _household_demographics(spark).createOrReplaceTempView("household_demographics")
-    _time_dim(spark).createOrReplaceTempView("time_dim")
-    _reason(spark).createOrReplaceTempView("reason")
-    _income_band(spark).createOrReplaceTempView("income_band")
-    _web_returns(spark, sf_dir).createOrReplaceTempView("web_returns")
-    _catalog_returns(spark, sf_dir).createOrReplaceTempView("catalog_returns")
-    _warehouse(spark).createOrReplaceTempView("warehouse")
-    _ship_mode(spark).createOrReplaceTempView("ship_mode")
-    _call_center(spark).createOrReplaceTempView("call_center")
-    _web_site(spark).createOrReplaceTempView("web_site")
-    _web_page(spark).createOrReplaceTempView("web_page")
-    _catalog_page(spark).createOrReplaceTempView("catalog_page")
-    _inventory(spark, sf_dir).createOrReplaceTempView("inventory")
+# view name -> builder; registration is SELECTIVE per query (building all 24
+# view DataFrames costs ~5s of driver-side plan/footer work at sf0.1 — pure
+# overhead for a star query that touches 4 of them)
+_TPCDS_TABLES = {
+    "date_dim": lambda spark, sf_dir: _date_dim(spark),
+    "item": _item,
+    "customer": _customer,
+    "customer_address": _customer_address,
+    "store": _store,
+    "store_sales": _store_sales,
+    "store_returns": _store_returns,
+    "web_sales": _web_sales,
+    "catalog_sales": _catalog_sales,
+    "customer_demographics": _customer_demographics,
+    "promotion": lambda spark, sf_dir: _promotion(spark),
+    "household_demographics": lambda spark, sf_dir: _household_demographics(spark),
+    "time_dim": lambda spark, sf_dir: _time_dim(spark),
+    "reason": lambda spark, sf_dir: _reason(spark),
+    "income_band": lambda spark, sf_dir: _income_band(spark),
+    "web_returns": _web_returns,
+    "catalog_returns": _catalog_returns,
+    "warehouse": lambda spark, sf_dir: _warehouse(spark),
+    "ship_mode": lambda spark, sf_dir: _ship_mode(spark),
+    "call_center": lambda spark, sf_dir: _call_center(spark),
+    "web_site": lambda spark, sf_dir: _web_site(spark),
+    "web_page": lambda spark, sf_dir: _web_page(spark),
+    "catalog_page": lambda spark, sf_dir: _catalog_page(spark),
+    "inventory": _inventory,
+}
+
+
+def _register_tpcds_views(
+    spark: SparkSession, sf_dir: str, only: set[str] | None = None
+) -> None:
+    for name, builder in _TPCDS_TABLES.items():
+        if only is None or name in only:
+            builder(spark, sf_dir).createOrReplaceTempView(name)
 
 
 # --------------------------------------------------------------- DuckDB side
@@ -5464,8 +5476,12 @@ _WRAPPED = {
 
 
 def _tpcds_query(name: str):
+    needed = {
+        t for t in _TPCDS_TABLES if _re.search(rf"\b{t}\b", _WRAPPED[name])
+    }
+
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        _register_tpcds_views(spark, sf_dir)
+        _register_tpcds_views(spark, sf_dir, only=needed)
         return spark.sql(_WRAPPED[name])
 
     run.__name__ = name

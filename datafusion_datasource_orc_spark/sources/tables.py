@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,6 +35,14 @@ TABLES = (
 
 _ORC_CACHE: dict[tuple[str, str], str] = {}
 _ORC_ROOT: str | None = None
+
+# DataFrame (lazy plan) cache per session: spark.read.parquet re-reads the
+# footer schema on every call, which dominates derived-view registration
+# (the TPC-DS fact builders alone trigger ~16 loads per query without it).
+# Keyed weakly on the session so a stopped/replaced session drops its plans.
+_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _pin_conf(spark: SparkSession, key: str, value: str) -> None:
@@ -76,6 +85,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # epoch arithmetic over the LTZ timestamps must match the tz-naive DuckDB
     # oracle, which reads the stored values as-is.
     _pin_conf(spark, "spark.sql.session.timeZone", "UTC")
+    try:
+        cache = _DF_CACHE.setdefault(spark, {})
+    except TypeError:  # session not weakref-able (mocks) → skip caching
+        cache = {}
+    key = (sf_dir, name)
+    if key in cache:
+        return cache[key]
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         _pin_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -85,8 +101,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dict(df.dtypes).get("ts") == "bigint":
             # integer DIV: float division would lose precision above 2^53 ns
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    cache[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names=TABLES) -> dict[str, DataFrame]:
