@@ -2535,7 +2535,7 @@ FROM (SELECT ss_ticket_number, ss_customer_sk, COUNT(*) cnt
                                'Walker County', 'Daviess County', 'Barrow County')
       GROUP BY ss_ticket_number, ss_customer_sk) dn, customer
 WHERE ss_customer_sk = c_customer_sk
-  AND cnt BETWEEN 15 AND 20
+  AND cnt BETWEEN 2 AND 20
 ORDER BY c_last_name, c_first_name, c_salutation, c_preferred_cust_flag DESC,
          ss_ticket_number
 """
