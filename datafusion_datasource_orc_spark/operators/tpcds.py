@@ -233,7 +233,10 @@ def _customer_address(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         F.col("c_custkey").alias("ca_address_sk"),
         state.alias("ca_state"),
-        (10000 + (F.col("c_custkey") * 7) % 90000).cast("string").alias("ca_zip"),
+        # 700 distinct zips (10000 + multiples of 7): dense enough that the
+        # store-zip equi-join (q24) and preferred-customer zip counts (q8)
+        # have real support, still all prefix '10' like the store zips
+        (10000 + (F.col("c_custkey") * 7) % 700).cast("string").alias("ca_zip"),
         F.concat(F.lit("city_"), ((F.col("c_custkey") * 13) % 97).cast("string")).alias(
             "ca_city"
         ),
@@ -276,9 +279,9 @@ def _store(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.alias("s_state"),
         city.alias("s_city"),
         county.alias("s_county"),
-        # zips live in the customer-zip domain (10000 + 7k, still prefix
-        # '10') so q24's s_zip = ca_zip equi-join has matching customers
-        (10000 + F.col("n_nationkey") * 7 * 37).cast("string").alias("s_zip"),
+        # zips live in the customer-zip domain (10000 + 7k mod 700, prefix
+        # '10') so q24's s_zip = ca_zip equi-join matches ~N/100 customers
+        (10000 + (F.col("n_nationkey") * 7 * 37) % 700).cast("string").alias("s_zip"),
         (F.col("n_nationkey") % 10).alias("s_market_id"),
         F.lit(-5).alias("s_gmt_offset"),
         (200 + F.col("n_nationkey") * 5).alias("s_number_employees"),
@@ -1025,7 +1028,7 @@ customer_address AS (
     SELECT c_custkey AS ca_address_sk,
            ['TN','SD','AL','GA','KY','CA','WA']
                [CAST(c_nationkey % 7 AS INTEGER) + 1] AS ca_state,
-           CAST(10000 + (c_custkey * 7) % 90000 AS VARCHAR) AS ca_zip,
+           CAST(10000 + (c_custkey * 7) % 700 AS VARCHAR) AS ca_zip,
            'city_' || CAST((c_custkey * 13) % 97 AS VARCHAR) AS ca_city,
            ['Williamson County','Ziebach County','Walker County',
             'Daviess County','Barrow County']
@@ -1045,7 +1048,7 @@ store AS (
     SELECT n_nationkey AS s_store_sk,
            'store_' || CAST(n_nationkey AS VARCHAR) AS s_store_id,
            'Store_' || n_name AS s_store_name,
-           CAST(10000 + n_nationkey * 7 * 37 AS VARCHAR) AS s_zip,
+           CAST(10000 + (n_nationkey * 7 * 37) % 700 AS VARCHAR) AS s_zip,
            n_nationkey % 10 AS s_market_id,
            ['{_STATES[0]}','{_STATES[1]}','{_STATES[2]}','{_STATES[3]}','{_STATES[4]}']
                [CAST(n_nationkey % 5 AS INTEGER) + 1] AS s_state,
