@@ -43,13 +43,13 @@ def test_oracle_parity(name, spark, sf_dir, ddb):
 
 def test_every_query_has_oracle_or_documented_weak_check():
     weak = set(_QUERIES) - set(_ORACLES)
-    # only genuinely non-SQL-expressible ops may skip the oracle: simhash
-    # buckets hash with xxhash64 (not reproducible in DuckDB) and the
-    # multimodal decode kernel is a stub. Everything else — including the
-    # ANN queries (integer-mix hyperplanes, exact-decimal IVF centroids) and
-    # the sketches (exact twins + bound booleans) — is oracle-checked.
+    # only genuinely non-SQL-expressible ops may skip the oracle: the
+    # multimodal decode kernel is a stub (no image libs in the container).
+    # Everything else — including simhash (md5-nibble bit votes since round
+    # 4), the ANN queries (integer-mix hyperplanes, exact-decimal IVF
+    # centroids) and the sketches (exact twins + bound booleans) — is
+    # oracle-checked.
     assert weak <= {
-        "dedup_simhash",
         "multimodal_decode",
     }, f"unexpected weak-check queries: {weak}"
 
