@@ -61,6 +61,10 @@ _ROUND_PRIORITY = [
     "simsearch_lsh",
     "simsearch_ivf",
     "approx_distinct",
+    # gained a FULL oracle in round 4 (md5-nibble bit votes) — its only
+    # prior stamps were rows-only/no_oracle, so the refined ledger
+    # re-fronts it for a hard stamp
+    "dedup_simhash",
     # new verbatim TPC-DS templates (round 4)
     "tpcds_q7",
     "tpcds_q12",
@@ -140,16 +144,36 @@ _ROUND_PRIORITY = [
 
 
 def _driver_ledger() -> set[str]:
-    """Names ever stamped by the driver = union of committed artifacts."""
-    stamped: set[str] = set()
+    """Names ever ORACLE-stamped by the driver, from the committed artifacts.
+
+    A HARD stamp is a record whose value-hash actually matched
+    (``hash_match: true``). Queries whose only records are weaker —
+    rows-only ``no_oracle`` checks, comparator errors, or red rows — stay
+    in the front pool until they earn a hard stamp, with one exception:
+    a query that STILL has no registered oracle keeps its rows-only stamp
+    (resampling it would burn gate slots on a permanently weak row). The
+    refinement stays mechanical/auditable — it reads only the artifacts'
+    recorded per-row status plus the current ``oracle_sql()`` registry."""
+    from datafusion_datasource_orc_spark.operators import ORACLES
+
+    hard: set[str] = set()
+    seen: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                stamped |= set(json.load(f))
+                rows = json.load(f)
         except (OSError, ValueError):  # unreadable artifact → skip, stay safe
             continue
-    return stamped
+        if not isinstance(rows, dict):
+            hard |= set(rows)
+            continue
+        for name, rec in rows.items():
+            seen.add(name)
+            if isinstance(rec, dict) and rec.get("hash_match") is True:
+                hard.add(name)
+    permanently_weak = {n for n in seen - hard if n not in ORACLES}
+    return hard | permanently_weak
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
