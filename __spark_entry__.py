@@ -194,11 +194,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each oracle-expressible query.
 
-    Genuinely engine-specific ops (simhash buckets, the stubbed multimodal
-    decode) are intentionally absent → driver records the weaker rows-only
-    check. Every other sketch carries an oracle *shadow*: minhash-LSH /
-    vector-LSH / IVF oracles are exact-verified pair-or-neighbor sets
-    (precision 1.0 by construction, recall bounds asserted in pytest), and
+    Only the stubbed multimodal decode is intentionally absent (no image
+    libs in this container) → driver records the weaker rows-only check.
+    Every other sketch carries an oracle or an oracle *shadow*: simhash
+    buckets are md5-nibble bit votes DuckDB replicates exactly; minhash-LSH
+    / vector-LSH / IVF oracles are exact-verified pair-or-neighbor sets
+    (precision 1.0 by construction, recall bounds asserted in pytest); and
     the approx percentile / heavy-hitter / distinct queries emit exact twins
     + boolean sketch-guarantee columns."""
     from datafusion_datasource_orc_spark.operators import ORACLES
