@@ -67,3 +67,34 @@ def test_no_nested_or_date_output_columns(spark, sf_dir):
             ):
                 offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not offenders, offenders
+
+
+def test_gate_rotation_ledger_policy(tmp_path, monkeypatch):
+    """The rotation ledger counts only hash-matched stamps as HARD; weaker
+    records (no_oracle, comparator errors, red rows) re-front the query —
+    unless it still has no oracle (permanently weak rows keep their
+    rows-only stamp instead of burning gate slots forever)."""
+    import json
+
+    art = {
+        "hard_green": {"hash_match": True, "err": None},
+        "red_row": {"hash_match": False, "err": None},
+        "errored": {"hash_match": None, "err": "boom"},
+        "weak_with_oracle_now": {"hash_match": None, "err": "no_oracle"},
+        "weak_still_no_oracle": {"hash_match": None, "err": "no_oracle"},
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(art))
+    monkeypatch.setattr(
+        entrymod.os.path, "dirname", lambda _: str(tmp_path)
+    )
+    monkeypatch.setattr(
+        "datafusion_datasource_orc_spark.operators.ORACLES",
+        {"hard_green": "SELECT 1", "red_row": "SELECT 1",
+         "errored": "SELECT 1", "weak_with_oracle_now": "SELECT 1"},
+    )
+    led = entrymod._driver_ledger()
+    assert "hard_green" in led
+    assert "weak_still_no_oracle" in led  # permanently weak → keeps stamp
+    assert "red_row" not in led  # red → resample until green
+    assert "errored" not in led
+    assert "weak_with_oracle_now" not in led  # earned an oracle → re-front
