@@ -65,6 +65,8 @@ _ROUND_PRIORITY = [
     # prior stamps were rows-only/no_oracle, so the refined ledger
     # re-fronts it for a hard stamp
     "dedup_simhash",
+    # new in round 4: Bloom-filter incremental-ingest dedup (full oracle)
+    "dedup_bloom_ingest",
     # new verbatim TPC-DS templates (round 4)
     "tpcds_q7",
     "tpcds_q12",

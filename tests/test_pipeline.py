@@ -441,3 +441,16 @@ class TestHeavyHitters:
         assert {r.brand for r in rows} == truth
         assert all(r.in_sketch for r in rows)
         assert len(rows) > 0
+
+
+class TestBloomIngest:
+    def test_bloom_guarantees(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.operators.dedup import dedup_bloom_ingest
+
+        rows = dedup_bloom_ingest(spark, sf_dir).collect()
+        assert rows, "ingest batch must be nonempty"
+        # Bloom's contract: membership probes NEVER miss a real member
+        assert all(r.no_false_negative for r in rows)
+        assert all(r.flagged for r in rows if r.exact_dup)
+        # false positives are flagged non-members by definition
+        assert all((r.flagged and not r.exact_dup) == r.false_positive for r in rows)
