@@ -55,69 +55,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # stamp, never WHETHER — the ledger rule guarantees eventual coverage.
 # ---------------------------------------------------------------------------
 
+# Round-5 front 50 (judge r04 task 1/2/8): the core §2B relational surface a
+# real user hits daily comes first — join variants, set ops, subqueries/CTE,
+# the TPC-H tail — then the two bench-headliner TPC-DS templates (q14/q64),
+# the newly-oracled multimodal_decode (its prior stamp was rows-only; with a
+# full oracle it re-enters the fresh pool for a hash-level stamp), the
+# remaining scalar/agg §2B rows, and the text-analysis family. The 53 other
+# never-stamped TPC-DS templates + the embedding family follow in stable
+# registration order and drain in round 6.
 _ROUND_PRIORITY = [
-    # newly oracle-shadowed sketches (round 4): exact-verified rows +
-    # guarantee booleans, same pattern as dedup_minhash_lsh
-    "simsearch_lsh",
-    "simsearch_ivf",
-    "approx_distinct",
-    # gained a FULL oracle in round 4 (md5-nibble bit votes) — its only
-    # prior stamps were rows-only/no_oracle, so the refined ledger
-    # re-fronts it for a hard stamp
-    "dedup_simhash",
-    # new in round 4: Bloom-filter incremental-ingest dedup (full oracle)
-    "dedup_bloom_ingest",
-    # new verbatim TPC-DS templates (round 4)
-    "tpcds_q7",
-    "tpcds_q12",
-    "tpcds_q15",
-    "tpcds_q20",
-    "tpcds_q36",
-    "tpcds_q42",
-    "tpcds_q43",
-    "tpcds_q59",
-    "tpcds_q25",
-    "tpcds_q26",
-    "tpcds_q29",
-    "tpcds_q33",
-    "tpcds_q45",
-    "tpcds_q56",
-    "tpcds_q60",
-    "tpcds_q68",
-    "tpcds_q73",
-    "tpcds_q79",
-    "tpcds_q96",
-    "tpcds_q13",
-    "tpcds_q27",
-    "tpcds_q32",
-    "tpcds_q48",
-    "tpcds_q61",
-    "tpcds_q92",
-    "tpcds_q93",
-    "tpcds_q71",
-    "tpcds_q84",
-    "tpcds_q86",
-    "tpcds_q88",
-    # the largest never-stamped analytical query (judge item 5)
-    "tpch_q9",
-    # round-3 additions that never got a stamp
-    "dedup_chunks",
-    "simsearch_sq",
-    "embedding_whitening",
-    # window family ×7
-    "window_rank",
-    "window_running_sum",
-    "window_lag_lead",
-    "window_ntile",
-    "window_frame_values",
-    "window_percent_rank",
-    "window_range_frame",
-    # grouping family
-    "rollup_agg",
-    "cube_agg",
-    "grouping_sets",
+    # joins (B15) — five variants + the salted-skew path, never stamped
+    "join_broadcast_dims",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_full_outer",
+    "join_salted",
     # set ops
-    "union_all",
     "intersect_keys",
     "except_keys",
     # subqueries + CTE
@@ -125,14 +79,7 @@ _ROUND_PRIORITY = [
     "exists_correlated",
     "scalar_subquery",
     "cte_top_nations",
-    # joins never stamped
-    "join_broadcast_dims",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "join_salted",
-    # TPC-H tail
+    # TPC-H tail ×9
     "tpch_q11",
     "tpch_q12",
     "tpch_q13",
@@ -142,6 +89,40 @@ _ROUND_PRIORITY = [
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
+    # bench headliners that were never correctness-stamped (judge task 8)
+    "tpcds_q14",
+    "tpcds_q64",
+    # gained a FULL oracle in round 5 (exact byte-sum features) — prior
+    # stamp was rows-only, so the ledger re-fronts it for a hard stamp
+    "multimodal_decode",
+    # scalar/agg §2B remainder
+    "histogram_prices",
+    "array_functions",
+    "case_when_buckets",
+    "scalar_functions",
+    "string_agg_ordered",
+    "date_arithmetic",
+    "having_filter",
+    "pivot_status_priority",
+    "count_distinct",
+    "stats_moments",
+    "percentile_prices",
+    "sample_hash",
+    "sql_string_entry",
+    # text-analysis family ×13
+    "text_token_count",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "corpus_stats_by_source",
+    "explode_top_tokens",
+    "text_repetition",
+    "contamination_eval_overlap",
+    "pipeline_filter_funnel",
+    "training_mix_sample",
+    "tfidf_top_terms",
+    "text_char_entropy",
+    "source_vocab_overlap",
 ]
 
 
@@ -168,7 +149,11 @@ def _driver_ledger() -> set[str]:
         except (OSError, ValueError):  # unreadable artifact → skip, stay safe
             continue
         if not isinstance(rows, dict):
-            hard |= set(rows)
+            # Legacy list-format artifact: carries no per-row status, so it
+            # cannot prove a hash match. Route through `seen` (same path as
+            # weak rows) so names only stay stamped if they have no oracle —
+            # never let a bare listing bypass the hash_match-only policy.
+            seen.update(n for n in rows if isinstance(n, str))
             continue
         for name, rec in rows.items():
             seen.add(name)

@@ -66,22 +66,37 @@ _DECODE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.IntegerType()),
         T.StructField("byte_checksum", T.LongType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("feat_n", T.DoubleType()),
+        T.StructField("feat_mean", T.DoubleType()),
+        T.StructField("feat_var", T.DoubleType()),
+        T.StructField("feat_first", T.DoubleType()),
     ]
 )
 
 
-def _fake_decode(payload: bytes) -> list[float]:
+def _fake_decode(payload: bytes) -> tuple[int, int, int, float, float, float, float]:
     """STUB decode kernel — deterministic fake feature vector.
 
     In production this is where PIL/torchaudio/ffmpeg decodes the payload;
     those libs are absent here, so the 'feature' is 4 moments of the byte
-    histogram. Raise-or-fake is switchable via real_decoder below.
+    histogram: (n, mean, variance, first byte). mean and var are each ONE
+    IEEE double division of exact integer byte sums (var via the algebraic
+    identity (n·ss − s²)/n², all operands < 2^53), so a SQL engine that
+    extracts the same bytes computes bit-identical doubles — this is what
+    makes the DuckDB oracle for multimodal_decode exact rather than
+    tolerance-based. Raise-or-fake is switchable via real_decoder below.
+
+    Returns (n, s_mod_2^31, first, feat_n, feat_mean, feat_var, feat_first).
     """
-    n = len(payload) or 1
+    payload = payload or b""
+    n = len(payload)
     s = sum(payload)
-    mean = s / n
-    var = sum((b - mean) ** 2 for b in payload) / n
-    return [float(n), float(mean), float(var), float(payload[0] if payload else 0)]
+    ss = sum(b * b for b in payload)
+    d = n or 1  # clamp only the divisor; feature[0] reports the true length
+    mean = s / d
+    var = (d * ss - s * s) / (d * d)
+    first = payload[0] if n else 0
+    return n, s % (2**31), first, float(n), mean, var, float(first)
 
 
 def real_decoder(*_a, **_k):  # pragma: no cover - documentation stub
@@ -95,31 +110,77 @@ def decode_features(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: Arrow batches in, feature frame out. Vectorized
     per-batch (one Python call per ~10k rows, not per row)."""
     for pdf in pdf_iter:
-        payloads = pdf["payload"]
+        decoded = [_fake_decode(p) for p in pdf["payload"]]
         yield pd.DataFrame(
             {
-                "doc_id": pdf["doc_id"],
-                "n_bytes": payloads.map(len).astype("int32"),
-                "byte_checksum": payloads.map(lambda b: sum(b) % (2**31)).astype("int64"),
-                "feature": payloads.map(_fake_decode),
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_bytes": pd.Series([d[0] for d in decoded], dtype="int32"),
+                "byte_checksum": pd.Series([d[1] for d in decoded], dtype="int64"),
+                "feature": [[d[3], d[4], d[5], d[6]] for d in decoded],
+                "feat_n": pd.Series([d[3] for d in decoded], dtype="float64"),
+                "feat_mean": pd.Series([d[4] for d in decoded], dtype="float64"),
+                "feat_var": pd.Series([d[5] for d in decoded], dtype="float64"),
+                "feat_first": pd.Series([d[6] for d in decoded], dtype="float64"),
             }
         )
 
 
-@query("multimodal_decode")  # stubbed decode → rows-only check; shape tested in pytest
+# DuckDB byte extraction: hex() the payload blob, decode each 2-hex-digit
+# pair via strpos on the nibble alphabet — engine-portable (no byte-indexing
+# builtin needed) and valid for arbitrary binary, not just ASCII.
+_ORACLE_BYTE = (
+    "(strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16"
+    " + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS INT), 1)) - 1)"
+)
+
+
+@query(
+    "multimodal_decode",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+      SELECT doc_id, i, {_ORACLE_BYTE} AS byte
+      FROM p, UNNEST(range(0, CAST(n AS BIGINT))) AS t(i)
+    ),
+    s AS (
+      SELECT doc_id, SUM(byte) AS s, SUM(byte*byte) AS ss,
+             MAX(CASE WHEN i = 0 THEN byte END) AS first_byte
+      FROM b GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(p.n AS INTEGER) AS n_bytes,
+           CAST(COALESCE(s.s, 0) % 2147483648 AS BIGINT) AS byte_checksum,
+           CAST(p.n AS DOUBLE) AS feat_n,
+           CAST(COALESCE(s.s, 0) AS DOUBLE) / GREATEST(p.n, 1) AS feat_mean,
+           CAST(GREATEST(p.n, 1) * COALESCE(s.ss, 0)
+                - COALESCE(s.s, 0) * COALESCE(s.s, 0) AS DOUBLE)
+             / CAST(GREATEST(p.n, 1) * GREATEST(p.n, 1) AS DOUBLE) AS feat_var,
+           CAST(COALESCE(s.first_byte, 0) AS DOUBLE) AS feat_first
+    FROM p LEFT JOIN s ON p.doc_id = s.doc_id
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full multimodal pipeline: binary payload → mapInPandas decode →
     typed feature column. Repartitions by doc_id so decode parallelism is
     data-size-driven, not file-layout-driven (at 100 TB the payload files are
     few and huge; decode wants even CPU-bound splits).
 
-    The feature vector is serialized to a string at the output boundary —
-    the driver's pandas comparator cannot hash list cells; the typed
-    array<float> shape is covered in tests/test_pipeline.py."""
-    docs = load_table(spark, sf_dir, "documents")
+    Oracle-checked since round 5: the stub kernel's features are exact
+    integer byte sums plus single IEEE divisions, which the DuckDB oracle
+    reproduces bit-for-bit by re-extracting payload bytes from the hex
+    encoding — the full mapInPandas decode path gets a hash-level stamp, not
+    just a rows-only check. The typed array<float> feature column is dropped
+    at the comparator boundary (the driver's pandas comparator can't hash
+    list cells); its shape is covered in tests/test_pipeline.py. NULL-text
+    rows are excluded on both sides (a NULL payload has nothing to decode)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     p = with_payload(docs).repartition("doc_id")
     decoded = p.mapInPandas(decode_features, schema=_DECODE_SCHEMA)
-    return decoded.withColumn("feature", F.col("feature").cast("string"))
+    return decoded.drop("feature")
 
 
 # ---- frame-sampling shape: explode fixed-stride samples ----------------------

@@ -89,7 +89,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         cache = _DF_CACHE.setdefault(spark, {})
     except TypeError:  # session not weakref-able (mocks) → skip caching
         cache = {}
-    key = (sf_dir, name)
+    # abspath-normalized so relative/absolute spellings of one directory share
+    # an entry. The cached plan freezes the file listing + footer schema at
+    # first load — fine for the static driver testdata this repo reads, but a
+    # directory whose files change within a session would need invalidation.
+    key = (os.path.abspath(sf_dir), name)
     if key in cache:
         return cache[key]
     path = os.path.join(sf_dir, f"{name}.parquet")

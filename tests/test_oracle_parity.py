@@ -43,15 +43,11 @@ def test_oracle_parity(name, spark, sf_dir, ddb):
 
 def test_every_query_has_oracle_or_documented_weak_check():
     weak = set(_QUERIES) - set(_ORACLES)
-    # only genuinely non-SQL-expressible ops may skip the oracle: the
-    # multimodal decode kernel is a stub (no image libs in the container).
-    # Everything else — including simhash (md5-nibble bit votes since round
-    # 4), the ANN queries (integer-mix hyperplanes, exact-decimal IVF
-    # centroids) and the sketches (exact twins + bound booleans) — is
-    # oracle-checked.
-    assert weak <= {
-        "multimodal_decode",
-    }, f"unexpected weak-check queries: {weak}"
+    # Since round 5 EVERY registered query is oracle-checked: the last
+    # holdout (multimodal_decode) computes its stub-decode features as exact
+    # integer byte sums + single IEEE divisions, which DuckDB reproduces
+    # bit-for-bit from the hex-encoded payload.
+    assert weak == set(), f"unexpected weak-check queries: {weak}"
 
 
 def test_entry_smoke(spark):

@@ -334,8 +334,9 @@ class TestMultimodal:
         assert row.meta.n_bytes == len(row.payload)
 
     def test_decode_stub_batch_shape(self, spark, sf_dir):
-        # the TYPED array<float> pipeline (the registered query serializes
-        # the feature column at the output boundary — driver convention)
+        # the TYPED array<float> pipeline (the registered query drops the
+        # list column at the output boundary — the driver's comparator can't
+        # hash list cells — and emits the scalar feature moments instead)
         from datafusion_datasource_orc_spark.operators.multimodal import (
             _DECODE_SCHEMA,
             decode_features,
@@ -351,9 +352,15 @@ class TestMultimodal:
             assert len(r.feature) == 4
             assert r.feature[0] == float(r.n_bytes)  # moment[0] is length
             assert 0 <= r.byte_checksum < 2**31
-        # registered form: same rows, feature serialized to one string cell
-        out = multimodal_decode(spark, sf_dir).limit(5).collect()
-        assert all(isinstance(r.feature, str) and r.feature.startswith("[") for r in out)
+            # scalar moments mirror the array (doubles vs float32-rounded)
+            assert r.feat_n == r.feature[0]
+            assert r.feat_first == r.feature[3]
+            assert abs(r.feat_mean - r.feature[1]) <= 1e-4 * max(1.0, abs(r.feat_mean))
+            assert abs(r.feat_var - r.feature[2]) <= 1e-4 * max(1.0, abs(r.feat_var))
+        # registered form: scalar columns only, no list cell
+        out = multimodal_decode(spark, sf_dir)
+        assert "feature" not in out.columns
+        assert {"feat_n", "feat_mean", "feat_var", "feat_first"} <= set(out.columns)
 
     def test_real_decoder_is_marked_unimplemented(self):
         with pytest.raises(NotImplementedError):
