@@ -14,8 +14,10 @@ matching the reference's collect at src/bin/tpcds_bench.rs:543-574).
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -105,6 +107,95 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+
+    # Cold/warm split (judge r04 task 4): iteration 0 carries codegen +
+    # session warm-up; the warm median is the steady-state signal a repeated
+    # production query sees. `queries` stays best-of-N for cross-round
+    # comparability with BENCH_r01-r04.
+    cold = {n: its[0] for n, its in iterations.items()}
+    warm = {
+        n: round(statistics.median(its[1:]), 4) if len(its) > 1 else its[0]
+        for n, its in iterations.items()
+    }
+
+    # The driver records only the LAST 2000 chars of stdout and parses the
+    # JSON line out of that window (BENCH_r02/r04 carried per-query
+    # iteration dicts, overflowed it, and recorded parsed=null). The stdout
+    # line therefore stays compact — per-query cold/warm/iteration detail
+    # and the full regression ratio table go to a committed sidecar.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+
+    # Tolerance-checked regression table vs the previous committed BENCH
+    # artifact: a real plan regression is a per-query outlier (>1.5x AND
+    # >0.3s absolute on best-basis); uniform host drift moves the geometric
+    # mean ratio of ALL common queries without tripping per-query flags.
+    prev_art = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    regression: dict[str, object] = {}
+    ratios: dict[str, float] = {}
+    if prev_art:
+        try:
+            # newest artifact whose JSON actually parsed: the driver artifact
+            # shape is {"parsed": {...the one-line JSON...}, ...} with
+            # parsed=null when the line overflowed its 2000-char stdout tail
+            # (BENCH_r02/r04); a bare local run is the line itself
+            prev_q: dict[str, float] = {}
+            baseline_name = os.path.basename(prev_art[-1])
+            for path in reversed(prev_art):
+                with open(path) as f:
+                    prev = json.load(f)
+                prev_q = (prev.get("parsed") or prev).get("queries") or {}
+                if prev_q:
+                    baseline_name = os.path.basename(path)
+                    break
+            common = sorted(set(prev_q) & set(results))
+            ratios = {
+                n: round(results[n] / prev_q[n], 3) for n in common if prev_q[n] > 0
+            }
+            flagged = {
+                n: r
+                for n, r in ratios.items()
+                if r > 1.5 and results[n] - prev_q[n] > 0.3
+            }
+            geomean = (
+                round(statistics.geometric_mean(ratios.values()), 3) if ratios else None
+            )
+            regression = {
+                "vs": baseline_name,
+                "n": len(common),
+                "geomean": geomean,
+                "flagged": flagged,
+            }
+            print(
+                f"# regression vs {regression['vs']}: geomean ratio {geomean} over "
+                f"{len(common)} common queries, {len(flagged)} flagged"
+                + (
+                    " (uniform drift = host load, flagged outlier = plan regression)"
+                    if common
+                    else ""
+                ),
+                file=sys.stderr,
+            )
+        except (OSError, ValueError, KeyError, AttributeError) as exc:
+            regression = {"error": f"{type(exc).__name__}: {exc}"}
+
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "sf": sf_val,
+                "iterations": iterations,
+                "queries_cold": cold,
+                "queries_warm_median": warm,
+                "cold_total": round(sum(cold.values()), 4),
+                "warm_total": round(sum(warm.values()), 4),
+                "regression_ratios_vs_prev": ratios,
+                "regression_summary": regression,
+            },
+            f,
+            indent=1,
+        )
+
     print(
         json.dumps(
             {
@@ -112,7 +203,10 @@ def main() -> None:
                 "value": round(sum(results.values()), 4),
                 "unit": "sec",
                 "queries": results,
-                "iterations": iterations,
+                "cold_total": round(sum(cold.values()), 4),
+                "warm_total": round(sum(warm.values()), 4),
+                "regression_vs_prev": regression,
+                "detail": "bench_detail.json",
                 "sf": sf_val,
             }
         )

@@ -2485,8 +2485,12 @@ FROM (SELECT COUNT(*) h8_30_to_9
 # decimal, could flip row membership or a rank tie between engines. The
 # verbatim template text is kept untouched (normalizing inside the template
 # would forfeit verbatim status); the wrappers only normalize the OUTPUT.
-# If the testdata generator ever changes, re-verify these four at all scales
-# first — a boundary coincidence shows up as a 1-row membership diff.
+# The q6/q44/q65 thresholds are PROBED, not just documented:
+# tests/test_boundary_probes.py recomputes every threshold in exact Fraction
+# arithmetic at all three SFs and fails if any compared value comes within
+# 1e-9 relative of its threshold (observed minimum: 5e-5 at sf0.1) — a
+# testdata-generator change that lands a boundary coincidence now fails
+# pytest instead of surfacing as a 1-row driver-gate diff.
 _Q31 = """
 WITH ss AS (
     SELECT ca_county, d_qoy, d_year, SUM(ss_ext_sales_price) AS store_sales

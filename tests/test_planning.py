@@ -270,3 +270,31 @@ class TestTpchHeavyPlans:
             "== Physical Plan =="
         )[-1].split("\n\n")[0]
         assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+class TestCteRuntimeReuse:
+    """The multi-channel TPC-DS templates reference their expensive CTEs
+    (q14: cross_items/avg_across; q23: frequent_ss_items/max_store_sales)
+    once per channel branch. Catalyst inlines CTEs logically, so the dedup
+    mechanism at execution time is AQE exchange/subquery reuse — pin it, so
+    a conf or version change that silently re-derives the CTE per branch
+    (3x the heaviest subplan at 100 TB) fails here instead of in the bench.
+    """
+
+    @pytest.mark.parametrize(
+        "qname,min_reused",
+        [("tpcds_q14", 8), ("tpcds_q23", 2)],
+    )
+    def test_cte_subplans_reuse_exchanges(self, spark, sf_dir, qname, min_reused):
+        from datafusion_datasource_orc_spark.operators import QUERIES
+
+        df = QUERIES[qname](spark, sf_dir)
+        df.collect()  # reuse nodes only appear in the FINAL adaptive plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        reused = plan.count("ReusedExchange") + plan.count("ReusedSubquery")
+        assert reused >= min_reused, (
+            f"{qname}: only {reused} reused exchange/subquery nodes in the "
+            f"final adaptive plan (expected >= {min_reused}) — the shared "
+            "CTE subplans are being re-derived per channel branch"
+        )
