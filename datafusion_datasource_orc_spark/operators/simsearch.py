@@ -657,3 +657,194 @@ def simsearch_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sim").desc(), "vec_id")
         .limit(TOP_K)
     )
+
+
+# ---- product-quantized ANN (PQ + asymmetric distance computation) -----------
+PQ_M = 4  # subspaces
+PQ_SUBDIM = 16  # dims per subspace (PQ_M * PQ_SUBDIM = 64)
+PQ_SIGN_BITS = 4  # 2^4 = 16 codebook cells per subspace
+PQ_QUERIES = 3
+PQ_TOP_K = 5
+
+# DuckDB twin of the sequential squared-L2 fold (same discipline as
+# _SQL_COSINE: double casts + list_sum so accumulation matches Spark's
+# aggregate(); the 6-dp round absorbs any ulp divergence).
+_SQL_L2SQ = """
+    list_sum(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])),
+                            t -> (t[1] - t[2]) * (t[1] - t[2])))
+"""
+
+
+def _l2_sq(a, b):
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_oracle() -> str:
+    def cell(m: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN embedding[{m * PQ_SUBDIM + k + 1}] >= 0 THEN {1 << k} ELSE 0 END)"
+            for k in range(PQ_SIGN_BITS)
+        )
+
+    sub_structs = ", ".join(
+        f"({m}, {cell(m)}, embedding[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}])"
+        for m in range(PQ_M)
+    )
+    return f"""
+    WITH subs AS (
+      SELECT vec_id, s.m, s.cell, s.sv
+      FROM (SELECT vec_id, embedding FROM embeddings),
+           UNNEST([{{'m': x[1], 'cell': x[2], 'sv': x[3]}}
+                   FOR x IN [{sub_structs}]]) AS t(s)
+    ),
+    comp AS (
+      SELECT m, cell, i AS within,
+             floor(CAST(sv[i] AS DOUBLE) * 1e6) / 1e6 AS t
+      FROM subs, UNNEST(generate_series(1, {PQ_SUBDIM})) AS u(i)
+    ),
+    cm AS (
+      SELECT m, cell, within,
+             CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
+      FROM comp GROUP BY m, cell, within
+    ),
+    cent AS (
+      SELECT m, cell AS ccell, list(c ORDER BY within) AS centroid
+      FROM cm GROUP BY m, cell
+    ),
+    enc AS (
+      SELECT vec_id, s.m, c.ccell,
+             ROW_NUMBER() OVER (
+                 PARTITION BY vec_id, s.m
+                 ORDER BY ROUND({_SQL_L2SQ.format(a='s.sv', b='c.centroid')}, 6),
+                          c.ccell
+             ) AS rk
+      FROM subs s JOIN cent c USING (m)
+    ),
+    codes AS (SELECT vec_id, m, ccell FROM enc WHERE rk = 1),
+    dtable AS (
+      SELECT s.vec_id AS q_vec_id, s.m, c.ccell,
+             CAST(ROUND(ROUND({_SQL_L2SQ.format(a='s.sv', b='c.centroid')}, 6) * 1e6)
+                  AS BIGINT) AS qd_int
+      FROM subs s JOIN cent c USING (m)
+      WHERE s.vec_id < {PQ_QUERIES}
+    )
+    SELECT q_vec_id, vec_id, rnk, adc FROM (
+      SELECT d.q_vec_id, k.vec_id,
+             CAST(SUM(d.qd_int) AS DOUBLE) / 1e6 AS adc,
+             ROW_NUMBER() OVER (
+                 PARTITION BY d.q_vec_id
+                 ORDER BY SUM(d.qd_int), k.vec_id
+             ) AS rnk
+      FROM codes k JOIN dtable d ON k.m = d.m AND k.ccell = d.ccell
+      WHERE k.vec_id != d.q_vec_id
+      GROUP BY d.q_vec_id, k.vec_id
+    ) WHERE rnk <= {PQ_TOP_K}
+    """
+
+
+@query("simsearch_pq", oracle=_pq_oracle())
+def simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN with asymmetric distance computation (ADC) —
+    the last rung of the ANN ladder (brute force → LSH buckets → IVF cells →
+    SQ8 → PQ): each vector is stored as PQ_M=4 codebook codes (4 bytes
+    instead of 256), and query-to-candidate distance is a table LOOKUP-sum
+    over precomputed query-to-centroid sub-distances, never a full vector
+    op per candidate (Jégou et al. 2011, the pattern FAISS builds on).
+
+    Deterministic "training" (no RNG, fully oracle-replicable): codebook
+    cells are the sign patterns of each sub-vector's first PQ_SIGN_BITS=4
+    components, centroids are exact decimal-sum means of 1e-6-truncated
+    components per cell (the IVF discipline); encoding assigns each
+    sub-vector to its NEAREST centroid by 6-dp-rounded squared L2 with cell
+    tie-break. ADC sums 1e-6-scaled INTEGER sub-distances, so the
+    aggregation is order-free and the final double is exact on both engines.
+
+    Scale shape at 100 TB: the codebook is 4x16 rows (broadcast);
+    encoding is one linear corpus scan; the query distance table is
+    queries x codebook (broadcast); the ADC join shuffles 4 ints per
+    corpus vector — no embedding bytes move after encode, which is the
+    entire point of PQ."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+
+    def cell_expr(m: int):
+        bits = [
+            F.when(e[m * PQ_SUBDIM + k] >= 0, F.lit(1 << k)).otherwise(F.lit(0))
+            for k in range(PQ_SIGN_BITS)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    subs = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        cell_expr(m).alias("cell"),
+                        F.slice(e, m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.cell", "s.sv")
+
+    trunc = lambda x: F.floor(x * 1e6) / 1e6  # noqa: E731
+    comp = subs.select(
+        "m", "cell", F.posexplode(F.transform("sv", trunc)).alias("within", "t")
+    )
+    cm = comp.groupBy("m", "cell", "within").agg(
+        (F.sum(F.col("t").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    cent = cm.groupBy("m", F.col("cell").alias("ccell")).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("within", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+
+    d2 = F.round(_l2_sq(F.col("sv"), F.col("centroid")), 6)
+    w_enc = Window.partitionBy("vec_id", "m").orderBy(F.col("d2").asc(), "ccell")
+    enc = (
+        subs.join(F.broadcast(cent), "m")
+        .select("vec_id", "m", "ccell", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w_enc))
+    )
+    codes = enc.filter(F.col("rk") == 1).select("vec_id", "m", "ccell")
+
+    qd_int = F.round(d2 * 1e6).cast("long")
+    dtable = (
+        subs.filter(F.col("vec_id") < PQ_QUERIES)
+        .join(F.broadcast(cent), "m")
+        .select(
+            F.col("vec_id").alias("q_vec_id"), "m", "ccell", qd_int.alias("qd_int")
+        )
+    )
+
+    w_rank = Window.partitionBy("q_vec_id").orderBy(F.col("adc_int").asc(), "vec_id")
+    return (
+        codes.join(F.broadcast(dtable), ["m", "ccell"])
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .groupBy("q_vec_id", "vec_id")
+        .agg(F.sum("qd_int").alias("adc_int"))
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= PQ_TOP_K)
+        .select(
+            "q_vec_id",
+            "vec_id",
+            "rnk",
+            (F.col("adc_int").cast("double") / 1e6).alias("adc"),
+        )
+    )

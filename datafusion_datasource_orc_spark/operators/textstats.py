@@ -778,3 +778,131 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+NOVELTY_N = 3
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, md5(g) AS gh
+      FROM (SELECT doc_id, unnest({_ngram_join_duckdb(NOVELTY_N)}) AS g
+            FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+                  FROM documents))
+    ),
+    flagged AS (
+      SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY gh) AS novel
+      FROM sh
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN novel THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           floor(CAST(SUM(CASE WHEN novel THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 1e6) / 1e6 AS novelty_frac
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl novelty: per document, the fraction of its distinct
+    word trigrams whose canonical (minimum-doc_id) holder is the document
+    itself — i.e. content never seen in any earlier document. Crawl
+    pipelines use this to rank a new dump's marginal value before paying for
+    full dedup; low-novelty docs are recombinations of already-held text.
+
+    Scale shape: distinct shingles explode to md5-hashed postings (16-byte
+    keys, never shingle text) and the novelty flag is a min-over-partition
+    window on the shingle hash — ONE shuffle, same key discipline as
+    dedup_minhash_lsh's postings; the per-doc rollup is a map-side-
+    combinable groupBy. novelty_frac is an int/int double division
+    (deterministic), floor-gridded by repo convention. Documents shorter
+    than the shingle width drop out identically on both engines."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngrams_linear(w, NOVELTY_N))).alias("g"),
+    ).select("doc_id", F.md5(F.col("g").cast("binary")).alias("gh"))
+    novel = F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("gh"))
+    return (
+        sh.withColumn("novel", novel)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("novel"), 1).otherwise(0)).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (
+                F.floor(
+                    F.col("n_novel").cast("double") / F.col("n_shingles") * 1e6
+                )
+                / 1e6
+            ).alias("novelty_frac"),
+        )
+    )
+
+
+SEQ_BUDGET = 256  # tokens per packed training sequence (context length)
+
+
+@query(
+    "training_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+      SELECT source, doc_id, len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, n_tokens,
+             (SUM(n_tokens) OVER (PARTITION BY source
+                                  ORDER BY n_tokens DESC, doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens)
+               // {SEQ_BUDGET} AS seq_id
+      FROM sized
+    )
+    SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           MAX(n_tokens) AS max_doc_tokens
+    FROM packed GROUP BY source, seq_id
+    """,
+)
+def training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing — the LLM-pretraining example-packing
+    step (T5/GPT style): within each source, documents are laid end-to-end
+    in deterministic order (size-descending, doc_id tie-break) and cut into
+    SEQ_BUDGET(=256)-token sequences by the running token offset; the output
+    the per-sequence manifest (doc count, token fill, largest member) that
+    the tokenizer/writer stage consumes. Differs from
+    multimodal_batch_packing's fixed-COUNT batches: bins close on a
+    cumulative token BUDGET, so short docs pack densely instead of wasting
+    context.
+
+    Scale shape: the window partitions by the bounded-cardinality source key
+    (at 100 TB swap in ``pmod(hash(doc_id), N)`` shards — identical plan); a
+    running SUM over a sorted partition is a single pass, and the manifest
+    rollup is map-side combinable. All-integer arithmetic end to end."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "source", "doc_id", F.size(_words(F.col("text"))).alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = sized.withColumn(
+        "seq_id",
+        ((F.sum("n_tokens").over(w) - F.col("n_tokens")) / SEQ_BUDGET).cast("long"),
+    )
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("seq_tokens"),
+        F.max("n_tokens").alias("max_doc_tokens"),
+    )

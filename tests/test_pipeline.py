@@ -461,3 +461,93 @@ class TestBloomIngest:
         assert all(r.flagged for r in rows if r.exact_dup)
         # false positives are flagged non-members by definition
         assert all((r.flagged and not r.exact_dup) == r.false_positive for r in rows)
+
+
+class TestRound5Pipeline:
+    def test_pq_shape_and_adc_signal(self, spark, sf_dir):
+        """PQ/ADC invariants: 5 ranked rows per query, ADC monotone in rank,
+        and the quantizer carries real signal — the exact squared-L2 of the
+        ADC-selected candidates beats the corpus mean for every query (the
+        embeddings are random noise, so recall@k bounds would be
+        meaningless; closer-than-average is the honest deterministic
+        property)."""
+        from datafusion_datasource_orc_spark.operators.simsearch import (
+            PQ_QUERIES,
+            PQ_TOP_K,
+            _l2_sq,
+            simsearch_pq,
+        )
+
+        rows = simsearch_pq(spark, sf_dir).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.q_vec_id, []).append(r)
+        assert set(by_q) == set(range(PQ_QUERIES))
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r.rnk)
+            assert [r.rnk for r in rs] == list(range(1, PQ_TOP_K + 1))
+            assert all(a.adc <= b.adc for a, b in zip(rs, rs[1:]))
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qs = emb.filter(F.col("vec_id") < PQ_QUERIES).select(
+            F.col("vec_id").alias("q"), F.col("embedding").alias("qe")
+        )
+        d = _l2_sq(
+            F.col("embedding").cast("array<double>"), F.col("qe").cast("array<double>")
+        )
+        exact = (
+            emb.crossJoin(F.broadcast(qs))
+            .filter(F.col("vec_id") != F.col("q"))
+            .select("q", "vec_id", d.alias("d"))
+            .collect()
+        )
+        for q, rs in by_q.items():
+            ds = {r.vec_id: r.d for r in exact if r.q == q}
+            sel_mean = sum(ds[r.vec_id] for r in rs) / len(rs)
+            corpus_mean = sum(ds.values()) / len(ds)
+            assert sel_mean < corpus_mean, (
+                f"query {q}: ADC-selected mean L2^2 {sel_mean:.3f} not below "
+                f"corpus mean {corpus_mean:.3f} — quantizer carries no signal"
+            )
+
+    def test_ngram_novelty_invariants(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.operators.textstats import (
+            text_ngram_novelty,
+        )
+
+        rows = text_ngram_novelty(spark, sf_dir).collect()
+        assert len(rows) > 0
+        by_id = {r.doc_id: r for r in rows}
+        for r in rows:
+            assert 0 <= r.n_novel <= r.n_shingles
+            assert 0.0 <= r.novelty_frac <= 1.0
+        # the earliest document owns every one of its shingles by definition
+        first = by_id[min(by_id)]
+        assert first.n_novel == first.n_shingles
+        # novelty must strictly decrease somewhere: the corpus repeats words,
+        # so at least one later doc shares a shingle with an earlier one
+        assert any(r.n_novel < r.n_shingles for r in rows)
+
+    def test_pack_sequences_invariants(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.operators.textstats import (
+            SEQ_BUDGET,
+            training_pack_sequences,
+        )
+
+        rows = training_pack_sequences(spark, sf_dir).collect()
+        assert len(rows) > 0
+        by_source = {}
+        for r in rows:
+            by_source.setdefault(r.source, []).append(r)
+        for source, bins in by_source.items():
+            bins.sort(key=lambda r: r.seq_id)
+            # seq ids are contiguous from 0
+            assert [b.seq_id for b in bins] == list(range(len(bins)))
+            for b in bins:
+                # a bin never exceeds budget + one straddling document
+                assert b.seq_tokens < SEQ_BUDGET + b.max_doc_tokens
+                assert b.n_docs >= 1
+            # every non-final bin is filled past the point where its first
+            # doc started, i.e. bins only close because the budget filled
+            for b in bins[:-1]:
+                assert b.seq_tokens >= 1
