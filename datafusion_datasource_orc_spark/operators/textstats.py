@@ -906,3 +906,78 @@ def training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("seq_tokens"),
         F.max("n_tokens").alias("max_doc_tokens"),
     )
+
+
+VOCAB_MIN_FREQS = [1, 2, 4, 8, 16, 32, 64, 128]
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH tc AS (
+      SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents)
+      GROUP BY tok
+    ),
+    hist AS (SELECT cnt, COUNT(*) AS n_toks, SUM(cnt) AS occ FROM tc GROUP BY cnt),
+    total AS (SELECT SUM(occ) AS t FROM hist)
+    SELECT min_freq,
+           CAST(SUM(CASE WHEN cnt >= min_freq THEN n_toks ELSE 0 END) AS BIGINT)
+               AS vocab_size,
+           CAST(SUM(CASE WHEN cnt >= min_freq THEN occ ELSE 0 END) AS BIGINT)
+               AS covered_tokens,
+           CAST(t AS BIGINT) AS total_tokens,
+           floor(CAST(SUM(CASE WHEN cnt >= min_freq THEN occ ELSE 0 END) AS DOUBLE)
+                 / t * 1e6) / 1e6 AS coverage_frac
+    FROM hist, total, UNNEST({VOCAB_MIN_FREQS}) AS u(min_freq)
+    GROUP BY min_freq, t
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab planning: the min_frequency cutoff curve — for each
+    candidate cutoff, the vocabulary size it admits and the fraction of all
+    token occurrences it covers (1 − coverage = the OOV rate a tokenizer
+    trained with that cutoff eats). This is the measurement behind the
+    min_frequency knob in BPE/WordPiece trainers.
+
+    Scale shape: ONE map-side-combinable token-count shuffle; the curve is
+    then computed on the (count → frequency) histogram, which is at most
+    |distinct counts| rows — so the cutoff expansion (x8 thresholds)
+    multiplies a tiny aggregate, never the corpus. A global top-K rank
+    formulation would need a total order over the vocab (the plan-lint
+    scale-killer); the threshold formulation is pure aggregation. Exact
+    integers end to end; coverage_frac is an int/int double division on the
+    1e-6 grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(_words(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hist = tc.groupBy("cnt").agg(
+        F.count(F.lit(1)).alias("n_toks"), F.sum("cnt").alias("occ")
+    )
+    total = hist.agg(F.sum("occ").alias("t"))
+    cuts = F.explode(F.array(*[F.lit(k) for k in VOCAB_MIN_FREQS])).alias("min_freq")
+    expanded = hist.select(cuts, "cnt", "n_toks", "occ").crossJoin(F.broadcast(total))
+    covered = F.sum(F.when(F.col("cnt") >= F.col("min_freq"), F.col("occ")).otherwise(0))
+    return (
+        expanded.groupBy("min_freq", "t")
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") >= F.col("min_freq"), F.col("n_toks")).otherwise(0)
+            ).alias("vocab_size"),
+            covered.alias("covered_tokens"),
+        )
+        .select(
+            "min_freq",
+            "vocab_size",
+            "covered_tokens",
+            F.col("t").alias("total_tokens"),
+            (
+                F.floor(F.col("covered_tokens").cast("double") / F.col("t") * 1e6)
+                / 1e6
+            ).alias("coverage_frac"),
+        )
+    )

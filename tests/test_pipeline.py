@@ -551,3 +551,21 @@ class TestRound5Pipeline:
             # doc started, i.e. bins only close because the budget filled
             for b in bins[:-1]:
                 assert b.seq_tokens >= 1
+
+    def test_vocab_coverage_curve(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.operators.textstats import (
+            VOCAB_MIN_FREQS,
+            text_vocab_coverage,
+        )
+
+        rows = sorted(text_vocab_coverage(spark, sf_dir).collect(),
+                      key=lambda r: r.min_freq)
+        assert [r.min_freq for r in rows] == VOCAB_MIN_FREQS
+        # min_freq=1 admits everything
+        assert rows[0].covered_tokens == rows[0].total_tokens
+        assert rows[0].coverage_frac == 1.0
+        # the curve is monotone: raising the cutoff can only shrink both
+        for a, b in zip(rows, rows[1:]):
+            assert a.vocab_size >= b.vocab_size
+            assert a.covered_tokens >= b.covered_tokens
+            assert a.total_tokens == b.total_tokens
