@@ -69,6 +69,12 @@ HEADLINE = [
     "asof_join_last_order",
     "basket_part_pairs",
     "multimodal_batch_packing",
+    # round 5 additions
+    "multimodal_decode",
+    "simsearch_pq",
+    "text_ngram_novelty",
+    "training_pack_sequences",
+    "text_vocab_coverage",
 ]
 
 
