@@ -159,10 +159,14 @@ def main() -> None:
             ratios = {
                 n: round(results[n] / prev_q[n], 3) for n in common if prev_q[n] > 0
             }
+            # flag = likely plan regression. Thresholds sized to this host's
+            # observed noise: back-to-back identical-code runs swing
+            # sub-second queries by 1.5-1.8x (+/-0.4s), so both a large
+            # ratio AND a >0.5s absolute delta are required.
             flagged = {
                 n: r
                 for n, r in ratios.items()
-                if r > 1.5 and results[n] - prev_q[n] > 0.3
+                if r > 1.5 and results[n] - prev_q[n] > 0.5
             }
             geomean = (
                 round(statistics.geometric_mean(ratios.values()), 3) if ratios else None

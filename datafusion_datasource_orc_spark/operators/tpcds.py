@@ -53,6 +53,9 @@ partial, the q98 window partitions by i_class.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -945,12 +948,41 @@ _TPCDS_TABLES = {
 }
 
 
+# Materialized star schema (round 5): the reference's harness never derives
+# its tables at query time — scripts/convert_tpcds_to_orc.py materializes the
+# star schema to ORC once and tpcds_bench registers the FILES
+# (src/bin/tpcds_bench.rs:590-614). Mirroring that, each derived table is
+# written to ORC once per (process, sf_dir) and queries scan the files: the
+# per-query cost of re-deriving facts from lineitem/orders disappears
+# (tpcds_q14 warm: ~4.4s derived -> ~1.5-2.6s materialized at sf0.1), scans
+# get ORC pushdown/pruning, and the builders run exactly once per table.
+_MAT_ROOT: str | None = None
+_MAT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _materialized_path(spark: SparkSession, sf_dir: str, name: str) -> str:
+    key = (os.path.abspath(sf_dir), name)
+    path = _MAT_CACHE.get(key)
+    if path and os.path.isdir(path):
+        return path
+    global _MAT_ROOT
+    if _MAT_ROOT is None:
+        _MAT_ROOT = tempfile.mkdtemp(prefix="tpcds_orc_")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(_MAT_ROOT, sf_tag, name)
+    _TPCDS_TABLES[name](spark, sf_dir).write.mode("overwrite").orc(path)
+    _MAT_CACHE[key] = path
+    return path
+
+
 def _register_tpcds_views(
     spark: SparkSession, sf_dir: str, only: set[str] | None = None
 ) -> None:
-    for name, builder in _TPCDS_TABLES.items():
+    for name in _TPCDS_TABLES:
         if only is None or name in only:
-            builder(spark, sf_dir).createOrReplaceTempView(name)
+            spark.read.orc(
+                _materialized_path(spark, sf_dir, name)
+            ).createOrReplaceTempView(name)
 
 
 # --------------------------------------------------------------- DuckDB side

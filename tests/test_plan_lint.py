@@ -41,6 +41,11 @@ ALLOWED_NESTED_LOOP = {
     "subqueries cross-joined into one output row",
     "tpcds_q90": "verbatim template: two 1-row COUNT(*) am/pm subqueries "
     "cross-joined into the single ratio row",
+    "tpcds_q77": "verbatim template: the catalog channel pairs two tiny "
+    "per-call-center aggregates (<=6 rows x <=6 rows); with the round-5 "
+    "materialized star tables Catalyst sees the sizes and picks a broadcast "
+    "loop instead of the CartesianProduct it planned over derived views "
+    "(the ALLOWED_CARTESIAN entry stays for the smaller-SF plan shape)",
     "tpcds_q21": _INVENTORY_BUILD,
     "tpcds_q22": _INVENTORY_BUILD,
     "tpcds_q37": _INVENTORY_BUILD,
