@@ -90,6 +90,12 @@ def main() -> None:
     # data-prep step, scripts/convert_tpcds_to_orc.py, is likewise untimed).
     for t in ("region", "part", "lineitem", "documents"):
         orc_dir_for(spark, sf_dir, t)
+    # Same for the derived TPC-DS star schema: the reference materializes all
+    # 24 tables before benchmarking, so the first tpcds query's cold time
+    # should measure the query, not the one-time table writes.
+    from datafusion_datasource_orc_spark.operators.tpcds import _register_tpcds_views
+
+    _register_tpcds_views(spark, sf_dir)
 
     results: dict[str, float] = {}
     iterations: dict[str, list[float]] = {}
