@@ -298,3 +298,41 @@ class TestCteRuntimeReuse:
             f"final adaptive plan (expected >= {min_reused}) — the shared "
             "CTE subplans are being re-derived per channel branch"
         )
+
+
+class TestTpcdsMaterialization:
+    """The derived star schema is materialized to ORC once per
+    (process, sf_dir) — the reference's convert-then-register flow
+    (scripts/convert_tpcds_to_orc.py → tpcds_bench.rs:590-614)."""
+
+    def test_materialization_is_cached(self, spark, sf_dir):
+        import os
+
+        from datafusion_datasource_orc_spark.operators.tpcds import (
+            _materialized_path,
+        )
+
+        p1 = _materialized_path(spark, sf_dir, "date_dim")
+        mtime = os.path.getmtime(p1)
+        p2 = _materialized_path(spark, sf_dir, "date_dim")
+        assert p1 == p2
+        assert os.path.getmtime(p2) == mtime, "builder re-ran on a cache hit"
+        assert any(f.endswith(".orc") or f.startswith("part-")
+                   for f in os.listdir(p1))
+
+    def test_materialized_view_matches_builder(self, spark, sf_dir):
+        """ORC round-trip fidelity: the registered view returns exactly the
+        builder's rows (decimals, dates and nullable keys included)."""
+        from datafusion_datasource_orc_spark.operators.tpcds import (
+            _TPCDS_TABLES,
+            _register_tpcds_views,
+        )
+
+        _register_tpcds_views(spark, sf_dir, only={"store_sales"})
+        via_view = spark.table("store_sales")
+        direct = _TPCDS_TABLES["store_sales"](spark, sf_dir)
+        assert via_view.schema == direct.schema
+        assert via_view.count() == direct.count()
+        # exceptAll both ways == 0 rows -> identical multisets
+        assert via_view.exceptAll(direct).count() == 0
+        assert direct.exceptAll(via_view).count() == 0
