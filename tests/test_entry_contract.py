@@ -98,3 +98,22 @@ def test_gate_rotation_ledger_policy(tmp_path, monkeypatch):
     assert "red_row" not in led  # red → resample until green
     assert "errored" not in led
     assert "weak_with_oracle_now" not in led  # earned an oracle → re-front
+
+
+def test_gate_rotation_legacy_list_artifact(tmp_path, monkeypatch):
+    """A legacy list-format artifact carries no per-row status, so it can
+    never grant a HARD stamp: names route through the weak-row path and
+    stay fronted unless they (still) have no oracle (ADVICE r04)."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r98.json").write_text(
+        json.dumps(["listed_with_oracle", "listed_no_oracle"])
+    )
+    monkeypatch.setattr(entrymod.os.path, "dirname", lambda _: str(tmp_path))
+    monkeypatch.setattr(
+        "datafusion_datasource_orc_spark.operators.ORACLES",
+        {"listed_with_oracle": "SELECT 1"},
+    )
+    led = entrymod._driver_ledger()
+    assert "listed_with_oracle" not in led  # no proof of a hash match → re-front
+    assert "listed_no_oracle" in led  # permanently weak → keeps its stamp
