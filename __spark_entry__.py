@@ -44,9 +44,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # moves to the BACK of the registry order; queries the driver has never
 # stamped come FIRST. This guarantees every registered query eventually
 # receives a driver stamp: once sampled, a query permanently leaves the
-# front, and the never-sampled pool drains by ≤50 per round (71 remained
-# entering round 4). The ledger is auditable — it is exactly the set of
-# names in the committed artifacts, not a hand-maintained list.
+# front, and the never-sampled pool drains by ≤50 per round (113 remained
+# entering round 5, plus 4 new round-5 queries and the re-fronted
+# multimodal_decode → ~68 left for round 6). The ledger is auditable — it
+# is exactly the set of names in the committed artifacts, not a
+# hand-maintained list.
 #
 # Within the never-stamped pool, _ROUND_PRIORITY puts this round's *new or
 # newly-oracle-shadowed* queries first (they need a first stamp while the
