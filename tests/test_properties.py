@@ -100,3 +100,49 @@ def test_knuth_sample_rate_tracks_threshold(keys):
     behavior on dense ranges)."""
     sel = [k for k in set(keys) if (k * KNUTH) % MOD < MOD // 2]
     assert len(sel) <= len(set(keys))
+
+
+# ---- round-5 decode kernel: the oracle-exactness contract -------------------
+@given(st.binary(min_size=0, max_size=4000))
+@settings(max_examples=200, deadline=None)
+def test_fake_decode_matches_integer_sum_identities(payload):
+    """multimodal_decode's oracle replays these formulas in SQL; the kernel
+    must keep them true for ANY payload, not just the testdata: every
+    feature is a single IEEE division of exact integer sums (variance via
+    (d*ss - s^2)/d^2), so the SQL twin is bit-identical by construction."""
+    from datafusion_datasource_orc_spark.operators.multimodal import _fake_decode
+
+    n, checksum, first, feat_n, feat_mean, feat_var, feat_first = _fake_decode(payload)
+    s = sum(payload)
+    ss = sum(b * b for b in payload)
+    d = n or 1
+    assert n == len(payload)
+    assert checksum == s % (2**31)
+    assert feat_n == float(len(payload))
+    assert feat_mean == s / d  # exact same float, not approximately
+    assert feat_var == (d * ss - s * s) / (d * d)
+    assert feat_var >= 0.0
+    assert feat_first == float(payload[0] if payload else 0)
+
+
+# ---- comparator normalizer: dtype-preserving float/int distinction ----------
+@given(st.integers(min_value=-(2**53), max_value=2**53))
+@settings(max_examples=200, deadline=None)
+def test_norm_cell_keeps_float_and_int_cells_distinct(i):
+    """A DuckDB HUGEINT arriving as float64 must never silently hash-match a
+    Spark BIGINT: float cells always render with a trailing '.0' (or
+    exponent), integer cells never do."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+    )
+    from check_oracles import _norm_cell
+
+    as_int = _norm_cell(i)
+    as_float = _norm_cell(float(i))
+    assert "." not in as_int and "e" not in as_int
+    assert ("." in as_float) or ("e" in as_float)
+    assert as_int != as_float
