@@ -284,3 +284,39 @@ def sql_string_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+# A1/A2/A4 via the PUBLIC PLUGIN SEAM — a registered Python Data Source
+# (round 5): the reference is a format plugin (OrcFormat implements
+# DataFusion's FileFormat, src/file_format.rs:90-205); Spark 4's Python Data
+# Source API is the equivalent extension point, and `orcmeta` exercises it
+# end to end — one input partition PER FILE so footer reads fan out like the
+# reference's bounded-concurrency metadata fetches (file_format.rs:146-161).
+# The comparator-stable projection keeps only layout-independent facts
+# (total rows, column count); per-file rows/stripes/bytes vary with writer
+# parallelism and are covered by pytest instead.
+@query(
+    "orc_file_metadata",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+           (SELECT CAST(COUNT(*) AS INTEGER) FROM (DESCRIBE lineitem) t)
+               AS n_columns
+    FROM lineitem
+    """,
+)
+def orc_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed metadata-only audit of an ORC directory through the
+    custom `orcmeta` Python data source: SUM of per-file footer row counts
+    and the column count, with NO row data scanned. At 100 TB this shape —
+    file-per-task footer reads — audits lake layout (file sizing, stripe
+    health, schema drift) for the cost of listing + footers."""
+    from datafusion_datasource_orc_spark.sources import orcmeta
+    from datafusion_datasource_orc_spark.sources.tables import orc_dir_for
+
+    orcmeta.register(spark)
+    d = orc_dir_for(spark, sf_dir, "lineitem")
+    meta = spark.read.format("orcmeta").load(d)
+    return meta.agg(
+        F.sum("num_rows").alias("total_rows"),
+        F.max("num_columns").alias("n_columns"),
+    )

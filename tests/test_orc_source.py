@@ -289,3 +289,39 @@ class TestTextToOrcPrep:
         assert [f.name for f in back.schema.fields] == ["r_regionkey", "r_name"]
         assert {r.r_name for r in back.collect()} == {"AFRICA", "AMERICA", "ASIA"}
         assert dict(back.dtypes)["r_regionkey"] == "bigint"
+
+
+class TestOrcMetaDataSource:
+    """The `orcmeta` Python Data Source — Spark 4's public format-plugin
+    seam, the equivalent of the reference's OrcFormat/FileFormat
+    registration (src/file_format.rs:90-205)."""
+
+    def test_per_file_metadata_and_fanout(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.sources import orcmeta
+        from datafusion_datasource_orc_spark.sources.tables import (
+            load_orc_table,
+            orc_dir_for,
+        )
+
+        orcmeta.register(spark)
+        d = orc_dir_for(spark, sf_dir, "lineitem")
+        rows = spark.read.format("orcmeta").load(d).collect()
+        assert len(rows) >= 1  # one row per ORC file
+        assert len({r.file_index for r in rows}) == len(rows)
+        total = load_orc_table(spark, sf_dir, "lineitem").count()
+        assert sum(r.num_rows for r in rows) == total
+        for r in rows:
+            assert r.num_stripes >= 1
+            assert r.num_columns == len(
+                load_orc_table(spark, sf_dir, "lineitem").columns
+            )
+            assert r.file_bytes > 0
+            assert r.file_name.endswith(".orc") or "part-" in r.file_name
+
+    def test_missing_path_rejected(self):
+        import pytest as _pytest
+
+        from datafusion_datasource_orc_spark.sources.orcmeta import OrcMetadataReader
+
+        with _pytest.raises(ValueError, match="path"):
+            OrcMetadataReader({})
