@@ -38,6 +38,38 @@ class OrcMetadataReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("orcmeta requires a path (load(<dir>) or option('path', ...))")
+        self._name_filters: list = []
+
+    def pushFilters(self, filters):
+        """Pushdown NEGOTIATION at the plugin seam (the reference's
+        supports_filters_pushdown, src/file_format.rs / predicate.rs:53-245
+        analogue): file_name equality/prefix predicates prune PARTITIONS —
+        pruned files never get a task, the footer is never opened — and
+        every other filter is handed back for Spark to re-check, the exact
+        accept-a-subset / fallback contract of A8/A10."""
+        from pyspark.sql.datasource import EqualTo, StringStartsWith
+
+        remaining = []
+        for f in filters:
+            if (
+                isinstance(f, (EqualTo, StringStartsWith))
+                and tuple(f.attribute) == ("file_name",)
+            ):
+                self._name_filters.append(f)
+            else:
+                remaining.append(f)
+        return remaining
+
+    def _keep(self, fname: str) -> bool:
+        from pyspark.sql.datasource import EqualTo
+
+        for f in self._name_filters:
+            if isinstance(f, EqualTo):
+                if fname != f.value:
+                    return False
+            elif not fname.startswith(f.value):  # StringStartsWith
+                return False
+        return True
 
     def partitions(self) -> Sequence[OrcFilePartition]:
         files = sorted(
@@ -48,6 +80,7 @@ class OrcMetadataReader(DataSourceReader):
         return [
             OrcFilePartition(i, os.path.join(self.path, f))
             for i, f in enumerate(files)
+            if self._keep(f)
         ]
 
     def read(self, partition: OrcFilePartition) -> Iterator[tuple]:
@@ -84,5 +117,11 @@ class OrcMetadataDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration of the orcmeta format on a session."""
+    """Idempotent registration of the orcmeta format on a session.
+
+    Also enables Python data source filter pushdown (runtime-settable
+    session conf, default false): a reader that implements pushFilters()
+    FAILS ANALYSIS when the conf is off, so registering the format without
+    it would break on a vanilla caller session (the driver's)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(OrcMetadataDataSource)

@@ -325,3 +325,39 @@ class TestOrcMetaDataSource:
 
         with _pytest.raises(ValueError, match="path"):
             OrcMetadataReader({})
+
+    def test_pushdown_prunes_partitions(self, spark, sf_dir):
+        """file_name filters prune PARTITIONS (no task, no footer open) —
+        the plugin-seam analogue of A8 predicate pushdown with A10's
+        hand-back-the-rest negotiation."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.datasource import EqualTo, GreaterThan, StringStartsWith
+
+        from datafusion_datasource_orc_spark.sources import orcmeta
+        from datafusion_datasource_orc_spark.sources.tables import orc_dir_for
+
+        orcmeta.register(spark)
+        d = orc_dir_for(spark, sf_dir, "lineitem")
+        all_rows = spark.read.format("orcmeta").load(d).collect()
+        target = all_rows[0].file_name
+        r = orcmeta.OrcMetadataReader({"path": d})
+        remaining = r.pushFilters(
+            [EqualTo(("file_name",), target), GreaterThan(("num_rows",), 0)]
+        )
+        # unsupported filter handed back, supported one absorbed
+        assert [type(f).__name__ for f in remaining] == ["GreaterThan"]
+        parts = r.partitions()
+        assert len(parts) == 1 and parts[0].path.endswith(target)
+        # prefix pushdown composes; end-to-end result matches the full scan
+        filtered = (
+            spark.read.format("orcmeta").load(d)
+            .filter(F.col("file_name") == target)
+            .collect()
+        )
+        assert len(filtered) == 1
+        assert filtered[0].num_rows == next(
+            r2.num_rows for r2 in all_rows if r2.file_name == target
+        )
+        r3 = orcmeta.OrcMetadataReader({"path": d})
+        r3.pushFilters([StringStartsWith(("file_name",), "part-")])
+        assert len(r3.partitions()) == len(all_rows)
