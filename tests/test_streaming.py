@@ -199,3 +199,45 @@ def test_stream_to_orc_sink_exactly_once(spark, sf_dir, stream_dir, tmp_path_fac
     q2 = stream_to_orc(events_stream(spark, stream_dir), out, ckpt)
     q2.awaitTermination()
     assert spark.read.orc(out).count() == ev.count()
+
+
+def test_orcmeta_stream_discovers_new_files_exactly_once(spark, sf_dir, tmp_path_factory):
+    """The orcmeta streaming reader (Python Data Source simpleStreamReader)
+    emits one row per NEWLY discovered ORC file per micro-batch: initial
+    files arrive in batch 0, files added later arrive exactly once, nothing
+    is re-emitted (offset = consumed-name set, checkpoint-replayable)."""
+    import shutil
+
+    from datafusion_datasource_orc_spark.sources import orcmeta
+    from datafusion_datasource_orc_spark.sources.tables import orc_dir_for
+
+    orcmeta.register(spark)
+    src = orc_dir_for(spark, sf_dir, "nation")
+    files = sorted(f for f in os.listdir(src) if not f.startswith(("_", ".")) and not f.endswith(".crc"))
+    assert files
+    grow = tmp_path_factory.mktemp("orcmeta_grow")
+    # batch 0: one file present before the stream starts
+    shutil.copy(os.path.join(src, files[0]), grow / "a.orc")
+
+    q = (
+        spark.readStream.format("orcmeta")
+        .load(str(grow))
+        .writeStream.format("memory")
+        .queryName("orcmeta_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r.file_name for r in spark.sql("SELECT * FROM orcmeta_stream").collect()}
+        assert first == {"a.orc"}
+        # two more files appear
+        shutil.copy(os.path.join(src, files[0]), grow / "b.orc")
+        shutil.copy(os.path.join(src, files[0]), grow / "c.orc")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM orcmeta_stream").collect()
+        names = [r.file_name for r in rows]
+        assert sorted(names) == ["a.orc", "b.orc", "c.orc"]  # no duplicates
+        assert all(r.num_rows == 25 and r.file_bytes > 0 for r in rows)
+    finally:
+        q.stop()
