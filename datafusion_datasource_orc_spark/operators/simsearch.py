@@ -848,3 +848,152 @@ def simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("adc_int").cast("double") / 1e6).alias("adc"),
         )
     )
+
+
+# ---- power-iteration PCA (iterative linear algebra, oracle-exact) -----------
+PI_DIMS = 64
+PI_ITERS = 5
+
+
+def _pi_oracle() -> str:
+    """DuckDB twin of embedding_power_iteration: the 5 unrolled iterations
+    in HUGEINT (Spark's decimal(38,0) twin — both exact at these
+    magnitudes), with the same double-cast renormalization each step."""
+    steps = []
+    prev = "v0"
+    for it in range(1, PI_ITERS + 1):
+        steps.append(
+            f"""w{it} AS (
+      SELECT g.i AS dim, SUM(g.g * v.v) AS w
+      FROM g JOIN {prev} v ON g.j = v.dim GROUP BY g.i
+    ),
+    v{it} AS (
+      SELECT dim,
+             CAST(floor(CAST(w AS DOUBLE)
+                        / CAST((SELECT MAX(ABS(w)) FROM w{it}) AS DOUBLE)
+                        * 1e6) AS HUGEINT) AS v
+      FROM w{it}
+    )"""
+        )
+        prev = f"v{it}"
+    return f"""
+    WITH xi AS (
+      SELECT vec_id, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS HUGEINT) AS x
+      FROM embeddings, UNNEST(generate_series(1, {PI_DIMS})) AS t(i)
+    ),
+    g AS (
+      SELECT a.dim AS i, b.dim AS j, SUM(a.x * b.x) AS g
+      FROM xi a JOIN xi b USING (vec_id) GROUP BY a.dim, b.dim
+    ),
+    v0 AS (
+      SELECT unnest(generate_series(0, {PI_DIMS - 1})) AS dim,
+             CAST(1000000 AS HUGEINT) AS v
+    ),
+    {', '.join(steps)},
+    num AS (
+      SELECT SUM(g.g * va.v * vb.v) AS n
+      FROM g JOIN {prev} va ON g.i = va.dim JOIN {prev} vb ON g.j = vb.dim
+    ),
+    den AS (SELECT SUM(v * v) AS d FROM {prev})
+    SELECT v.dim AS dim,
+           CAST(v.v AS DOUBLE) / 1e6 AS component,
+           floor(CAST(num.n AS DOUBLE) / CAST(den.d AS DOUBLE)) / 1e12
+               AS eigenvalue
+    FROM {prev} v, num, den
+    """
+
+
+@query("embedding_power_iteration", oracle=_pi_oracle())
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER ITERATION —
+    the iterative-algorithm pattern (like dedup_connected_components'
+    label propagation) applied to linear algebra: 5 matvec+renormalize
+    steps against the uncentered second-moment (Gram) matrix, the spectral
+    core of PCA/whitening/spectral-clustering pipelines.
+
+    Oracle-exact iteration, not tolerance-checked: elements are floored to
+    the 1e-6 integer grid, the Gram matrix is an exact int64 sum of integer
+    products (|x|<=5e5 -> products <=2.5e11, corpus sums <<2^53), matvecs
+    accumulate in decimal(38,0) (DuckDB HUGEINT) so every sum is
+    order-free, and the per-step renormalization divides two correctly-
+    rounded double casts of the same exact integers — so both engines walk
+    the IDENTICAL 5-step trajectory and the hash gate checks the whole
+    iteration, not just the endpoint.
+
+    Scale shape: the Gram matrix is an outer-product aggregate (one
+    groupBy(i,j) with map-side combine, 64x64=4096 output rows no matter
+    the corpus size); each iteration is a broadcast join against the
+    64-row vector — the classic "reduce to a broadcast-size problem, then
+    iterate on the small thing" decomposition. At 100 TB swap the explode
+    self-join for a per-partition numpy outer-product via mapInPandas
+    feeding the same 4096-row aggregate; the iteration is unchanged.
+
+    Convergence caveat (documented, tested): these near-isotropic random
+    embeddings have a Marchenko-Pastur-flat spectrum, so 5 steps
+    approximate the top direction rather than converge (Rayleigh reaches
+    ~0.87-0.90 of λ1); on real data with a dominant direction the same 5
+    steps converge geometrically. pytest checks the exact 5-step replay
+    against a pure-Python integer replica plus Rayleigh monotonicity and
+    the λ1 upper bound."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xi = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "xd"),
+    ).select(
+        "vec_id", "dim", F.floor(F.col("xd") * 1e6).cast("long").alias("x")
+    )
+    a = xi.select("vec_id", F.col("dim").alias("i"), F.col("x").alias("xa"))
+    b = xi.select("vec_id", F.col("dim").alias("j"), F.col("x").alias("xb"))
+    g = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("g"))
+    )
+
+    dec = "decimal(38,0)"
+    v = spark.range(PI_DIMS).select(
+        F.col("id").cast("int").alias("dim"), F.lit(1000000).cast("long").alias("v")
+    )
+    for _ in range(PI_ITERS):
+        w = (
+            g.join(F.broadcast(v), g.j == v.dim)
+            .groupBy("i")
+            .agg(F.sum(F.col("g").cast(dec) * F.col("v")).alias("w"))
+        )
+        maxw = w.agg(F.max(F.abs(F.col("w"))).alias("mw"))
+        v = (
+            w.crossJoin(F.broadcast(maxw))
+            .select(
+                F.col("i").alias("dim"),
+                F.floor(
+                    F.col("w").cast("double") / F.col("mw").cast("double") * 1e6
+                )
+                .cast("long")
+                .alias("v"),
+            )
+        )
+    va = v.select(F.col("dim").alias("ai"), F.col("v").alias("va"))
+    vb = v.select(F.col("dim").alias("bj"), F.col("v").alias("vb"))
+    num = (
+        g.join(F.broadcast(va), g.i == va.ai)
+        .join(F.broadcast(vb), g.j == vb.bj)
+        .agg(F.sum(F.col("g").cast(dec) * F.col("va") * F.col("vb")).alias("n"))
+    )
+    den = v.agg(F.sum(F.col("v").cast(dec) * F.col("v")).alias("d"))
+    # Rayleigh quotient in GRID units (x was scaled 1e6 -> Gram 1e12): floor
+    # the raw ratio (~1e13 — a *1e6 grid would overflow Spark's long floor
+    # AND exceed double resolution anyway), then rescale to data units.
+    lam = (
+        F.floor(F.col("n").cast("double") / F.col("d").cast("double")).cast("double")
+        / 1e12
+    )
+    return (
+        v.crossJoin(F.broadcast(num))
+        .crossJoin(F.broadcast(den))
+        .select(
+            "dim",
+            (F.col("v").cast("double") / 1e6).alias("component"),
+            lam.alias("eigenvalue"),
+        )
+    )
