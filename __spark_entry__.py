@@ -45,8 +45,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # stamped come FIRST. This guarantees every registered query eventually
 # receives a driver stamp: once sampled, a query permanently leaves the
 # front, and the never-sampled pool drains by ≤50 per round (113 remained
-# entering round 5, plus 4 new round-5 queries and the re-fronted
-# multimodal_decode → ~68 left for round 6). The ledger is auditable — it
+# entering round 5, plus 6 new round-5 queries and the re-fronted
+# multimodal_decode → ~70 left for round 6). The ledger is auditable — it
 # is exactly the set of names in the committed artifacts, not a
 # hand-maintained list.
 #
@@ -181,16 +181,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twin for each oracle-expressible query.
+    """DuckDB-runnable ANSI SQL twin for EVERY registered query (since
+    round 5 — multimodal_decode's stub-decode features became exact integer
+    byte sums + single IEEE divisions, so even it is hash-checked; a
+    missing oracle row is now a regression, see tests/test_oracle_parity).
 
-    Only the stubbed multimodal decode is intentionally absent (no image
-    libs in this container) → driver records the weaker rows-only check.
-    Every other sketch carries an oracle or an oracle *shadow*: simhash
-    buckets are md5-nibble bit votes DuckDB replicates exactly; minhash-LSH
-    / vector-LSH / IVF oracles are exact-verified pair-or-neighbor sets
-    (precision 1.0 by construction, recall bounds asserted in pytest); and
-    the approx percentile / heavy-hitter / distinct queries emit exact twins
-    + boolean sketch-guarantee columns."""
+    Sketches are oracle-exact by construction: simhash buckets are
+    md5-nibble bit votes DuckDB replicates exactly; minhash-LSH /
+    vector-LSH / IVF / SQ / PQ / power-iteration use engine-replicable
+    integer-mix or exact-decimal arithmetic; and the approx percentile /
+    heavy-hitter / distinct queries emit exact twins + boolean
+    sketch-guarantee columns."""
     from datafusion_datasource_orc_spark.operators import ORACLES
 
     return dict(ORACLES)

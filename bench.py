@@ -141,7 +141,7 @@ def main() -> None:
 
     # Tolerance-checked regression table vs the previous committed BENCH
     # artifact: a real plan regression is a per-query outlier (>1.5x AND
-    # >0.3s absolute on best-basis); uniform host drift moves the geometric
+    # >0.5s absolute on best-basis); uniform host drift moves the geometric
     # mean ratio of ALL common queries without tripping per-query flags.
     prev_art = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
     regression: dict[str, object] = {}
@@ -153,11 +153,17 @@ def main() -> None:
             # parsed=null when the line overflowed its 2000-char stdout tail
             # (BENCH_r02/r04); a bare local run is the line itself
             prev_q: dict[str, float] = {}
-            baseline_name = os.path.basename(prev_art[-1])
+            baseline_name = None  # stays None unless a same-sf baseline parses
             for path in reversed(prev_art):
                 with open(path) as f:
                     prev = json.load(f)
-                prev_q = (prev.get("parsed") or prev).get("queries") or {}
+                parsed = prev.get("parsed") or prev
+                # only compare same-scale runs: a cross-sf baseline would
+                # flag pure data-size effects as plan regressions
+                prev_sf = parsed.get("sf", prev.get("sf"))
+                if str(prev_sf) != str(sf_val):
+                    continue
+                prev_q = parsed.get("queries") or {}
                 if prev_q:
                     baseline_name = os.path.basename(path)
                     break

@@ -968,7 +968,14 @@ def _materialized_path(spark: SparkSession, sf_dir: str, name: str) -> str:
     global _MAT_ROOT
     if _MAT_ROOT is None:
         _MAT_ROOT = tempfile.mkdtemp(prefix="tpcds_orc_")
-    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    # disk layout must be as unique as the cache key: two different dirs
+    # with the same basename (e.g. /a/sf0.1 and /b/sf0.1) must NOT share an
+    # output tree, or the second materialization would overwrite the first
+    # under the first's still-valid cache entry
+    import hashlib
+
+    tag = hashlib.md5(key[0].encode()).hexdigest()[:8]
+    sf_tag = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "_" + tag
     path = os.path.join(_MAT_ROOT, sf_tag, name)
     _TPCDS_TABLES[name](spark, sf_dir).write.mode("overwrite").orc(path)
     _MAT_CACHE[key] = path

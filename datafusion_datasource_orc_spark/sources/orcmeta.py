@@ -145,17 +145,22 @@ class OrcMetaStreamReader(SimpleDataSourceStreamReader):
                 int(os.path.getsize(p)),
             )
 
+    # unit-separator joined: a legal-but-unusual comma in a file name must
+    # not corrupt the offset (re-emitting the file forever); \x1f cannot
+    # appear in a path component
+    _SEP = "\x1f"
+
     def initialOffset(self) -> dict:
         return {"seen": ""}
 
-    @staticmethod
-    def _decode(offset: dict) -> set[str]:
-        return set(offset.get("seen", "").split(",")) - {""}
+    @classmethod
+    def _decode(cls, offset: dict) -> set[str]:
+        return set(offset.get("seen", "").split(cls._SEP)) - {""}
 
     def read(self, start: dict):
         seen = self._decode(start)
         new = [f for f in self._list() if f not in seen]
-        end = {"seen": ",".join(sorted(seen | set(new)))}
+        end = {"seen": self._SEP.join(sorted(seen | set(new)))}
         # iter over a materialized list, not a generator: the runner's
         # prefetch cache calls next() AND shallow-copies the iterator for
         # replay — list iterators support copy (via __reduce__), generators

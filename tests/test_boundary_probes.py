@@ -109,9 +109,16 @@ def test_q44_item_profit_threshold_and_rank_ties(probe_con):
     # arithmetics the two engines use
     survivors = [a for a in avgs if a > thr]
     as_double = {float(a) for a in survivors}
-    # Spark's AVG(decimal) output is decimal(20,10), HALF_UP
-    as_dec10 = {(2 * a.numerator * 10**10 + a.denominator) // (2 * a.denominator)
-                for a in survivors}
+    # Spark's AVG(decimal) output is decimal(20,10), HALF_UP (= round half
+    # AWAY FROM ZERO — ss_net_profit averages are often negative, and
+    # Python's floor division alone would round negative halves toward
+    # +infinity instead)
+    def _half_up_10(a: Fraction) -> int:
+        num, den = abs(a.numerator), a.denominator
+        q = (2 * num * 10**10 + den) // (2 * den)
+        return q if a >= 0 else -q
+
+    as_dec10 = {_half_up_10(a) for a in survivors}
     assert len(set(survivors)) == len(survivors), "q44: exact rank-key tie"
     assert len(as_double) == len(survivors), "q44: double rank-key collision"
     assert len(as_dec10) == len(survivors), "q44: decimal(20,10) rank-key collision"
