@@ -515,3 +515,46 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_s").alias("max_gap_s"),
         (F.sum("gap_s").cast("double") / F.count(F.lit(1))).alias("mean_gap_s"),
     )
+
+
+@query(
+    "events_cdc_latest",
+    oracle="""
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS last_ts,
+           event_type AS last_event_type,
+           floor(value * 1e6) / 1e6 AS last_value
+    FROM (
+      SELECT user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/SCD latest-state snapshot: the newest event per entity, with a
+    deterministic (ts, event_id) tie-break — the compaction read every
+    change-data pipeline serves ("current state of each user/row"), and
+    the batch dual of a streaming upsert sink.
+
+    Scale shape: one row_number window per user_id partition (bounded
+    per-entity width; the key shuffle is the unavoidable minimum), then a
+    rank-1 filter — Spark pushes it down as WindowGroupLimit, so each
+    partition keeps a single row instead of sorting and discarding. The
+    float value is floor-gridded at 1e-6 (repo convention for raw double
+    columns crossing the comparator)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").cast("long").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            (F.floor(F.col("value") * 1e6) / 1e6).alias("last_value"),
+        )
+    )
