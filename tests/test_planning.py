@@ -336,3 +336,15 @@ class TestTpcdsMaterialization:
         # exceptAll both ways == 0 rows -> identical multisets
         assert via_view.exceptAll(direct).count() == 0
         assert direct.exceptAll(via_view).count() == 0
+
+
+class TestCdcLatestPlan:
+    def test_rank_one_filter_plans_as_window_group_limit(self, spark, sf_dir):
+        """events_cdc_latest's rn=1 filter must plan as WindowGroupLimit
+        (each partition keeps one row during the sort) — the docstring's
+        scale claim, pinned."""
+        from datafusion_datasource_orc_spark.operators.events import events_cdc_latest
+        from datafusion_datasource_orc_spark.plans.pushdown import explain_formatted
+
+        plan = explain_formatted(events_cdc_latest(spark, sf_dir))
+        assert "WindowGroupLimit" in plan
