@@ -681,7 +681,13 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode+groupBy formulation to prove the algebra from a second
     direction."""
     docs = load_table(spark, sf_dir, "documents")
-    cs = F.array_sort(F.filter(F.split(F.col("text"), ""), lambda c: c != ""))
+    # the char count deliberately does NOT reuse `cs`: CollapseProject
+    # inlines a shared expression into every reference, so size(cs) would
+    # re-SORT every document's chars just to count them (measured: the sort
+    # appeared 3x in the plan; unsorted counting cuts it to the one the
+    # run-length fold genuinely needs)
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != "")
+    cs = F.array_sort(chars)
     term = lambda run: F.floor(  # noqa: E731
         run.cast("double") * F.log2(run.cast("double")) * F.lit(1e9)
     ).cast("long")
@@ -704,7 +710,7 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda st: st.acc + F.when(st.run > 0, term(st.run)).otherwise(F.lit(0)),
     )
     d = docs.select(
-        "doc_id", F.size(cs).cast("long").alias("n_chars_counted"), acc.alias("acc")
+        "doc_id", F.size(chars).cast("long").alias("n_chars_counted"), acc.alias("acc")
     ).filter(F.col("n_chars_counted") > 0)
     ent = F.log2(F.col("n_chars_counted").cast("double")) - (
         F.col("acc").cast("double") / 1e9
