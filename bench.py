@@ -189,6 +189,15 @@ def main() -> None:
                 "geomean": geomean,
                 "flagged": flagged,
             }
+            # self-annotate: when the WHOLE common set drifted, per-query
+            # flags are most likely load artifacts, not plan regressions —
+            # a real plan regression is an outlier against a stable field
+            if geomean and geomean > 1.25 and flagged:
+                regression["note"] = (
+                    "geomean ratio is uniformly elevated; flags are likely "
+                    "host-load artifacts — re-run on an idle box before "
+                    "treating them as plan regressions"
+                )
             print(
                 f"# regression vs {regression['vs']}: geomean ratio {geomean} over "
                 f"{len(common)} common queries, {len(flagged)} flagged"
