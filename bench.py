@@ -17,6 +17,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -143,7 +144,18 @@ def main() -> None:
     # artifact: a real plan regression is a per-query outlier (>1.5x AND
     # >0.5s absolute on best-basis); uniform host drift moves the geometric
     # mean ratio of ALL common queries without tripping per-query flags.
-    prev_art = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    # sort by NUMERIC round (not lexicographic) so an unpadded BENCH_r9.json
+    # or round >= 100 still picks the true newest artifact as baseline
+    def _round_no(path: str) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
+    prev_art = sorted(
+        glob.glob(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")
+        ),
+        key=_round_no,
+    )
     regression: dict[str, object] = {}
     ratios: dict[str, float] = {}
     if prev_art:
@@ -227,6 +239,16 @@ def main() -> None:
             indent=1,
         )
 
+    # Stdout line carries SCALARS ONLY for the regression block: the driver
+    # parses the JSON out of the last 2000 chars of stdout, and an unbounded
+    # flagged-query dict + note can overflow that window (the BENCH_r02/r04
+    # parsed=null failure). The full flagged table and note live in
+    # bench_detail.json.
+    regression_compact = {
+        k: regression[k] for k in ("vs", "n", "geomean", "error") if k in regression
+    }
+    if "flagged" in regression:
+        regression_compact["n_flagged"] = len(regression["flagged"])
     print(
         json.dumps(
             {
@@ -236,7 +258,7 @@ def main() -> None:
                 "queries": results,
                 "cold_total": round(sum(cold.values()), 4),
                 "warm_total": round(sum(warm.values()), 4),
-                "regression_vs_prev": regression,
+                "regression_vs_prev": regression_compact,
                 "detail": "bench_detail.json",
                 "sf": sf_val,
             }

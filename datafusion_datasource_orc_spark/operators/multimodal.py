@@ -93,6 +93,18 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, float, float, float, fl
     s = sum(payload)
     ss = sum(b * b for b in payload)
     d = n or 1  # clamp only the divisor; feature[0] reports the true length
+    # Bit-identity with the DuckDB oracle holds only while every division
+    # operand fits in 2^53: Python divides EXACT ints once (correctly
+    # rounded), DuckDB rounds each BIGINT operand to double first. d*ss is
+    # the largest operand (≤ n²·255²), so the bound caps payloads at
+    # ~372 KB — far above any testdata doc, but a bigger future payload must
+    # fail HERE, loudly, not as a silent oracle hash mismatch downstream.
+    if d * ss >= 2**53 or s * s >= 2**53:
+        raise ValueError(
+            f"payload of {n} bytes breaks the exact-double oracle contract "
+            f"(division operand >= 2^53); cap payloads below ~372KB or switch "
+            f"multimodal_decode's oracle to tolerance-based comparison"
+        )
     mean = s / d
     var = (d * ss - s * s) / (d * d)
     first = payload[0] if n else 0

@@ -125,6 +125,46 @@ def test_fake_decode_matches_integer_sum_identities(payload):
     assert feat_first == float(payload[0] if payload else 0)
 
 
+def test_fake_decode_rejects_payloads_beyond_exact_double_bound():
+    """The oracle's bit-identity requires every division operand < 2^53
+    (Python divides exact ints; DuckDB rounds each BIGINT operand to double
+    first). A payload past ~372 KB must fail loudly in the kernel, not
+    surface later as an unexplained oracle hash mismatch."""
+    from datafusion_datasource_orc_spark.operators.multimodal import _fake_decode
+
+    with pytest.raises(ValueError, match="2\\^53"):
+        _fake_decode(b"\xff" * 400_000)
+    # just-below-bound payloads still decode (372k of 0xff: d*ss < 2^53)
+    n, *_ = _fake_decode(b"\xff" * 360_000)
+    assert n == 360_000
+
+
+def test_testdata_docs_fit_exact_double_bound():
+    """Every real document payload across the committed scale factors sits
+    far inside the 2^53 operand bound — asserted so new, larger testdata
+    breaks THIS test instead of the driver's oracle gate."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    for path in sorted(_glob.glob("/root/testdata/sf*/documents.parquet")):
+        tbl = pq.read_table(path, columns=["text"])
+        max_len = 0
+        for chunk in tbl.column("text").chunks:
+            # utf-8 payload length == binary length of the encoded text
+            lens = pa_compute_lengths(chunk)
+            max_len = max(max_len, lens)
+        # worst-case operand is d*ss <= n^2 * 255^2
+        assert max_len**2 * 255**2 < 2**53, (path, max_len)
+
+
+def pa_compute_lengths(chunk):
+    import pyarrow.compute as pc
+
+    res = pc.max(pc.binary_length(pc.cast(chunk, "binary")))
+    return res.as_py() or 0
+
+
 # ---- comparator normalizer: dtype-preserving float/int distinction ----------
 @given(st.integers(min_value=-(2**53), max_value=2**53))
 @settings(max_examples=200, deadline=None)
