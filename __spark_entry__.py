@@ -57,74 +57,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # stamp, never WHETHER — the ledger rule guarantees eventual coverage.
 # ---------------------------------------------------------------------------
 
-# Round-5 front 50 (judge r04 task 1/2/8): the core §2B relational surface a
-# real user hits daily comes first — join variants, set ops, subqueries/CTE,
-# the TPC-H tail — then the two bench-headliner TPC-DS templates (q14/q64),
-# the newly-oracled multimodal_decode (its prior stamp was rows-only; with a
-# full oracle it re-enters the fresh pool for a hash-level stamp), the
-# remaining scalar/agg §2B rows, and the text-analysis family. The 53 other
-# never-stamped TPC-DS templates + the embedding family follow in stable
-# registration order and drain in round 6.
+# Round-6 front 50 (judge r05 task 1): drain the never-stamped pool. The 14
+# non-TPC-DS never-stamped queries come first — they carry the newest code
+# (the round-5 additions simsearch_pq / embedding_power_iteration /
+# text_ngram_novelty / training_pack_sequences / text_vocab_coverage /
+# events_cdc_latest / dedup_rate_by_source, plus the orcmeta surface and the
+# bruteforce/embedding family) — followed by any round-6 additions; the
+# ~36 remaining slots fill with TPC-DS templates in stable registration
+# order, leaving ~22 templates for round 7.
 _ROUND_PRIORITY = [
-    # joins (B15) — five variants + the salted-skew path, never stamped
-    "join_broadcast_dims",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_full_outer",
-    "join_salted",
-    # set ops
-    "intersect_keys",
-    "except_keys",
-    # subqueries + CTE
-    "in_subquery",
-    "exists_correlated",
-    "scalar_subquery",
-    "cte_top_nations",
-    # TPC-H tail ×9
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    # bench headliners that were never correctness-stamped (judge task 8)
-    "tpcds_q14",
-    "tpcds_q64",
-    # gained a FULL oracle in round 5 (exact byte-sum features) — prior
-    # stamp was rows-only, so the ledger re-fronts it for a hard stamp
-    "multimodal_decode",
-    # scalar/agg §2B remainder
-    "histogram_prices",
-    "array_functions",
-    "case_when_buckets",
-    "scalar_functions",
-    "string_agg_ordered",
-    "date_arithmetic",
-    "having_filter",
-    "pivot_status_priority",
-    "count_distinct",
-    "stats_moments",
-    "percentile_prices",
-    "sample_hash",
-    "sql_string_entry",
-    # text-analysis family ×13
-    "text_token_count",
-    "text_quality",
-    "lang_id",
-    "doc_fingerprint",
-    "corpus_stats_by_source",
-    "explode_top_tokens",
-    "text_repetition",
-    "contamination_eval_overlap",
-    "pipeline_filter_funnel",
-    "training_mix_sample",
-    "tfidf_top_terms",
-    "text_char_entropy",
-    "source_vocab_overlap",
+    # round-5 additions, never stamped
+    "simsearch_pq",
+    "embedding_power_iteration",
+    "text_ngram_novelty",
+    "training_pack_sequences",
+    "text_vocab_coverage",
+    "events_cdc_latest",
+    "dedup_rate_by_source",
+    # orcmeta plugin surface (judge r05 tasks 4/5)
+    "orc_file_metadata",
+    "orc_file_metadata_pruned",
+    "orc_column_stats",
+    # incremental-ingest composition (judge r05 task 8)
+    "ingest_incremental_bloom",
+    # bruteforce / embedding family, never stamped
+    "simsearch_bruteforce",
+    "simsearch_bruteforce_arrow",
+    "simsearch_knn_join",
+    "dedup_embedding_cosine",
+    "embedding_stats",
+    "embedding_dim_stats",
 ]
 
 
@@ -165,6 +127,63 @@ def _driver_ledger() -> set[str]:
     return hard | permanently_weak
 
 
+def _git_blob_sha(path: str) -> str | None:
+    """Git blob sha1 of a file's current on-disk bytes, computed without a
+    git binary (sha1 of b"blob <len>\\0" + content) — matches `git hash-object`
+    so it compares directly against `git ls-tree` output from the sidecar."""
+    import hashlib
+
+    try:
+        with open(path, "rb") as f:
+            content = f.read()
+    except OSError:
+        return None
+    h = hashlib.sha1(b"blob %d\x00" % len(content))
+    h.update(content)
+    return h.hexdigest()
+
+
+def _stale_stamps(stamped: set[str]) -> set[str]:
+    """Re-front-on-material-change rule (judge r05 task 3).
+
+    A driver stamp certifies the query AS IT WAS when the artifact was
+    recorded. `tools/stamp_ledger.py` (run at round start, committed) writes
+    stamp_hashes.json mapping each hard-stamped query to the git blob sha of
+    its registered module at its LATEST stamp commit. A stamped query whose
+    module content has since changed is STALE: it re-enters the fresh pool
+    (behind never-stamped queries) so the driver re-certifies the changed
+    code. Names absent from the sidecar keep their stamp — the rule only
+    acts on recorded evidence, never guesses.
+    """
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sidecar = os.path.join(here, "stamp_hashes.json")
+    try:
+        with open(sidecar) as f:
+            recorded = json.load(f)
+    except (OSError, ValueError):
+        return set()
+    if not isinstance(recorded, dict):
+        return set()
+
+    from datafusion_datasource_orc_spark.operators import QUERIES
+
+    current_blob: dict[str, str | None] = {}  # module name → blob sha cache
+    stale: set[str] = set()
+    for name in stamped:
+        rec = recorded.get(name)
+        if not isinstance(rec, dict) or name not in QUERIES:
+            continue
+        modname = QUERIES[name].__module__
+        if modname not in current_blob:
+            modfile = getattr(sys.modules.get(modname), "__file__", None)
+            current_blob[modname] = _git_blob_sha(modfile) if modfile else None
+        if rec.get("blob") != current_blob[modname]:
+            stale.add(name)
+    return stale
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered
     never-driver-stamped first (see rotation policy above)."""
@@ -172,10 +191,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     names = list(QUERIES)
     stamped = _driver_ledger()
+    stale = _stale_stamps(stamped)
     fresh = [n for n in names if n not in stamped]
     ordered = [n for n in _ROUND_PRIORITY if n in fresh]
     ordered += [n for n in fresh if n not in ordered]
-    ordered += [n for n in names if n in stamped]
+    # stamped-but-materially-changed queries re-front BEHIND the
+    # never-stamped pool: first stamps always outrank re-certification
+    ordered += [n for n in names if n in stale]
+    ordered += [n for n in names if n in stamped and n not in stale]
     assert set(ordered) == set(names)
     return {n: QUERIES[n] for n in ordered}
 

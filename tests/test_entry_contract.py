@@ -117,3 +117,99 @@ def test_gate_rotation_legacy_list_artifact(tmp_path, monkeypatch):
     led = entrymod._driver_ledger()
     assert "listed_with_oracle" not in led  # no proof of a hash match → re-front
     assert "listed_no_oracle" in led  # permanently weak → keeps its stamp
+
+
+def test_git_blob_sha_matches_git_hash_object(tmp_path):
+    """_git_blob_sha replicates `git hash-object` without a git binary; the
+    stale-stamp rule compares it against `git ls-tree` shas, so the two
+    implementations must agree byte-for-byte."""
+    import subprocess
+
+    p = tmp_path / "blob.bin"
+    p.write_bytes(b"stale-stamp probe \x00\xff\n")
+    expect = subprocess.run(
+        ["git", "hash-object", str(p)], capture_output=True, text=True, check=True
+    ).stdout.strip()
+    assert entrymod._git_blob_sha(str(p)) == expect
+    assert entrymod._git_blob_sha(str(tmp_path / "missing")) is None
+
+
+def test_stale_stamps_refront_on_module_change(tmp_path, monkeypatch):
+    """Re-front-on-material-change (judge r05 task 3): a stamped query whose
+    module blob sha no longer matches its recorded stamp-time sha is stale;
+    matching shas and sidecar-absent names keep their stamp."""
+    import json
+    import sys
+    import types
+
+    mod_ok = tmp_path / "mod_ok.py"
+    mod_ok.write_bytes(b"A = 1\n")
+    mod_changed = tmp_path / "mod_changed.py"
+    mod_changed.write_bytes(b"B = 2\n")
+
+    for modname, path in (("_stale_ok", mod_ok), ("_stale_chg", mod_changed)):
+        m = types.ModuleType(modname)
+        m.__file__ = str(path)
+        monkeypatch.setitem(sys.modules, modname, m)
+
+    def fake_q(modname):
+        def fn(spark, sf_dir):  # pragma: no cover - shape only
+            raise NotImplementedError
+
+        fn.__module__ = modname
+        return fn
+
+    monkeypatch.setattr(
+        "datafusion_datasource_orc_spark.operators.QUERIES",
+        {
+            "q_unchanged": fake_q("_stale_ok"),
+            "q_changed": fake_q("_stale_chg"),
+            "q_unrecorded": fake_q("_stale_ok"),
+        },
+    )
+    (tmp_path / "stamp_hashes.json").write_text(
+        json.dumps(
+            {
+                "q_unchanged": {"round": 5, "blob": entrymod._git_blob_sha(str(mod_ok))},
+                "q_changed": {"round": 5, "blob": "0" * 40},
+                "q_gone_from_registry": {"round": 3, "blob": "1" * 40},
+            }
+        )
+    )
+    monkeypatch.setattr(entrymod.os.path, "dirname", lambda _: str(tmp_path))
+    stale = entrymod._stale_stamps({"q_unchanged", "q_changed", "q_unrecorded"})
+    assert stale == {"q_changed"}
+
+
+def test_queries_order_fresh_then_stale_then_stamped():
+    """Ordering contract over the REAL registry + committed artifacts:
+    never-stamped first (first stamps outrank everything), then stale
+    re-fronts (material change since stamp), then current stamps."""
+    stamped = entrymod._driver_ledger()
+    stale = entrymod._stale_stamps(stamped)
+    tiers = [
+        0 if n not in stamped else (1 if n in stale else 2)
+        for n in entrymod.queries()
+    ]
+    assert tiers == sorted(tiers), "queries() must order fresh < stale < stamped"
+
+
+def test_stamp_hashes_sidecar_is_current():
+    """The committed sidecar must equal a rebuild over the artifact rounds it
+    claims to cover (rounds newer than its max are tolerated — the driver
+    writes its artifact before the builder can regenerate the sidecar)."""
+    import json
+    import os
+
+    from tools.stamp_ledger import SIDECAR, build
+
+    if not os.path.exists(SIDECAR):
+        import pytest
+
+        pytest.skip("no sidecar committed yet")
+    with open(SIDECAR) as f:
+        sidecar = json.load(f)
+    max_round = max((r.get("round", 0) for r in sidecar.values()), default=0)
+    assert sidecar == build(max_round=max_round), (
+        "stamp_hashes.json is stale; run python tools/stamp_ledger.py"
+    )
