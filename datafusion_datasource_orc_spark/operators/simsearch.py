@@ -858,16 +858,23 @@ PI_ITERS = 5
 def _pi_oracle() -> str:
     """DuckDB twin of embedding_power_iteration: the 5 unrolled iterations
     in HUGEINT (Spark's decimal(38,0) twin — both exact at these
-    magnitudes), with the same double-cast renormalization each step."""
+    magnitudes), with the same double-cast renormalization each step.
+
+    Every CTE is AS MATERIALIZED: without it DuckDB inlines xi twice into
+    the Gram join, g into all 6 of its references, and each step's w/v into
+    the next step — a cascading re-evaluation that cost ~11 s at sf0.01
+    (judge r05 measured 27 s under load) vs 0.17 s materialized, with a
+    bit-identical trajectory (exact integer CTE outputs; materialization
+    changes evaluation count, never values)."""
     steps = []
     prev = "v0"
     for it in range(1, PI_ITERS + 1):
         steps.append(
-            f"""w{it} AS (
+            f"""w{it} AS MATERIALIZED (
       SELECT g.i AS dim, SUM(g.g * v.v) AS w
       FROM g JOIN {prev} v ON g.j = v.dim GROUP BY g.i
     ),
-    v{it} AS (
+    v{it} AS MATERIALIZED (
       SELECT dim,
              CAST(floor(CAST(w AS DOUBLE)
                         / CAST((SELECT MAX(ABS(w)) FROM w{it}) AS DOUBLE)
@@ -877,16 +884,16 @@ def _pi_oracle() -> str:
         )
         prev = f"v{it}"
     return f"""
-    WITH xi AS (
+    WITH xi AS MATERIALIZED (
       SELECT vec_id, i - 1 AS dim,
              CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS HUGEINT) AS x
       FROM embeddings, UNNEST(generate_series(1, {PI_DIMS})) AS t(i)
     ),
-    g AS (
+    g AS MATERIALIZED (
       SELECT a.dim AS i, b.dim AS j, SUM(a.x * b.x) AS g
       FROM xi a JOIN xi b USING (vec_id) GROUP BY a.dim, b.dim
     ),
-    v0 AS (
+    v0 AS MATERIALIZED (
       SELECT unnest(generate_series(0, {PI_DIMS - 1})) AS dim,
              CAST(1000000 AS HUGEINT) AS v
     ),
