@@ -38,11 +38,16 @@ class OrcFilePartition(InputPartition):
         self.path = path
 
 
+def _stats_enabled(options: dict) -> bool:
+    return str(options.get("stats", "")).lower() in ("true", "1", "yes")
+
+
 class OrcMetadataReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("orcmeta requires a path (load(<dir>) or option('path', ...))")
+        self.stats = _stats_enabled(options)
         self._name_filters: list = []
 
     def pushFilters(self, filters):
@@ -91,6 +96,9 @@ class OrcMetadataReader(DataSourceReader):
     def read(self, partition: OrcFilePartition) -> Iterator[tuple]:
         # import inside read(): runs on the executor, keeps the reader object
         # picklable (the documented pattern for non-serializable resources)
+        if self.stats:
+            yield from _stats_rows(partition.path)
+            return
         import pyarrow.orc as orc
 
         f = orc.ORCFile(partition.path)
@@ -101,6 +109,52 @@ class OrcMetadataReader(DataSourceReader):
             int(f.nstripes),
             len(f.schema.names),
             int(os.path.getsize(partition.path)),
+        )
+
+
+def _stats_rows(path: str) -> Iterator[tuple]:
+    """One row per column of one file: the reference's unextracted
+    file-level column statistics (src/metadata.rs:79-84 TODO), parsed from
+    the footer by sources/orcfooter.py — typed min/max/sum slots per the
+    statistic kind (int/date/timestamp → *_l; double → *_d; string/decimal
+    → *_s), executor-side, tail-bytes only."""
+    from datafusion_datasource_orc_spark.sources.orcfooter import (
+        read_column_statistics,
+    )
+
+    meta = read_column_statistics(path)
+    fname = os.path.basename(path)
+    for cid, cname in enumerate(meta["columns"]):
+        st = meta["stats"].get(cname)
+        if st is None:
+            continue
+        kind = st["kind"] or "other"
+        min_l = max_l = sum_l = None
+        min_d = max_d = sum_d = None
+        min_s = max_s = None
+        if kind in ("int", "date", "timestamp"):
+            min_l, max_l = st["min"], st["max"]
+            sum_l = st["sum"] if kind == "int" else None
+        elif kind == "double":
+            min_d, max_d, sum_d = st["min"], st["max"], st["sum"]
+        elif kind in ("string", "decimal"):
+            min_s, max_s = st["min"], st["max"]
+            sum_l = st["sum"]  # total string length for string stats
+        yield (
+            fname,
+            cid,
+            cname,
+            kind,
+            st["num_values"],
+            st["has_null"],
+            min_l,
+            max_l,
+            sum_l,
+            min_d,
+            max_d,
+            sum_d,
+            min_s,
+            max_s,
         )
 
 
@@ -119,6 +173,11 @@ class OrcMetaStreamReader(SimpleDataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("orcmeta requires a path (load(<dir>) or option('path', ...))")
+        if _stats_enabled(options):
+            raise ValueError(
+                "orcmeta stats mode is batch-only (streaming discovery keeps "
+                "the 6-column per-file shape)"
+            )
 
     def _list(self) -> list[str]:
         return sorted(
@@ -181,6 +240,16 @@ class OrcMetadataDataSource(DataSource):
         return "orcmeta"
 
     def schema(self) -> str:
+        if _stats_enabled(self.options):
+            # option("stats","true"): one row per (file, column) with the
+            # footer's file-level column statistics in typed slots
+            return (
+                "file_name STRING, column_id INT, column_name STRING, "
+                "col_kind STRING, num_values BIGINT, has_null BOOLEAN, "
+                "min_l BIGINT, max_l BIGINT, sum_l BIGINT, "
+                "min_d DOUBLE, max_d DOUBLE, sum_d DOUBLE, "
+                "min_s STRING, max_s STRING"
+            )
         return (
             "file_index INT, file_name STRING, num_rows BIGINT, "
             "num_stripes INT, num_columns INT, file_bytes BIGINT"

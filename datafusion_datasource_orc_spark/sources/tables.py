@@ -152,3 +152,39 @@ def orc_dir_for(spark: SparkSession, sf_dir: str, name: str) -> str:
 def load_orc_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """The ORC-scan-path loader: parquet → ORC (cached) → spark.read.orc."""
     return spark.read.orc(orc_dir_for(spark, sf_dir, name))
+
+
+def orc_chunked_dir_for(
+    sf_dir: str, name: str, key: str, nchunks: int = 4
+) -> str:
+    """A DETERMINISTIC-layout ORC directory: ``nchunks`` files named
+    chunk-<k>.orc, file k holding exactly the rows where ``key % nchunks
+    == k``. Written with pyarrow (not Spark) so file names AND per-file
+    row assignment are reproducible — which is what makes per-file facts
+    (orcmeta's num_rows for one named file) oracle-checkable: the DuckDB
+    twin recomputes a chunk's content from the SAME modulo rule instead of
+    guessing writer parallelism. Cached per (sf_dir, table, key, n)."""
+    import pyarrow.compute as pc
+    import pyarrow.orc as porc
+    import pyarrow.parquet as pq
+
+    cache_key = (os.path.abspath(sf_dir), f"{name}#chunked:{key}:{nchunks}")
+    path = _ORC_CACHE.get(cache_key)
+    if path and os.path.isdir(path):
+        return path
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(_orc_root(), sf_tag, f"{name}_chunked")
+    os.makedirs(path, exist_ok=True)
+    table = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
+    bucket = pc.cast(
+        pc.bit_wise_and(table.column(key), nchunks - 1), "int64"
+    )  # nchunks must be a power of two for the mask == modulo identity
+    assert nchunks & (nchunks - 1) == 0, "nchunks must be a power of two"
+    for k in range(nchunks):
+        porc.write_table(
+            table.filter(pc.equal(bucket, k)),
+            os.path.join(path, f"chunk-{k}.orc"),
+            compression="snappy",
+        )
+    _ORC_CACHE[cache_key] = path
+    return path

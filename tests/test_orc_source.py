@@ -361,3 +361,129 @@ class TestOrcMetaDataSource:
         r3 = orcmeta.OrcMetadataReader({"path": d})
         r3.pushFilters([StringStartsWith(("file_name",), "part-")])
         assert len(r3.partitions()) == len(all_rows)
+
+    def test_footer_parser_matches_data_across_compressions(self, tmp_path):
+        """sources/orcfooter parses file-level column statistics (the
+        reference's src/metadata.rs:79-84 TODO) straight from the footer
+        protobuf; cross-check every stat kind against the actual rows for
+        each ORC compression the chunk-stream decoder handles."""
+        import pyarrow as pa
+        import pyarrow.orc as porc
+
+        from datafusion_datasource_orc_spark.sources.orcfooter import (
+            read_column_statistics,
+        )
+
+        table = pa.table(
+            {
+                "k": pa.array([5, None, -3, 12, 7], type=pa.int64()),
+                "x": pa.array([1.5, 2.25, -0.75, None, 10.0], type=pa.float64()),
+                "s": pa.array(["pear", "apple", None, "zebra", "fig"]),
+            }
+        )
+        for comp in ("uncompressed", "snappy", "zlib", "zstd"):
+            p = str(tmp_path / f"t_{comp}.orc")
+            porc.write_table(table, p, compression=comp)
+            meta = read_column_statistics(p)
+            assert meta["num_rows"] == 5
+            assert meta["columns"] == ["k", "x", "s"]
+            k = meta["stats"]["k"]
+            assert (k["kind"], k["min"], k["max"], k["sum"]) == ("int", -3, 12, 21)
+            assert k["num_values"] == 4 and k["has_null"] is True
+            x = meta["stats"]["x"]
+            assert (x["kind"], x["min"], x["max"]) == ("double", -0.75, 10.0)
+            s = meta["stats"]["s"]
+            assert (s["kind"], s["min"], s["max"]) == ("string", "apple", "zebra")
+
+    def test_stats_mode_aggregates_to_table_stats(self, spark, sf_dir):
+        """orcmeta stats mode distributed end-to-end: cross-file MIN/MAX/SUM
+        of the per-file footer stats equals the table-level truth, for every
+        stat kind lineitem carries (int, double, string, timestamp)."""
+        from pyspark.sql import functions as F
+
+        from datafusion_datasource_orc_spark.sources import orcmeta
+        from datafusion_datasource_orc_spark.sources.tables import (
+            load_orc_table,
+            orc_dir_for,
+        )
+
+        orcmeta.register(spark)
+        d = orc_dir_for(spark, sf_dir, "lineitem")
+        stats = (
+            spark.read.format("orcmeta")
+            .option("stats", "true")
+            .load(d)
+            .groupBy("column_name", "col_kind")
+            .agg(
+                F.sum("num_values").alias("n"),
+                F.min(F.coalesce(F.col("min_l").cast("double"), F.col("min_d"))).alias("mn"),
+                F.max(F.coalesce(F.col("max_l").cast("double"), F.col("max_d"))).alias("mx"),
+                F.min("min_s").alias("mns"),
+                F.max("max_s").alias("mxs"),
+            )
+        )
+        got = {r.column_name: r for r in stats.collect()}
+        li = load_orc_table(spark, sf_dir, "lineitem")
+        truth = li.agg(
+            F.count("*").alias("n"),
+            F.min("l_orderkey").alias("ok_mn"),
+            F.max("l_orderkey").alias("ok_mx"),
+            F.min("l_quantity").alias("q_mn"),
+            F.max("l_quantity").alias("q_mx"),
+            F.min("l_returnflag").alias("rf_mn"),
+            F.max("l_returnflag").alias("rf_mx"),
+            (F.unix_timestamp(F.min("l_shipdate")) * 1000).alias("sd_mn_ms"),
+        ).collect()[0]
+        assert got["l_orderkey"].col_kind == "int"
+        assert got["l_orderkey"].n == truth.n
+        assert got["l_orderkey"].mn == float(truth.ok_mn)
+        assert got["l_orderkey"].mx == float(truth.ok_mx)
+        assert got["l_quantity"].col_kind == "double"
+        assert got["l_quantity"].mn == truth.q_mn
+        assert got["l_quantity"].mx == truth.q_mx
+        assert got["l_returnflag"].col_kind == "string"
+        assert (got["l_returnflag"].mns, got["l_returnflag"].mxs) == (
+            truth.rf_mn,
+            truth.rf_mx,
+        )
+        assert got["l_shipdate"].col_kind == "timestamp"
+        assert got["l_shipdate"].mn == float(truth.sd_mn_ms)
+
+    def test_stats_mode_streaming_rejected(self):
+        import pytest as _pytest
+
+        from datafusion_datasource_orc_spark.sources.orcmeta import (
+            OrcMetaStreamReader,
+        )
+
+        with _pytest.raises(ValueError, match="batch-only"):
+            OrcMetaStreamReader({"path": "/tmp", "stats": "true"})
+
+    def test_chunked_dir_layout_is_deterministic_and_prunable(self, sf_dir):
+        """orc_chunked_dir_for writes chunk-<k>.orc with exactly the
+        o_orderkey % 4 == k rows — the layout contract that makes per-file
+        facts (orc_file_metadata_pruned) oracle-checkable — and a
+        file_name EqualTo prunes the listing to ONE partition."""
+        import pyarrow.compute as pc
+        import pyarrow.orc as porc
+        import pyarrow.parquet as pq
+        from pyspark.sql.datasource import EqualTo
+
+        from datafusion_datasource_orc_spark.sources.orcmeta import OrcMetadataReader
+        from datafusion_datasource_orc_spark.sources.tables import orc_chunked_dir_for
+
+        d = orc_chunked_dir_for(sf_dir, "orders", "o_orderkey", 4)
+        import os
+
+        assert sorted(os.listdir(d)) == [f"chunk-{k}.orc" for k in range(4)]
+        orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+        for k in range(4):
+            chunk = porc.ORCFile(os.path.join(d, f"chunk-{k}.orc"))
+            want = pc.sum(
+                pc.equal(pc.cast(pc.bit_wise_and(orders.column("o_orderkey"), 3), "int64"), k)
+            ).as_py() or 0
+            assert chunk.nrows == want
+        r = OrcMetadataReader({"path": d})
+        assert r.pushFilters([EqualTo(("file_name",), "chunk-2.orc")]) == []
+        parts = r.partitions()
+        assert len(parts) == 1 and parts[0].path.endswith("chunk-2.orc")
