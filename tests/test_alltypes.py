@@ -159,6 +159,44 @@ class TestAlltypesRoundtrip:
         assert any("ts" in p for p in pushed_filters(eq))
         assert [r.utf8 for r in eq.collect()] == ["大熊和奏"]
 
+    @pytest.mark.parametrize(
+        "unit,value",
+        [
+            # the reference converts predicate literals from ALL FOUR
+            # timestamp units into the scan's comparable domain
+            # (src/predicate.rs:218-221: TimestampSecond/Millisecond/
+            # Microsecond/Nanosecond → Int64); Spark's comparable domain is
+            # µs, so each unit's literal is expressed as its epoch count and
+            # floor-converted — the same normalization, same fixture.
+            ("s", 1623738600),  # 2021-06-15T06:30:00 — includes the .5s row
+            ("ms", 1672531199999),  # 2022-12-31T23:59:59.999 — .999999 row
+            ("us", 1577880000000001),  # 2020-01-01T12:00:00.000001 exactly
+            ("ns", 1577880000000001499),  # ns literal floors to the µs above
+        ],
+    )
+    def test_timestamp_predicate_pushed_at_every_unit(
+        self, spark, alltypes_orc, unit, value
+    ):
+        from datafusion_datasource_orc_spark.plans import pushed_filters
+
+        scale = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+        micros = value * 10**6 // scale  # floor into Spark's µs domain
+        cutoff = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=micros
+        )
+        back = spark.read.orc(alltypes_orc)
+        q = back.filter(F.col("ts") >= cutoff)
+        pushed = pushed_filters(q)
+        assert any("ts" in p for p in pushed), f"{unit} filter not pushed: {pushed}"
+        got = {r.utf8 for r in q.collect()}
+        # parity oracle: the same predicate applied row-at-a-time in Python
+        want = {
+            r.utf8
+            for r in back.collect()
+            if r.ts is not None and r.ts >= cutoff
+        }
+        assert got == want and got, (unit, got, want)
+
 
 MAP_LIST_SCHEMA = T.StructType(
     [
