@@ -6,6 +6,7 @@ from datafusion_datasource_orc_spark.operators import (  # noqa: F401
     dedup,
     events,
     extras,
+    ingest,
     multimodal,
     relational,
     scan,

@@ -241,3 +241,67 @@ def test_orcmeta_stream_discovers_new_files_exactly_once(spark, sf_dir, tmp_path
         assert all(r.num_rows == 25 and r.file_bytes > 0 for r in rows)
     finally:
         q.stop()
+
+
+def test_incremental_ingest_discover_probe_admit_exactly_once(
+    spark, sf_dir, tmp_path_factory
+):
+    """TestIncrementalIngest twin of ingest_incremental_bloom: orcmeta
+    streaming DISCOVERY over a growing staging dir drives foreachBatch
+    cycles that PROBE each newly discovered file's docs against the
+    broadcast Bloom filter and ADMIT survivors into an ORC warehouse via
+    append. Every staged doc is considered exactly once (discovery emits
+    each file once); the final warehouse equals the batch query's
+    admission accounting, and a checkpoint-restart with no new files
+    appends nothing."""
+    import shutil
+
+    from datafusion_datasource_orc_spark.operators.ingest import (
+        ingest_incremental_bloom,
+        probe_and_admit,
+        stage_ingest_dir,
+    )
+    from datafusion_datasource_orc_spark.sources import orcmeta
+
+    orcmeta.register(spark)
+    staging = stage_ingest_dir(sf_dir)
+    base = tmp_path_factory.mktemp("incremental_ingest")
+    grow, out, ckpt = base / "staging", str(base / "warehouse"), str(base / "ckpt")
+    grow.mkdir()
+    # batch 0: one staged file exists before the stream starts
+    shutil.copy(os.path.join(staging, "chunk-0.orc"), grow / "chunk-0.orc")
+
+    def admit_batch(batch_df, batch_id):
+        paths = [str(grow / r.file_name) for r in batch_df.collect()]
+        if paths:
+            admitted = probe_and_admit(
+                spark, sf_dir, spark.read.format("orc").load(paths)
+            )
+            admitted.write.mode("append").orc(out)
+
+    def start():
+        return (
+            spark.readStream.format("orcmeta")
+            .load(str(grow))
+            .writeStream.foreachBatch(admit_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    start().awaitTermination()
+    # the remaining staged files arrive; a new availableNow cycle drains them
+    for k in (1, 2, 3):
+        shutil.copy(os.path.join(staging, f"chunk-{k}.orc"), grow / f"chunk-{k}.orc")
+    start().awaitTermination()
+
+    accounting = {r.file_name: r for r in ingest_incremental_bloom(spark, sf_dir).collect()}
+    warehouse = spark.read.orc(out)
+    assert warehouse.count() == sum(r.n_admitted for r in accounting.values())
+    # admitted docs are exactly the staged minus flagged set, no duplicates
+    ids = [r.doc_id for r in warehouse.select("doc_id").collect()]
+    assert len(ids) == len(set(ids))
+    assert all(i % 10 == 0 for i in ids)
+    # replay over the same checkpoint with no new files: nothing re-admitted
+    start().awaitTermination()
+    assert spark.read.orc(out).count() == len(ids)
