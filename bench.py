@@ -76,6 +76,10 @@ HEADLINE = [
     "text_ngram_novelty",
     "training_pack_sequences",
     "text_vocab_coverage",
+    # round 6 additions
+    "ingest_incremental_bloom",
+    "orc_column_stats",
+    "embedding_power_iteration",
 ]
 
 
