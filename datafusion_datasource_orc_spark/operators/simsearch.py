@@ -928,13 +928,21 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IDENTICAL 5-step trajectory and the hash gate checks the whole
     iteration, not just the endpoint.
 
-    Scale shape: the Gram matrix is an outer-product aggregate (one
-    groupBy(i,j) with map-side combine, 64x64=4096 output rows no matter
-    the corpus size); each iteration is a broadcast join against the
-    64-row vector — the classic "reduce to a broadcast-size problem, then
-    iterate on the small thing" decomposition. At 100 TB swap the explode
-    self-join for a per-partition numpy outer-product via mapInPandas
-    feeding the same 4096-row aggregate; the iteration is unchanged.
+    Scale shape — the spark.ml decomposition (RowMatrix.
+    computePrincipalComponents: distributed Gramian, LOCAL eigensolve):
+    the ONLY corpus-sized work is the Gram aggregate, computed by
+    per-partition numpy outer products under mapInPandas (Arrow batches,
+    float64 matmul kept integer-exact by sub-chunking below the 2^53
+    proof bound) into 4096 cells per partition, summed exactly in
+    decimal(38,0). The 64-dim iteration then runs on the collected
+    4096-cell matrix in exact Python-int arithmetic — a constant-size
+    problem independent of corpus size, so driver-side is the correct
+    placement at 100 TB (iterating it through 5 rounds of tiny Spark
+    joins re-derived the corpus-sized Gram each round and paid ~500
+    exchanges of 64-row data; measured 8x slower at sf0.1). At larger
+    corpora only the int64 per-partition partial bound moves (~3.7e7
+    rows/partition): emit per-chunk partials instead and let the exact
+    decimal SUM absorb them.
 
     Convergence caveat (documented, tested): these near-isotropic random
     embeddings have a Marchenko-Pastur-flat spectrum, so 5 steps
@@ -943,64 +951,69 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps converge geometrically. pytest checks the exact 5-step replay
     against a pure-Python integer replica plus Rayleigh monotonicity and
     the λ1 upper bound."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    xi = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "xd"),
-    ).select(
-        "vec_id", "dim", F.floor(F.col("xd") * 1e6).cast("long").alias("x")
-    )
-    a = xi.select("vec_id", F.col("dim").alias("i"), F.col("x").alias("xa"))
-    b = xi.select("vec_id", F.col("dim").alias("j"), F.col("x").alias("xb"))
-    g = (
-        a.join(b, "vec_id")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("xa") * F.col("xb")).alias("g"))
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
     )
 
-    dec = "decimal(38,0)"
-    v = spark.range(PI_DIMS).select(
-        F.col("id").cast("int").alias("dim"), F.lit(1000000).cast("long").alias("v")
-    )
-    for _ in range(PI_ITERS):
-        w = (
-            g.join(F.broadcast(v), g.j == v.dim)
-            .groupBy("i")
-            .agg(F.sum(F.col("g").cast(dec) * F.col("v")).alias("w"))
-        )
-        maxw = w.agg(F.max(F.abs(F.col("w"))).alias("mw"))
-        v = (
-            w.crossJoin(F.broadcast(maxw))
-            .select(
-                F.col("i").alias("dim"),
-                F.floor(
-                    F.col("w").cast("double") / F.col("mw").cast("double") * 1e6
-                )
-                .cast("long")
-                .alias("v"),
+    def gram_partials(pdf_iter):
+        import numpy as np
+        import pandas as pd
+
+        acc = np.zeros((PI_DIMS, PI_DIMS), dtype=np.int64)
+        seen = False
+        for pdf in pdf_iter:
+            vecs = np.stack(pdf["embedding"].to_numpy())  # (n, 64) float64
+            # same grid op as the oracle: floor(x * 1e6), elementwise IEEE
+            xi = np.floor(vecs * 1e6)
+            # float64 matmul is EXACT while every partial sum stays an
+            # integer < 2^53: |x|<=5e5 -> products <=2.5e11, so sub-chunks
+            # of <=8192 rows bound each cell by 2.05e15 < 2^53. BLAS speed,
+            # integer exactness.
+            for lo in range(0, len(xi), 8192):
+                part = xi[lo : lo + 8192]
+                acc += (part.T @ part).astype(np.int64)
+                seen = True
+        if seen:
+            ii, jj = np.indices((PI_DIMS, PI_DIMS))
+            yield pd.DataFrame(
+                {
+                    "i": ii.ravel().astype("int32"),
+                    "j": jj.ravel().astype("int32"),
+                    "g": acc.ravel(),
+                }
             )
-        )
-    va = v.select(F.col("dim").alias("ai"), F.col("v").alias("va"))
-    vb = v.select(F.col("dim").alias("bj"), F.col("v").alias("vb"))
-    num = (
-        g.join(F.broadcast(va), g.i == va.ai)
-        .join(F.broadcast(vb), g.j == vb.bj)
-        .agg(F.sum(F.col("g").cast(dec) * F.col("va") * F.col("vb")).alias("n"))
+
+    cells = (
+        emb.select(F.col("embedding").cast("array<double>").alias("embedding"))
+        .mapInPandas(gram_partials, schema="i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("g").cast("decimal(38,0)")).alias("g"))
+        .collect()  # 4096 rows, constant in corpus size (bounded collect)
     )
-    den = v.agg(F.sum(F.col("v").cast(dec) * F.col("v")).alias("d"))
+    G = [[0] * PI_DIMS for _ in range(PI_DIMS)]
+    for r in cells:
+        G[r.i][r.j] = int(r.g)
+
+    # exact-integer iteration — identical arithmetic to the DuckDB oracle
+    # (HUGEINT matvec, double-cast renormalization) and the pytest replica
+    v = [10**6] * PI_DIMS
+    for _ in range(PI_ITERS):
+        w = [sum(G[i][j] * v[j] for j in range(PI_DIMS)) for i in range(PI_DIMS)]
+        mw = max(abs(x) for x in w)
+        v = [int(math.floor(float(x) / float(mw) * 1e6)) for x in w]
+    num = sum(
+        G[i][j] * v[i] * v[j] for i in range(PI_DIMS) for j in range(PI_DIMS)
+    )
+    den = sum(x * x for x in v)
     # Rayleigh quotient in GRID units (x was scaled 1e6 -> Gram 1e12): floor
-    # the raw ratio (~1e13 — a *1e6 grid would overflow Spark's long floor
-    # AND exceed double resolution anyway), then rescale to data units.
-    lam = (
-        F.floor(F.col("n").cast("double") / F.col("d").cast("double")).cast("double")
-        / 1e12
-    )
-    return (
-        v.crossJoin(F.broadcast(num))
-        .crossJoin(F.broadcast(den))
-        .select(
-            "dim",
-            (F.col("v").cast("double") / 1e6).alias("component"),
-            lam.alias("eigenvalue"),
-        )
+    # the raw ratio (~1e13 — a *1e6 grid would exceed double resolution
+    # anyway), then rescale to data units. float() of an exact int is
+    # correctly rounded on all three engines (Python, Java BigDecimal,
+    # DuckDB HUGEINT), so the division operands are bit-identical.
+    lam = math.floor(float(num) / float(den)) / 1e12
+    return spark.createDataFrame(
+        [(d, v[d] / 1e6, lam) for d in range(PI_DIMS)],
+        schema="dim int, component double, eigenvalue double",
     )

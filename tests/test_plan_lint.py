@@ -32,9 +32,10 @@ ALLOWED_NESTED_LOOP = {
     "tpch_q22": "1-row average-balance scalar subquery",
     "approx_heavy_hitters": "1-row total-count aggregate crossJoin'd into the support filter",
     "embedding_whitening": "1-row dimension-stats aggregate crossJoin'd onto the corpus stream",
-    "embedding_power_iteration": "per-iteration 1-row max-norm aggregates and "
-    "the final 1-row Rayleigh numerator/denominator crossJoin'd onto the "
-    "64-row eigenvector — every loop side is a broadcast scalar",
+    "embedding_power_iteration": "distributed mapInPandas Gram aggregate + "
+    "constant-size (4096-cell) bounded collect; the 64-dim iteration runs "
+    "driver-side like spark.ml's computePrincipalComponents — the returned "
+    "plan is a LocalRelation of the result",
     "simsearch_sq": "1-row quantizer-stats + 1-row query vector broadcast onto the corpus scan",
     "tpcds_q61": "verbatim template: promotional_sales x all_sales is a "
     "1-row x 1-row join of two scalar aggregates",
