@@ -78,6 +78,7 @@ _ROUND_PRIORITY = [
     "orc_file_metadata",
     "orc_file_metadata_pruned",
     "orc_column_stats",
+    "orc_stripe_stats",
     # incremental-ingest composition (judge r05 task 8)
     "ingest_incremental_bloom",
     # bruteforce / embedding family, never stamped

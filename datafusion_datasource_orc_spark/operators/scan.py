@@ -365,48 +365,65 @@ def orc_file_metadata_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SUM of counts), which is exactly how a lake-wide stats audit stays
 # layout-independent — and what makes it oracle-checkable: the cross-file
 # aggregate equals the table-level stats DuckDB computes from the rows.
-@query(
-    "orc_column_stats",
-    oracle="""
-    SELECT 'l_orderkey' AS column_name, 'int' AS col_kind,
-           CAST(COUNT(l_orderkey) AS BIGINT) AS n_values,
-           CAST(MIN(l_orderkey) AS DOUBLE) AS min_num,
-           CAST(MAX(l_orderkey) AS DOUBLE) AS max_num,
-           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
-    FROM lineitem
-    UNION ALL SELECT 'l_partkey', 'int', CAST(COUNT(l_partkey) AS BIGINT),
-           CAST(MIN(l_partkey) AS DOUBLE), CAST(MAX(l_partkey) AS DOUBLE),
-           NULL, NULL FROM lineitem
-    UNION ALL SELECT 'l_suppkey', 'int', CAST(COUNT(l_suppkey) AS BIGINT),
-           CAST(MIN(l_suppkey) AS DOUBLE), CAST(MAX(l_suppkey) AS DOUBLE),
-           NULL, NULL FROM lineitem
-    UNION ALL SELECT 'l_linenumber', 'int', CAST(COUNT(l_linenumber) AS BIGINT),
-           CAST(MIN(l_linenumber) AS DOUBLE), CAST(MAX(l_linenumber) AS DOUBLE),
-           NULL, NULL FROM lineitem
-    UNION ALL SELECT 'l_quantity', 'double', CAST(COUNT(l_quantity) AS BIGINT),
-           MIN(l_quantity), MAX(l_quantity), NULL, NULL FROM lineitem
-    UNION ALL SELECT 'l_extendedprice', 'double',
-           CAST(COUNT(l_extendedprice) AS BIGINT),
-           MIN(l_extendedprice), MAX(l_extendedprice), NULL, NULL FROM lineitem
-    UNION ALL SELECT 'l_discount', 'double', CAST(COUNT(l_discount) AS BIGINT),
-           MIN(l_discount), MAX(l_discount), NULL, NULL FROM lineitem
-    UNION ALL SELECT 'l_tax', 'double', CAST(COUNT(l_tax) AS BIGINT),
-           MIN(l_tax), MAX(l_tax), NULL, NULL FROM lineitem
-    UNION ALL SELECT 'l_returnflag', 'string',
-           CAST(COUNT(l_returnflag) AS BIGINT),
-           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-           MIN(l_returnflag), MAX(l_returnflag) FROM lineitem
-    UNION ALL SELECT 'l_linestatus', 'string',
-           CAST(COUNT(l_linestatus) AS BIGINT),
-           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-           MIN(l_linestatus), MAX(l_linestatus) FROM lineitem
-    UNION ALL SELECT 'l_shipdate', 'timestamp',
-           CAST(COUNT(l_shipdate) AS BIGINT),
-           CAST(epoch_ms(MIN(l_shipdate)) AS DOUBLE),
-           CAST(epoch_ms(MAX(l_shipdate)) AS DOUBLE),
-           NULL, NULL FROM lineitem
-    """,
-)
+# lineitem column -> ORC statistic kind; drives both oracles below
+_LI_STAT_KINDS = {
+    "l_orderkey": "int",
+    "l_partkey": "int",
+    "l_suppkey": "int",
+    "l_linenumber": "int",
+    "l_quantity": "double",
+    "l_extendedprice": "double",
+    "l_discount": "double",
+    "l_tax": "double",
+    "l_returnflag": "string",
+    "l_linestatus": "string",
+    "l_shipdate": "timestamp",
+}
+
+
+def _li_stats_oracle(extra: str = "") -> str:
+    """DuckDB twin of a cross-file (or cross-stripe) column-stats aggregate
+    over lineitem: per column, non-null count + typed min/max. ``extra``
+    appends constant columns (e.g. a TRUE consistency flag)."""
+    branches = []
+    for col, kind in _LI_STAT_KINDS.items():
+        if kind == "int" or kind == "double":
+            mn, mx = f"CAST(MIN({col}) AS DOUBLE)", f"CAST(MAX({col}) AS DOUBLE)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        elif kind == "timestamp":  # footer stats carry epoch millis (UTC)
+            mn = f"CAST(epoch_ms(MIN({col})) AS DOUBLE)"
+            mx = f"CAST(epoch_ms(MAX({col})) AS DOUBLE)"
+            ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        else:  # string
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+            ms, xs = f"MIN({col})", f"MAX({col})"
+        branches.append(
+            f"SELECT '{col}' AS column_name, '{kind}' AS col_kind, "
+            f"CAST(COUNT({col}) AS BIGINT) AS n_values, "
+            f"{mn} AS min_num, {mx} AS max_num, "
+            f"{ms} AS min_str, {xs} AS max_str{extra} FROM lineitem"
+        )
+    return "\nUNION ALL ".join(branches)
+
+
+def _stats_agg(meta: DataFrame) -> DataFrame:
+    """Cross-file/stripe aggregate of an orcmeta stats table: layout-free
+    per-column totals (MIN of mins, MAX of maxes, SUM of counts)."""
+    return meta.groupBy("column_name").agg(
+        F.max("col_kind").alias("col_kind"),
+        F.sum("num_values").alias("n_values"),
+        F.min(F.coalesce(F.col("min_l").cast("double"), F.col("min_d"))).alias(
+            "min_num"
+        ),
+        F.max(F.coalesce(F.col("max_l").cast("double"), F.col("max_d"))).alias(
+            "max_num"
+        ),
+        F.min("min_s").alias("min_str"),
+        F.max("max_s").alias("max_str"),
+    )
+
+
+@query("orc_column_stats", oracle=_li_stats_oracle())
 def orc_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lake-wide column statistics from ORC footers alone — no row data
     scanned. Timestamp stats surface as epoch-millis (the footer's
@@ -419,15 +436,62 @@ def orc_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orcmeta.register(spark)
     d = orc_dir_for(spark, sf_dir, "lineitem")
     meta = spark.read.format("orcmeta").option("stats", "true").load(d)
-    return meta.groupBy("column_name").agg(
-        F.max("col_kind").alias("col_kind"),
-        F.sum("num_values").alias("n_values"),
-        F.min(F.coalesce(F.col("min_l").cast("double"), F.col("min_d"))).alias(
-            "min_num"
-        ),
-        F.max(F.coalesce(F.col("max_l").cast("double"), F.col("max_d"))).alias(
-            "max_num"
-        ),
-        F.min("min_s").alias("min_str"),
-        F.max("max_s").alias("max_str"),
+    return _stats_agg(meta)
+
+
+@query(
+    "orc_stripe_stats",
+    oracle=_li_stats_oracle(extra=", TRUE AS matches_file_stats"),
+)
+def orc_stripe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRIPE-granularity statistics from the ORC metadata section (one
+    ColumnStatistics set per stripe — what stripe pruning actually
+    consults), aggregated across every stripe of every file and CROSS-
+    CHECKED against the footer's file-level statistics in the same query:
+    matches_file_stats asserts, per column, that the stripe rollup equals
+    the file rollup (count, typed min/max) — the invariant a healthy
+    writer maintains and a stats-corruption audit would catch breaking.
+    Both sides are footer/metadata tail bytes only; at 100 TB this audits
+    stripe-pruning viability for the cost of one tail read per file."""
+    from datafusion_datasource_orc_spark.sources import orcmeta
+    from datafusion_datasource_orc_spark.sources.tables import orc_dir_for
+
+    orcmeta.register(spark)
+    d = orc_dir_for(spark, sf_dir, "lineitem")
+    stripes = _stats_agg(
+        spark.read.format("orcmeta").option("stats", "stripes").load(d)
+    )
+    files = _stats_agg(
+        spark.read.format("orcmeta").option("stats", "file").load(d)
+    ).select(
+        F.col("column_name").alias("f_column_name"),
+        F.col("n_values").alias("f_n_values"),
+        F.col("min_num").alias("f_min_num"),
+        F.col("max_num").alias("f_max_num"),
+        F.col("min_str").alias("f_min_str"),
+        F.col("max_str").alias("f_max_str"),
+    )
+    consistent = (
+        (F.col("n_values") == F.col("f_n_values"))
+        & F.col("min_num").eqNullSafe(F.col("f_min_num"))
+        & F.col("max_num").eqNullSafe(F.col("f_max_num"))
+        & F.col("min_str").eqNullSafe(F.col("f_min_str"))
+        & F.col("max_str").eqNullSafe(F.col("f_max_str"))
+    )
+    return (
+        stripes.join(
+            F.broadcast(files),
+            stripes.column_name == files.f_column_name,
+        )
+        .withColumn("matches_file_stats", consistent)
+        .select(
+            "column_name",
+            "col_kind",
+            "n_values",
+            "min_num",
+            "max_num",
+            "min_str",
+            "max_str",
+            "matches_file_stats",
+        )
     )

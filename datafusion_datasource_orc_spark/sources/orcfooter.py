@@ -202,9 +202,10 @@ def _parse_column_statistics(buf: bytes) -> dict[str, Any]:
     return st
 
 
-def read_column_statistics(path: str) -> dict[str, Any]:
-    """Parse one ORC file's footer: column names, row count, and per-column
-    file-level statistics — from the file TAIL only (one ranged read)."""
+def _read_tail_sections(path: str, with_metadata: bool = False):
+    """Read + decompress the footer (and optionally the metadata section,
+    which precedes it: [metadata][footer][postscript][ps-length byte]) from
+    the file tail — one ranged read in the common case."""
     size = os.path.getsize(path)
     tail_len = min(size, 256 * 1024)
     with open(path, "rb") as f:
@@ -213,19 +214,34 @@ def read_column_statistics(path: str) -> dict[str, Any]:
         ps_len = tail[-1]
         ps = tail[-1 - ps_len : -1]
         footer_len = 0
+        metadata_len = 0
         compression = _NONE
         for fno, _wt, v in _fields(ps):
             if fno == 1:
                 footer_len = v
             elif fno == 2:
                 compression = v
-        need = footer_len + ps_len + 1
-        if need > tail_len:  # huge footer: one more ranged read
+            elif fno == 5:
+                metadata_len = v
+        need = footer_len + ps_len + 1 + (metadata_len if with_metadata else 0)
+        if need > tail_len:  # huge tail: one more ranged read
             f.seek(size - need)
             tail = f.read(need)
     footer = _decompress_stream(
         tail[-(1 + ps_len + footer_len) : -(1 + ps_len)], compression
     )
+    metadata = None
+    if with_metadata and metadata_len:
+        lo = -(1 + ps_len + footer_len + metadata_len)
+        hi = -(1 + ps_len + footer_len)
+        metadata = _decompress_stream(tail[lo:hi], compression)
+    return footer, metadata
+
+
+def read_column_statistics(path: str) -> dict[str, Any]:
+    """Parse one ORC file's footer: column names, row count, and per-column
+    file-level statistics — from the file TAIL only (one ranged read)."""
+    footer, _ = _read_tail_sections(path)
 
     column_names: list[str] = []
     stats: list[dict[str, Any]] = []
@@ -251,3 +267,39 @@ def read_column_statistics(path: str) -> dict[str, Any]:
         if i + 1 < len(stats)
     }
     return {"num_rows": num_rows, "columns": column_names, "stats": by_column}
+
+
+def read_stripe_statistics(path: str) -> dict[str, Any]:
+    """Parse the ORC METADATA section (which precedes the footer): one
+    ColumnStatistics set PER STRIPE (orc_proto: Metadata { repeated
+    StripeStatistics = 1 }, StripeStatistics { repeated ColumnStatistics
+    colStats = 1 }) — the granularity the engine's stripe pruning actually
+    consults, exposed as data. Column names come from the footer; the same
+    root-at-index-0 flattening as the file-level statistics applies."""
+    footer, metadata = _read_tail_sections(path, with_metadata=True)
+    column_names: list[str] = []
+    root_seen = False
+    for fno, _wt, v in _fields(footer):
+        if fno == 4 and not root_seen:
+            for f2, _w2, v2 in _fields(v):
+                if f2 == 3:
+                    column_names.append(v2.decode("utf-8"))
+            root_seen = True
+    stripes: list[dict[str, Any]] = []
+    if metadata:
+        for fno, _wt, v in _fields(metadata):
+            if fno != 1:  # StripeStatistics
+                continue
+            stats = [
+                _parse_column_statistics(v2)
+                for f2, _w2, v2 in _fields(v)
+                if f2 == 1
+            ]
+            stripes.append(
+                {
+                    name: stats[i + 1]
+                    for i, name in enumerate(column_names)
+                    if i + 1 < len(stats)
+                }
+            )
+    return {"columns": column_names, "stripes": stripes}

@@ -38,8 +38,17 @@ class OrcFilePartition(InputPartition):
         self.path = path
 
 
-def _stats_enabled(options: dict) -> bool:
-    return str(options.get("stats", "")).lower() in ("true", "1", "yes")
+def _stats_mode(options: dict) -> str | None:
+    """None (per-file metadata), "file" (footer column stats), or "stripes"
+    (metadata-section per-stripe column stats)."""
+    raw = str(options.get("stats", "")).lower()
+    if raw in ("true", "1", "yes", "file"):
+        return "file"
+    if raw in ("stripes", "stripe"):
+        return "stripes"
+    if raw in ("", "false", "0", "no"):
+        return None
+    raise ValueError(f"orcmeta: unknown stats mode {raw!r} (file|stripes)")
 
 
 class OrcMetadataReader(DataSourceReader):
@@ -47,7 +56,7 @@ class OrcMetadataReader(DataSourceReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("orcmeta requires a path (load(<dir>) or option('path', ...))")
-        self.stats = _stats_enabled(options)
+        self.stats = _stats_mode(options)
         self._name_filters: list = []
 
     def pushFilters(self, filters):
@@ -97,7 +106,7 @@ class OrcMetadataReader(DataSourceReader):
         # import inside read(): runs on the executor, keeps the reader object
         # picklable (the documented pattern for non-serializable resources)
         if self.stats:
-            yield from _stats_rows(partition.path)
+            yield from _stats_rows(partition.path, self.stats)
             return
         import pyarrow.orc as orc
 
@@ -112,50 +121,63 @@ class OrcMetadataReader(DataSourceReader):
         )
 
 
-def _stats_rows(path: str) -> Iterator[tuple]:
-    """One row per column of one file: the reference's unextracted
-    file-level column statistics (src/metadata.rs:79-84 TODO), parsed from
-    the footer by sources/orcfooter.py — typed min/max/sum slots per the
-    statistic kind (int/date/timestamp → *_l; double → *_d; string/decimal
-    → *_s), executor-side, tail-bytes only."""
+def _typed_slots(st: dict) -> tuple:
+    """(kind, min_l, max_l, sum_l, min_d, max_d, sum_d, min_s, max_s) —
+    typed min/max/sum slots per the statistic kind (int/date/timestamp →
+    *_l; double → *_d; string/decimal → *_s)."""
+    kind = st["kind"] or "other"
+    min_l = max_l = sum_l = None
+    min_d = max_d = sum_d = None
+    min_s = max_s = None
+    if kind in ("int", "date", "timestamp"):
+        min_l, max_l = st["min"], st["max"]
+        sum_l = st["sum"] if kind == "int" else None
+    elif kind == "double":
+        min_d, max_d, sum_d = st["min"], st["max"], st["sum"]
+    elif kind in ("string", "decimal"):
+        min_s, max_s = st["min"], st["max"]
+        sum_l = st["sum"]  # total string length for string stats
+    return (kind, min_l, max_l, sum_l, min_d, max_d, sum_d, min_s, max_s)
+
+
+def _stats_rows(path: str, mode: str) -> Iterator[tuple]:
+    """stats="file": one row per column of one file — the reference's
+    unextracted file-level column statistics (src/metadata.rs:79-84 TODO),
+    parsed from the footer by sources/orcfooter.py. stats="stripes": one
+    row per (stripe, column) from the metadata section — the granularity
+    stripe pruning consults. Both executor-side, tail-bytes only."""
     from datafusion_datasource_orc_spark.sources.orcfooter import (
         read_column_statistics,
+        read_stripe_statistics,
     )
 
-    meta = read_column_statistics(path)
     fname = os.path.basename(path)
+    if mode == "stripes":
+        meta = read_stripe_statistics(path)
+        for sid, by_col in enumerate(meta["stripes"]):
+            for cid, cname in enumerate(meta["columns"]):
+                st = by_col.get(cname)
+                if st is None:
+                    continue
+                kind, *slots = _typed_slots(st)
+                yield (
+                    fname,
+                    sid,
+                    cid,
+                    cname,
+                    kind,
+                    st["num_values"],
+                    st["has_null"],
+                    *slots,
+                )
+        return
+    meta = read_column_statistics(path)
     for cid, cname in enumerate(meta["columns"]):
         st = meta["stats"].get(cname)
         if st is None:
             continue
-        kind = st["kind"] or "other"
-        min_l = max_l = sum_l = None
-        min_d = max_d = sum_d = None
-        min_s = max_s = None
-        if kind in ("int", "date", "timestamp"):
-            min_l, max_l = st["min"], st["max"]
-            sum_l = st["sum"] if kind == "int" else None
-        elif kind == "double":
-            min_d, max_d, sum_d = st["min"], st["max"], st["sum"]
-        elif kind in ("string", "decimal"):
-            min_s, max_s = st["min"], st["max"]
-            sum_l = st["sum"]  # total string length for string stats
-        yield (
-            fname,
-            cid,
-            cname,
-            kind,
-            st["num_values"],
-            st["has_null"],
-            min_l,
-            max_l,
-            sum_l,
-            min_d,
-            max_d,
-            sum_d,
-            min_s,
-            max_s,
-        )
+        kind, *slots = _typed_slots(st)
+        yield (fname, cid, cname, kind, st["num_values"], st["has_null"], *slots)
 
 
 class OrcMetaStreamReader(SimpleDataSourceStreamReader):
@@ -173,7 +195,7 @@ class OrcMetaStreamReader(SimpleDataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("orcmeta requires a path (load(<dir>) or option('path', ...))")
-        if _stats_enabled(options):
+        if _stats_mode(options):
             raise ValueError(
                 "orcmeta stats mode is batch-only (streaming discovery keeps "
                 "the 6-column per-file shape)"
@@ -240,16 +262,22 @@ class OrcMetadataDataSource(DataSource):
         return "orcmeta"
 
     def schema(self) -> str:
-        if _stats_enabled(self.options):
+        mode = _stats_mode(self.options)
+        stats_cols = (
+            "column_id INT, column_name STRING, "
+            "col_kind STRING, num_values BIGINT, has_null BOOLEAN, "
+            "min_l BIGINT, max_l BIGINT, sum_l BIGINT, "
+            "min_d DOUBLE, max_d DOUBLE, sum_d DOUBLE, "
+            "min_s STRING, max_s STRING"
+        )
+        if mode == "file":
             # option("stats","true"): one row per (file, column) with the
             # footer's file-level column statistics in typed slots
-            return (
-                "file_name STRING, column_id INT, column_name STRING, "
-                "col_kind STRING, num_values BIGINT, has_null BOOLEAN, "
-                "min_l BIGINT, max_l BIGINT, sum_l BIGINT, "
-                "min_d DOUBLE, max_d DOUBLE, sum_d DOUBLE, "
-                "min_s STRING, max_s STRING"
-            )
+            return f"file_name STRING, {stats_cols}"
+        if mode == "stripes":
+            # option("stats","stripes"): one row per (file, stripe, column)
+            # from the metadata section — stripe-pruning granularity
+            return f"file_name STRING, stripe_id INT, {stats_cols}"
         return (
             "file_index INT, file_name STRING, num_rows BIGINT, "
             "num_stripes INT, num_columns INT, file_bytes BIGINT"

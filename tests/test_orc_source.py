@@ -487,3 +487,46 @@ class TestOrcMetaDataSource:
         assert r.pushFilters([EqualTo(("file_name",), "chunk-2.orc")]) == []
         parts = r.partitions()
         assert len(parts) == 1 and parts[0].path.endswith("chunk-2.orc")
+
+    def test_stripe_statistics_match_per_stripe_reads(self, tmp_path):
+        """read_stripe_statistics parses the METADATA section (per-stripe
+        ColumnStatistics); on a deliberately multi-stripe file every
+        stripe's parsed min/max/count must equal pyarrow's read_stripe
+        ground truth — the stripe-pruning granularity, verified stripe by
+        stripe."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.orc as porc
+
+        from datafusion_datasource_orc_spark.sources.orcfooter import (
+            read_stripe_statistics,
+        )
+
+        t = pa.table(
+            {
+                "a": pa.array(range(100_000), type=pa.int64()),
+                "b": pa.array(np.arange(100_000) * 0.5, type=pa.float64()),
+            }
+        )
+        p = str(tmp_path / "stripes.orc")
+        porc.write_table(t, p, compression="snappy", stripe_size=64 * 1024)
+        f = porc.ORCFile(p)
+        assert f.nstripes > 1, "fixture must span multiple stripes"
+        m = read_stripe_statistics(p)
+        assert len(m["stripes"]) == f.nstripes
+        for s in range(f.nstripes):
+            rows = f.read_stripe(s)
+            for col in ("a", "b"):
+                st = m["stripes"][s][col]
+                assert st["num_values"] == rows.num_rows
+                assert st["min"] == pc.min(rows[col]).as_py()
+                assert st["max"] == pc.max(rows[col]).as_py()
+
+    def test_stats_mode_rejects_unknown_value(self):
+        import pytest as _pytest
+
+        from datafusion_datasource_orc_spark.sources.orcmeta import OrcMetadataReader
+
+        with _pytest.raises(ValueError, match="stats mode"):
+            OrcMetadataReader({"path": "/tmp", "stats": "bogus"})
