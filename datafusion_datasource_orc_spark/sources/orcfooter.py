@@ -202,12 +202,22 @@ def _parse_column_statistics(buf: bytes) -> dict[str, Any]:
     return st
 
 
-def _read_tail_sections(path: str, with_metadata: bool = False):
+DEFAULT_TAIL_HINT = 256 * 1024
+
+
+def _read_tail_sections(
+    path: str, with_metadata: bool = False, size_hint: int = DEFAULT_TAIL_HINT
+):
     """Read + decompress the footer (and optionally the metadata section,
     which precedes it: [metadata][footer][postscript][ps-length byte]) from
-    the file tail — one ranged read in the common case."""
+    the file tail — one ranged read when ``size_hint`` covers the sections,
+    two otherwise. ``size_hint`` is the reference's ``metadata_size_hint``
+    (src/options.rs:51-54: how many tail bytes to prefetch before knowing
+    the real footer length) made REAL at this seam rather than a validated
+    no-op: too small still works (second ranged read), larger trades bytes
+    for round-trips — exactly the object-store tuning knob it is upstream."""
     size = os.path.getsize(path)
-    tail_len = min(size, 256 * 1024)
+    tail_len = min(size, max(size_hint, 1 + 255))  # always covers postscript
     with open(path, "rb") as f:
         f.seek(size - tail_len)
         tail = f.read(tail_len)
@@ -238,10 +248,12 @@ def _read_tail_sections(path: str, with_metadata: bool = False):
     return footer, metadata
 
 
-def read_column_statistics(path: str) -> dict[str, Any]:
+def read_column_statistics(
+    path: str, size_hint: int = DEFAULT_TAIL_HINT
+) -> dict[str, Any]:
     """Parse one ORC file's footer: column names, row count, and per-column
     file-level statistics — from the file TAIL only (one ranged read)."""
-    footer, _ = _read_tail_sections(path)
+    footer, _ = _read_tail_sections(path, size_hint=size_hint)
 
     column_names: list[str] = []
     stats: list[dict[str, Any]] = []
@@ -269,14 +281,18 @@ def read_column_statistics(path: str) -> dict[str, Any]:
     return {"num_rows": num_rows, "columns": column_names, "stats": by_column}
 
 
-def read_stripe_statistics(path: str) -> dict[str, Any]:
+def read_stripe_statistics(
+    path: str, size_hint: int = DEFAULT_TAIL_HINT
+) -> dict[str, Any]:
     """Parse the ORC METADATA section (which precedes the footer): one
     ColumnStatistics set PER STRIPE (orc_proto: Metadata { repeated
     StripeStatistics = 1 }, StripeStatistics { repeated ColumnStatistics
     colStats = 1 }) — the granularity the engine's stripe pruning actually
     consults, exposed as data. Column names come from the footer; the same
     root-at-index-0 flattening as the file-level statistics applies."""
-    footer, metadata = _read_tail_sections(path, with_metadata=True)
+    footer, metadata = _read_tail_sections(
+        path, with_metadata=True, size_hint=size_hint
+    )
     column_names: list[str] = []
     root_seen = False
     for fno, _wt, v in _fields(footer):

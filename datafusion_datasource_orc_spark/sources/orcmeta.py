@@ -51,12 +51,27 @@ def _stats_mode(options: dict) -> str | None:
     raise ValueError(f"orcmeta: unknown stats mode {raw!r} (file|stripes)")
 
 
+def _size_hint(options: dict) -> int | None:
+    """The reference's metadata_size_hint (src/options.rs:51-54), REAL at
+    this seam: bytes of file tail to prefetch for footer/metadata parsing.
+    Too small still works (one extra ranged read); larger trades bytes for
+    round-trips on object stores."""
+    raw = options.get("metadata_size_hint")
+    if raw is None:
+        return None
+    hint = int(raw)
+    if hint <= 0:
+        raise ValueError("orcmeta: metadata_size_hint must be positive")
+    return hint
+
+
 class OrcMetadataReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("orcmeta requires a path (load(<dir>) or option('path', ...))")
         self.stats = _stats_mode(options)
+        self.size_hint = _size_hint(options)
         self._name_filters: list = []
 
     def pushFilters(self, filters):
@@ -106,7 +121,7 @@ class OrcMetadataReader(DataSourceReader):
         # import inside read(): runs on the executor, keeps the reader object
         # picklable (the documented pattern for non-serializable resources)
         if self.stats:
-            yield from _stats_rows(partition.path, self.stats)
+            yield from _stats_rows(partition.path, self.stats, self.size_hint)
             return
         import pyarrow.orc as orc
 
@@ -140,20 +155,22 @@ def _typed_slots(st: dict) -> tuple:
     return (kind, min_l, max_l, sum_l, min_d, max_d, sum_d, min_s, max_s)
 
 
-def _stats_rows(path: str, mode: str) -> Iterator[tuple]:
+def _stats_rows(path: str, mode: str, size_hint: int | None = None) -> Iterator[tuple]:
     """stats="file": one row per column of one file — the reference's
     unextracted file-level column statistics (src/metadata.rs:79-84 TODO),
     parsed from the footer by sources/orcfooter.py. stats="stripes": one
     row per (stripe, column) from the metadata section — the granularity
     stripe pruning consults. Both executor-side, tail-bytes only."""
     from datafusion_datasource_orc_spark.sources.orcfooter import (
+        DEFAULT_TAIL_HINT,
         read_column_statistics,
         read_stripe_statistics,
     )
 
+    hint = size_hint or DEFAULT_TAIL_HINT
     fname = os.path.basename(path)
     if mode == "stripes":
-        meta = read_stripe_statistics(path)
+        meta = read_stripe_statistics(path, size_hint=hint)
         for sid, by_col in enumerate(meta["stripes"]):
             for cid, cname in enumerate(meta["columns"]):
                 st = by_col.get(cname)
@@ -171,7 +188,7 @@ def _stats_rows(path: str, mode: str) -> Iterator[tuple]:
                     *slots,
                 )
         return
-    meta = read_column_statistics(path)
+    meta = read_column_statistics(path, size_hint=hint)
     for cid, cname in enumerate(meta["columns"]):
         st = meta["stats"].get(cname)
         if st is None:

@@ -530,3 +530,40 @@ class TestOrcMetaDataSource:
 
         with _pytest.raises(ValueError, match="stats mode"):
             OrcMetadataReader({"path": "/tmp", "stats": "bogus"})
+
+    def test_metadata_size_hint_small_hint_still_parses(self, tmp_path):
+        """metadata_size_hint made REAL (the reference validates-but-ignores
+        it, src/options.rs:51-54): an undersized hint pays one extra ranged
+        read and must still parse identical statistics; orcmeta passes the
+        option through and rejects non-positive values."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.orc as porc
+        import pytest as _pytest
+
+        from datafusion_datasource_orc_spark.sources.orcfooter import (
+            read_column_statistics,
+            read_stripe_statistics,
+        )
+        from datafusion_datasource_orc_spark.sources.orcmeta import (
+            OrcMetadataReader,
+            _size_hint,
+        )
+
+        t = pa.table({"a": pa.array(range(50_000), type=pa.int64()),
+                      "b": pa.array(np.arange(50_000) * 0.25, type=pa.float64())})
+        p = str(tmp_path / "hint.orc")
+        porc.write_table(t, p, compression="snappy", stripe_size=64 * 1024)
+        # 300 bytes covers only the postscript; footer forces a second read
+        assert read_column_statistics(p, size_hint=300) == read_column_statistics(p)
+        assert read_stripe_statistics(p, size_hint=300) == read_stripe_statistics(p)
+
+        r = OrcMetadataReader(
+            {"path": str(tmp_path), "stats": "file", "metadata_size_hint": "300"}
+        )
+        assert r.size_hint == 300
+        rows_small = list(r.read(next(iter(r.partitions()))))
+        r2 = OrcMetadataReader({"path": str(tmp_path), "stats": "file"})
+        assert rows_small == list(r2.read(next(iter(r2.partitions()))))
+        with _pytest.raises(ValueError, match="positive"):
+            _size_hint({"metadata_size_hint": "0"})
