@@ -30,8 +30,8 @@ from pyspark.sql import functions as F
 
 from datafusion_datasource_orc_spark.operators.dedup import (
     _bloom_poss_sql,
-    _bloom_positions,
     bloom_filter_words,
+    bloom_flagged,
 )
 from datafusion_datasource_orc_spark.operators.registry import query
 from datafusion_datasource_orc_spark.sources.tables import _orc_root, load_table
@@ -64,6 +64,10 @@ def stage_ingest_dir(sf_dir: str) -> str:
     # divide truncates; doc_ids are non-negative)
     tens = pc.multiply(pc.divide(doc_id, 10), 10)
     incoming = docs.filter(pc.equal(tens, doc_id))
+    # the bitmask-as-modulo identity needs a power of two, and the oracle
+    # interpolates the same constant — assert so a constant change that
+    # breaks either contract fails here, not as an oracle hash mismatch
+    assert INGEST_CHUNKS & (INGEST_CHUNKS - 1) == 0, "INGEST_CHUNKS must be 2^k"
     chunk = pc.bit_wise_and(pc.divide(incoming.column("doc_id"), 10), INGEST_CHUNKS - 1)
     for k in range(INGEST_CHUNKS):
         porc.write_table(
@@ -87,23 +91,8 @@ def probe_and_admit(spark: SparkSession, sf_dir: str, staged: DataFrame) -> Data
         (F.col("doc_id") % 10 != 0) & F.col("text").isNotNull()
     )
     bloom = bloom_filter_words(existing)
-    probes = staged.filter(F.col("text").isNotNull()).select(
-        "doc_id", F.explode(_bloom_positions(F.col("text"))).alias("pos")
-    )
     flagged_ids = (
-        probes.join(
-            F.broadcast(bloom),
-            F.shiftright(F.col("pos"), 5) == F.col("word"),
-            "left",
-        )
-        .select(
-            "doc_id",
-            F.coalesce(
-                F.expr("(mask >> CAST(pos % 32 AS INT)) & 1"), F.lit(0)
-            ).alias("hit"),
-        )
-        .groupBy("doc_id")
-        .agg((F.min("hit") == 1).alias("flagged"))
+        bloom_flagged(staged, bloom, ["doc_id"])
         .filter(F.col("flagged"))
         .select("doc_id")
     )
@@ -120,8 +109,8 @@ def _ingest_oracle() -> str:
                      bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS mask
               FROM expos GROUP BY pos // 32),
     staged AS (SELECT doc_id, text,
-                      'chunk-' || CAST((doc_id // 10) % 4 AS VARCHAR) || '.orc'
-                          AS file_name
+                      'chunk-' || CAST((doc_id // 10) % {INGEST_CHUNKS} AS VARCHAR)
+                          || '.orc' AS file_name
                FROM documents WHERE doc_id % 10 = 0),
     inc AS (SELECT doc_id, file_name, md5(text) AS h FROM staged
             WHERE text IS NOT NULL),
@@ -131,8 +120,15 @@ def _ingest_oracle() -> str:
                         AS flagged
              FROM probes p LEFT JOIN bloom b ON p.pos // 32 = b.word
              GROUP BY p.doc_id, p.file_name),
-    manifest AS (SELECT file_name, CAST(COUNT(*) AS BIGINT) AS n_staged
-                 FROM staged GROUP BY file_name),
+    -- every physical chunk file gets a manifest row even when its bucket is
+    -- EMPTY (stage_ingest_dir always writes all {INGEST_CHUNKS} files; the
+    -- Spark side's orcmeta listing therefore always returns them)
+    manifest AS (SELECT 'chunk-' || CAST(k AS VARCHAR) || '.orc' AS file_name,
+                        COALESCE(cnt, 0) AS n_staged
+                 FROM range({INGEST_CHUNKS}) AS r(k)
+                 LEFT JOIN (SELECT file_name AS fn, CAST(COUNT(*) AS BIGINT) AS cnt
+                            FROM staged GROUP BY fn) s
+                   ON 'chunk-' || CAST(k AS VARCHAR) || '.orc' = s.fn),
     flags AS (SELECT file_name,
                      CAST(COUNT(*) FILTER (WHERE flagged) AS BIGINT) AS n_flagged
               FROM hits GROUP BY file_name)
@@ -182,24 +178,8 @@ def ingest_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = spark.read.orc(staging).withColumn(
         "file_name", F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
     )
-    probes = staged.filter(F.col("text").isNotNull()).select(
-        "doc_id", "file_name", F.explode(_bloom_positions(F.col("text"))).alias("pos")
-    )
     flags = (
-        probes.join(
-            F.broadcast(bloom),
-            F.shiftright(F.col("pos"), 5) == F.col("word"),
-            "left",
-        )
-        .select(
-            "doc_id",
-            "file_name",
-            F.coalesce(
-                F.expr("(mask >> CAST(pos % 32 AS INT)) & 1"), F.lit(0)
-            ).alias("hit"),
-        )
-        .groupBy("doc_id", "file_name")
-        .agg((F.min("hit") == 1).alias("flagged"))
+        bloom_flagged(staged, bloom, ["doc_id", "file_name"])
         .groupBy("file_name")
         .agg(F.sum(F.col("flagged").cast("long")).alias("n_flagged"))
     )

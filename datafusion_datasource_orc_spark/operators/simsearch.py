@@ -963,14 +963,35 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         acc = np.zeros((PI_DIMS, PI_DIMS), dtype=np.int64)
         seen = False
+        n_rows = 0
         for pdf in pdf_iter:
             vecs = np.stack(pdf["embedding"].to_numpy())  # (n, 64) float64
             # same grid op as the oracle: floor(x * 1e6), elementwise IEEE
             xi = np.floor(vecs * 1e6)
             # float64 matmul is EXACT while every partial sum stays an
-            # integer < 2^53: |x|<=5e5 -> products <=2.5e11, so sub-chunks
-            # of <=8192 rows bound each cell by 2.05e15 < 2^53. BLAS speed,
-            # integer exactness.
+            # integer < 2^53: with |x| <= 1.04e6 (components within ~1.04 —
+            # testdata peaks ~0.58) products are <= 1.09e12, so sub-chunks
+            # of <= 8192 rows bound each cell by 8.9e15 < 2^53. BLAS speed,
+            # integer exactness — and like _fake_decode's 2^53 guard, a
+            # violation must fail HERE, loudly, not as an unexplained
+            # oracle hash mismatch downstream.
+            max_abs = float(np.max(np.abs(xi))) if xi.size else 0.0
+            if max_abs > 1.04e6:
+                raise ValueError(
+                    f"embedding component {max_abs / 1e6:.3f} breaks the "
+                    f"exact-float64 Gram bound (|component| <= 1.04); shrink "
+                    f"the sub-chunk below 8192 rows to restore exactness"
+                )
+            n_rows += len(xi)
+            # int64 accumulator headroom: per-partition |cell| <= n_rows *
+            # max_product; raise before silent wrap (~8.5e6 rows/partition
+            # at the worst-case component — repartition upstream past that)
+            if n_rows * 1.09e12 > 9.0e18:
+                raise ValueError(
+                    f"{n_rows} rows in one partition overflow the int64 "
+                    f"Gram partial accumulator; repartition the embeddings "
+                    f"(or emit per-chunk partials) before the Gram pass"
+                )
             for lo in range(0, len(xi), 8192):
                 part = xi[lo : lo + 8192]
                 acc += (part.T @ part).astype(np.int64)
@@ -992,6 +1013,11 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("g").cast("decimal(38,0)")).alias("g"))
         .collect()  # 4096 rows, constant in corpus size (bounded collect)
     )
+    empty_schema = "dim int, component double, eigenvalue double"
+    if not cells:
+        # no embeddings at all: degrade to an empty result (the lazy-plan
+        # formulation's behavior) instead of iterating a zero matrix
+        return spark.createDataFrame([], schema=empty_schema)
     G = [[0] * PI_DIMS for _ in range(PI_DIMS)]
     for r in cells:
         G[r.i][r.j] = int(r.g)
@@ -1002,6 +1028,8 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(PI_ITERS):
         w = [sum(G[i][j] * v[j] for j in range(PI_DIMS)) for i in range(PI_DIMS)]
         mw = max(abs(x) for x in w)
+        if mw == 0:  # all-zero Gram (every |component| < 1e-6): no direction
+            return spark.createDataFrame([], schema=empty_schema)
         v = [int(math.floor(float(x) / float(mw) * 1e6)) for x in w]
     num = sum(
         G[i][j] * v[i] * v[j] for i in range(PI_DIMS) for j in range(PI_DIMS)

@@ -248,6 +248,19 @@ def _read_tail_sections(
     return footer, metadata
 
 
+def _footer_column_names(footer: bytes) -> list[str]:
+    """Root struct's fieldNames (types[0] of the footer) — the column-name
+    source for BOTH the file-level and stripe-level statistics surfaces."""
+    names: list[str] = []
+    for fno, _wt, v in _fields(footer):
+        if fno == 4:  # first Type message = root struct
+            for f2, _w2, v2 in _fields(v):
+                if f2 == 3:
+                    names.append(v2.decode("utf-8"))
+            break
+    return names
+
+
 def read_column_statistics(
     path: str, size_hint: int = DEFAULT_TAIL_HINT
 ) -> dict[str, Any]:
@@ -255,17 +268,11 @@ def read_column_statistics(
     file-level statistics — from the file TAIL only (one ranged read)."""
     footer, _ = _read_tail_sections(path, size_hint=size_hint)
 
-    column_names: list[str] = []
+    column_names = _footer_column_names(footer)
     stats: list[dict[str, Any]] = []
     num_rows = None
-    root_seen = False
     for fno, _wt, v in _fields(footer):
-        if fno == 4 and not root_seen:  # types[0] = root struct field names
-            for f2, _w2, v2 in _fields(v):
-                if f2 == 3:
-                    column_names.append(v2.decode("utf-8"))
-            root_seen = True
-        elif fno == 6:
+        if fno == 6:
             num_rows = v
         elif fno == 7:
             stats.append(_parse_column_statistics(v))
@@ -293,14 +300,7 @@ def read_stripe_statistics(
     footer, metadata = _read_tail_sections(
         path, with_metadata=True, size_hint=size_hint
     )
-    column_names: list[str] = []
-    root_seen = False
-    for fno, _wt, v in _fields(footer):
-        if fno == 4 and not root_seen:
-            for f2, _w2, v2 in _fields(v):
-                if f2 == 3:
-                    column_names.append(v2.decode("utf-8"))
-            root_seen = True
+    column_names = _footer_column_names(footer)
     stripes: list[dict[str, Any]] = []
     if metadata:
         for fno, _wt, v in _fields(metadata):

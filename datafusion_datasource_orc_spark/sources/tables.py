@@ -173,7 +173,14 @@ def orc_chunked_dir_for(
     if path and os.path.isdir(path):
         return path
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(_orc_root(), sf_tag, f"{name}_chunked")
+    # directory name carries key+nchunks (like the cache key) so variant
+    # layouts never overwrite each other, and any pre-existing files are
+    # cleared so shrinking nchunks can't leave stale chunk files behind
+    path = os.path.join(_orc_root(), sf_tag, f"{name}_chunked_{key}_{nchunks}")
+    if os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
     table = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
     bucket = pc.cast(

@@ -50,8 +50,11 @@ def artifact_rounds() -> list[tuple[int, str]]:
 
 
 def introducing_commit(path: str) -> str | None:
+    """Newest commit that TOUCHED the artifact (not just the one that added
+    it): if the driver ever amends an artifact, the amendment certified the
+    code at amendment time, so stamps must hash modules at that snapshot."""
     rel = os.path.relpath(path, REPO)
-    sha = _git("log", "--diff-filter=A", "--format=%H", "-n", "1", "--", rel)
+    sha = _git("log", "--format=%H", "-n", "1", "--", rel)
     return sha or None
 
 
