@@ -13,12 +13,13 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from datafusion_datasource_orc_spark.session import get_spark
 from datafusion_datasource_orc_spark.sources.tables import TABLES
