@@ -287,3 +287,47 @@ class TestSchemaMerge:
         rows = {r.id: r for r in merged.collect()}
         assert rows[1].x == "a" and rows[1].y is None
         assert rows[2].y == 3.5 and rows[2].x is None
+
+
+class TestFooterStatsAllTypes:
+    def test_footer_statistics_across_the_full_type_table(self, spark, alltypes_orc):
+        """sources/orcfooter against the alltypes fixture: every statistic
+        kind the type table produces — int (3 widths + int64 extremes),
+        double (±inf), decimal (string min/max), string (unicode), date
+        (epoch days), bool/binary (counted, no min/max) — parsed from the
+        Spark-written footer and checked against the known fixture values,
+        NULL rows reflected in num_values/has_null."""
+        import datetime
+        import glob as _glob
+
+        from datafusion_datasource_orc_spark.sources.orcfooter import (
+            read_column_statistics,
+        )
+
+        f = [p for p in _glob.glob(alltypes_orc + "/*") if p.endswith(".orc") or "part-" in p]
+        f = [p for p in f if not p.endswith(".crc") and "_SUCCESS" not in p]
+        meta = read_column_statistics(f[0])
+        assert meta["num_rows"] == 11
+        st = meta["stats"]
+        # 9 non-null rows everywhere; NULL first/last rows must show up
+        for c in ("int8", "int64", "float64", "decimal", "utf8", "date32"):
+            assert st[c]["num_values"] == 9, c
+            assert st[c]["has_null"] is True, c
+        assert (st["int8"]["kind"], st["int8"]["min"], st["int8"]["max"]) == (
+            "int", -128, 127
+        )
+        assert (st["int64"]["min"], st["int64"]["max"]) == (-(2**63), 2**63 - 1)
+        assert st["float64"]["kind"] == "double"
+        assert st["float64"]["min"] == float("-inf")
+        assert st["float64"]["max"] == float("inf")
+        # decimal stats are decimal STRINGS per the spec
+        assert st["decimal"]["kind"] == "decimal"
+        assert float(st["decimal"]["min"]) == -999999999.99999
+        assert float(st["decimal"]["max"]) == 123456789.12345
+        assert (st["utf8"]["kind"], st["utf8"]["min"]) == ("string", "")
+        assert st["utf8"]["max"] == "鈴原希実🤔"  # max under UTF-8 byte order
+        # date stats are epoch DAYS (sint32); 1582-10-15 is pre-epoch
+        assert st["date32"]["kind"] == "date"
+        epoch = datetime.date(1970, 1, 1)
+        assert st["date32"]["min"] == (datetime.date(1582, 10, 15) - epoch).days
+        assert st["date32"]["max"] == (datetime.date(9999, 12, 31) - epoch).days
