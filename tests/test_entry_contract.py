@@ -181,6 +181,16 @@ def test_stale_stamps_refront_on_module_change(tmp_path, monkeypatch):
     assert stale == {"q_changed"}
 
 
+def test_round_priority_names_are_registered():
+    """A typo in _ROUND_PRIORITY silently no-ops (the list is filtered
+    against the fresh pool), which would quietly demote a query this round
+    meant to front — so every listed name must exist in the registry."""
+    from datafusion_datasource_orc_spark.operators import QUERIES
+
+    unknown = [n for n in entrymod._ROUND_PRIORITY if n not in QUERIES]
+    assert not unknown, f"_ROUND_PRIORITY names not in registry: {unknown}"
+
+
 def test_queries_order_fresh_then_stale_then_stamped():
     """Ordering contract over the REAL registry + committed artifacts:
     never-stamped first (first stamps outrank everything), then stale
