@@ -186,3 +186,60 @@ def test_norm_cell_keeps_float_and_int_cells_distinct(i):
     assert "." not in as_int and "e" not in as_int
     assert ("." in as_float) or ("e" in as_float)
     assert as_int != as_float
+
+
+# ---- round-6 ORC footer parser: fuzz vs pyarrow-computed ground truth -------
+@given(
+    ints=st.lists(st.one_of(st.none(), st.integers(-(2**62), 2**62)), max_size=120),
+    dbls=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=False, allow_infinity=True, width=64),
+        ),
+        max_size=120,
+    ),
+    txts=st.lists(st.one_of(st.none(), st.text(max_size=12)), max_size=120),
+    comp=st.sampled_from(["uncompressed", "snappy", "zlib", "zstd"]),
+)
+@settings(max_examples=30, deadline=None)
+def test_orc_footer_parser_fuzz_matches_data(tmp_path_factory, ints, dbls, txts, comp):
+    """sources/orcfooter on arbitrary (nullable) int/double/string columns
+    under every supported compression: parsed num_values/has_null/min/max
+    (+ exact int sum) must equal Python-computed truth. NaN doubles and
+    string-sum accounting are writer-discretionary and excluded by
+    strategy/assertion."""
+    import pyarrow as pa
+    import pyarrow.orc as porc
+
+    from datafusion_datasource_orc_spark.sources.orcfooter import (
+        read_column_statistics,
+    )
+
+    n = max(len(ints), len(dbls), len(txts), 1)
+    pad = lambda xs: xs + [None] * (n - len(xs))  # noqa: E731
+    ints, dbls, txts = pad(ints), pad(dbls), pad(txts)
+    table = pa.table(
+        {
+            "i": pa.array(ints, type=pa.int64()),
+            "d": pa.array(dbls, type=pa.float64()),
+            "s": pa.array(txts, type=pa.string()),
+        }
+    )
+    p = str(tmp_path_factory.mktemp("fuzz") / "t.orc")
+    porc.write_table(table, p, compression=comp)
+    meta = read_column_statistics(p)
+    assert meta["num_rows"] == n
+
+    for name, vals, kind in (("i", ints, "int"), ("d", dbls, "double"), ("s", txts, "string")):
+        stc = meta["stats"][name]
+        present = [v for v in vals if v is not None]
+        assert stc["num_values"] == len(present), name
+        assert stc["has_null"] is (len(present) < n), name
+        if present:
+            assert stc["kind"] == kind, name
+            assert stc["min"] == min(present), name
+            assert stc["max"] == max(present), name
+            if kind == "int":
+                assert stc["sum"] == sum(present)
+        else:
+            assert stc["min"] is None and stc["max"] is None, name
