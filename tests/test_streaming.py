@@ -277,7 +277,12 @@ def test_incremental_ingest_discover_probe_admit_exactly_once(
             admitted = probe_and_admit(
                 spark, sf_dir, spark.read.format("orc").load(paths)
             )
-            admitted.write.mode("append").orc(out)
+            # idempotent foreachBatch sink: each micro-batch OVERWRITES its
+            # own batch-id-named subdirectory, so a crash-retry of batch N
+            # (same id after checkpoint recovery) replaces rather than
+            # double-appends — plain mode("append") would only be
+            # at-least-once under retry
+            admitted.write.mode("overwrite").orc(f"{out}/ingest_batch={batch_id}")
 
     def start():
         return (
