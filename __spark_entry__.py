@@ -81,6 +81,8 @@ _ROUND_PRIORITY = [
     "orc_stripe_stats",
     # incremental-ingest composition (judge r05 task 8)
     "ingest_incremental_bloom",
+    # round-6 multimodal addition (the brief's resize op, oracle-exact)
+    "multimodal_resize",
     # bruteforce / embedding family, never stamped
     "simsearch_bruteforce",
     "simsearch_bruteforce_arrow",

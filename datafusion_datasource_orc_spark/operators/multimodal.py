@@ -221,6 +221,100 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- resize (2x2 average-pool over the byte grid) ---------------------------
+RESIZE_W = 16  # fixed grid width; pooled output width = 8
+
+
+def _fake_resize(payload: bytes) -> tuple[int, int, int, float]:
+    """STUB resize kernel — deterministic integer 2x2 average-pool.
+
+    In production this is PIL.Image.resize / torchvision interpolate; here
+    the payload is treated as an H x 16 byte grid (H = n // 16, trailing
+    partial row dropped, odd last row dropped by pooling) and each output
+    cell is the floor-average of its 2x2 block — all exact integer ops plus
+    ONE IEEE division for the pooled mean (operands << 2^53 under the
+    payload bound asserted in _fake_decode), so the DuckDB oracle
+    reproduces the result bit for bit from hex-extracted bytes."""
+    import numpy as np
+
+    n = len(payload)
+    oh, ow = (n // RESIZE_W) // 2, RESIZE_W // 2
+    if oh == 0:
+        return 0, ow, 0, 0.0
+    a = (
+        np.frombuffer(payload[: oh * 2 * RESIZE_W], dtype=np.uint8)
+        .astype(np.int64)
+        .reshape(oh * 2, RESIZE_W)
+    )
+    pooled = (a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]) // 4
+    total = int(pooled.sum())
+    return oh, ow, total % (2**31), total / (oh * ow)
+
+
+def resize_features(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in pdf_iter:
+        out = [_fake_resize(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "out_h": pd.Series([o[0] for o in out], dtype="int32"),
+                "out_w": pd.Series([o[1] for o in out], dtype="int32"),
+                "pooled_checksum": pd.Series([o[2] for o in out], dtype="int64"),
+                "pooled_mean": pd.Series([o[3] for o in out], dtype="float64"),
+            }
+        )
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (
+      SELECT doc_id, i, {_ORACLE_BYTE} AS byte
+      FROM p, UNNEST(range(0, ((n // {RESIZE_W}) // 2) * 2 * {RESIZE_W})) AS t(i)
+    ),
+    blocks AS (
+      SELECT doc_id, (i // {RESIZE_W}) // 2 AS r, (i % {RESIZE_W}) // 2 AS c,
+             SUM(byte) AS bs
+      FROM b GROUP BY doc_id, r, c
+    ),
+    pooled AS (
+      SELECT doc_id, SUM(bs // 4) AS tot, COUNT(*) AS cells
+      FROM blocks GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST((p.n // {RESIZE_W}) // 2 AS INTEGER) AS out_h,
+           CAST({RESIZE_W // 2} AS INTEGER) AS out_w,
+           CAST(COALESCE(pooled.tot, 0) % 2147483648 AS BIGINT)
+               AS pooled_checksum,
+           CAST(COALESCE(pooled.tot, 0) AS DOUBLE)
+               / GREATEST(COALESCE(pooled.cells, 0), 1) AS pooled_mean
+    FROM p LEFT JOIN pooled ON p.doc_id = pooled.doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample plumbing (the brief's image-resize op): binary
+    payload → mapInPandas 2x2 average-pool → (out_h, out_w, checksum,
+    mean). The kernel is the documented stub (real decoders absent); the
+    Spark-side shape — Arrow batches, data-size-driven repartition, typed
+    output schema — is the real 100 TB path, and the integer pooling makes
+    the full pipeline hash-checkable against DuckDB's byte re-extraction,
+    same discipline as multimodal_decode."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    p = with_payload(docs).repartition("doc_id")
+    return p.mapInPandas(
+        resize_features,
+        schema=(
+            "doc_id long, out_h int, out_w int, "
+            "pooled_checksum long, pooled_mean double"
+        ),
+    )
+
+
 # ---- decode-batch packing ----------------------------------------------------
 DECODE_BATCH = 32
 

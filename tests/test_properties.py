@@ -243,3 +243,31 @@ def test_orc_footer_parser_fuzz_matches_data(tmp_path_factory, ints, dbls, txts,
                 assert stc["sum"] == sum(present)
         else:
             assert stc["min"] is None and stc["max"] is None, name
+
+
+@given(st.binary(min_size=0, max_size=3000))
+@settings(max_examples=150, deadline=None)
+def test_fake_resize_matches_naive_pooling(payload):
+    """multimodal_resize's kernel vs an index-by-index naive replica of the
+    2x2 floor-average pool the oracle recomputes in SQL: identical
+    out_h/checksum and the pooled mean is the same single IEEE division."""
+    from datafusion_datasource_orc_spark.operators.multimodal import (
+        RESIZE_W,
+        _fake_resize,
+    )
+
+    oh, ow, checksum, mean = _fake_resize(payload)
+    H = (len(payload) // RESIZE_W) // 2
+    assert (oh, ow) == (H, RESIZE_W // 2)
+    total = 0
+    for r in range(H):
+        for c in range(RESIZE_W // 2):
+            block = (
+                payload[(2 * r) * RESIZE_W + 2 * c]
+                + payload[(2 * r) * RESIZE_W + 2 * c + 1]
+                + payload[(2 * r + 1) * RESIZE_W + 2 * c]
+                + payload[(2 * r + 1) * RESIZE_W + 2 * c + 1]
+            )
+            total += block // 4
+    assert checksum == total % (2**31)
+    assert mean == (total / (H * (RESIZE_W // 2)) if H else 0.0)
