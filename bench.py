@@ -80,6 +80,7 @@ HEADLINE = [
     "ingest_incremental_bloom",
     "orc_column_stats",
     "embedding_power_iteration",
+    "multimodal_resize",
 ]
 
 
