@@ -617,3 +617,57 @@ class TestRound5Pipeline:
         lam1 = float(np.linalg.eigh(np.array(G, dtype=np.float64)).eigenvalues[-1]) / 1e12
         assert lam <= lam1 * (1 + 1e-9)
         assert abs(lam - rayleigh(v)) < 1e-6
+
+
+class TestIncrementalIngestEdge:
+    def test_empty_ingest_bucket_still_matches_oracle(self, spark, tmp_path_factory):
+        """End-to-end driver-comparator replay on a synthetic corpus where
+        bucket (doc_id//10)%4 == 3 has ZERO incoming docs: the staged
+        chunk-3.orc file exists but is empty, and BOTH engines must report
+        its (file, 0, 0, 0) manifest row — the exact divergence the
+        round-6 review fix closed (the oracle now enumerates physical
+        chunk files instead of grouping only observed rows)."""
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from datafusion_datasource_orc_spark.operators.ingest import (
+            ingest_incremental_bloom,
+        )
+
+        sf = tmp_path_factory.mktemp("tiny_sf")
+        # incoming docs are doc_id % 10 == 0; (doc_id//10)%4 buckets:
+        # 0,10,20 -> buckets 0,1,2. Bucket 3 (doc_id 30) deliberately absent.
+        doc_ids = [0, 1, 2, 10, 11, 20, 21, 41, 51]
+        rows = {
+            "doc_id": doc_ids,
+            "text": [f"document body {i} unique" for i in doc_ids],
+            "lang": ["en"] * len(doc_ids),
+            "source": ["web"] * len(doc_ids),
+            "n_chars": [20] * len(doc_ids),
+        }
+        # make doc 10 an exact duplicate of existing doc 1 -> Bloom-flagged
+        rows["text"][3] = rows["text"][1]
+        pq.write_table(pa.table(rows), str(sf / "documents.parquet"))
+
+        got = {
+            r.file_name: (r.n_staged, r.n_flagged, r.n_admitted)
+            for r in ingest_incremental_bloom(spark, str(sf)).collect()
+        }
+        assert got["chunk-3.orc"] == (0, 0, 0)  # the empty-bucket row
+        assert got["chunk-0.orc"] == (1, 0, 1)
+        assert got["chunk-1.orc"] == (1, 1, 0)  # the duplicate is flagged
+        assert got["chunk-2.orc"] == (1, 0, 1)
+
+        from datafusion_datasource_orc_spark.operators import ORACLES
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        oracle = {
+            r[0]: (r[1], r[2], r[3])
+            for r in con.execute(ORACLES["ingest_incremental_bloom"]).fetchall()
+        }
+        assert oracle == got
