@@ -51,12 +51,17 @@ def stage_ingest_dir(sf_dir: str) -> str:
     import pyarrow.orc as porc
     import pyarrow.parquet as pq
 
+    import hashlib
+
     key = os.path.abspath(sf_dir)
     path = _STAGE_CACHE.get(key)
     if path and os.path.isdir(path):
         return path
+    # sf_dir-abspath hash in the directory name: two sf_dirs sharing a
+    # basename must never stage into (and overwrite) the same directory
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(_orc_root(), sf_tag, "ingest_staging")
+    tag = hashlib.md5(key.encode()).hexdigest()[:8]
+    path = os.path.join(_orc_root(), sf_tag, f"ingest_staging_{tag}")
     os.makedirs(path, exist_ok=True)
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
     doc_id = docs.column("doc_id")

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -235,8 +236,6 @@ def _fake_resize(payload: bytes) -> tuple[int, int, int, float]:
     ONE IEEE division for the pooled mean (operands << 2^53 under the
     payload bound asserted in _fake_decode), so the DuckDB oracle
     reproduces the result bit for bit from hex-extracted bytes."""
-    import numpy as np
-
     n = len(payload)
     oh, ow = (n // RESIZE_W) // 2, RESIZE_W // 2
     if oh == 0:

@@ -964,6 +964,7 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc = np.zeros((PI_DIMS, PI_DIMS), dtype=np.int64)
         seen = False
         n_rows = 0
+        seen_max = 0.0
         for pdf in pdf_iter:
             vecs = np.stack(pdf["embedding"].to_numpy())  # (n, 64) float64
             # same grid op as the oracle: floor(x * 1e6), elementwise IEEE
@@ -983,14 +984,17 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"the sub-chunk below 8192 rows to restore exactness"
                 )
             n_rows += len(xi)
-            # int64 accumulator headroom: per-partition |cell| <= n_rows *
-            # max_product; raise before silent wrap (~8.5e6 rows/partition
-            # at the worst-case component — repartition upstream past that)
-            if n_rows * 1.09e12 > 9.0e18:
+            seen_max = max(seen_max, max_abs)
+            # int64 accumulator headroom from the OBSERVED component
+            # magnitude (not the worst-case constant, which would reject
+            # partitions ~4x smaller than the true exact capacity): raise
+            # before silent wrap — repartition upstream past that
+            if n_rows * seen_max * seen_max > 9.0e18:
                 raise ValueError(
-                    f"{n_rows} rows in one partition overflow the int64 "
-                    f"Gram partial accumulator; repartition the embeddings "
-                    f"(or emit per-chunk partials) before the Gram pass"
+                    f"{n_rows} rows x max|x|={seen_max:.0f} in one partition "
+                    f"overflow the int64 Gram partial accumulator; "
+                    f"repartition the embeddings (or emit per-chunk "
+                    f"partials) before the Gram pass"
                 )
             for lo in range(0, len(xi), 8192):
                 part = xi[lo : lo + 8192]
@@ -1013,11 +1017,11 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("g").cast("decimal(38,0)")).alias("g"))
         .collect()  # 4096 rows, constant in corpus size (bounded collect)
     )
-    empty_schema = "dim int, component double, eigenvalue double"
+    out_schema = "dim int, component double, eigenvalue double"
     if not cells:
-        # no embeddings at all: degrade to an empty result (the lazy-plan
-        # formulation's behavior) instead of iterating a zero matrix
-        return spark.createDataFrame([], schema=empty_schema)
+        # no embeddings at all: the oracle's joins collapse to 0 rows —
+        # return the same empty result instead of iterating a zero matrix
+        return spark.createDataFrame([], schema=out_schema)
     G = [[0] * PI_DIMS for _ in range(PI_DIMS)]
     for r in cells:
         G[r.i][r.j] = int(r.g)
@@ -1028,8 +1032,15 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(PI_ITERS):
         w = [sum(G[i][j] * v[j] for j in range(PI_DIMS)) for i in range(PI_DIMS)]
         mw = max(abs(x) for x in w)
-        if mw == 0:  # all-zero Gram (every |component| < 1e-6): no direction
-            return spark.createDataFrame([], schema=empty_schema)
+        if mw == 0:
+            # degenerate matvec (all-zero Gram, or G·v exactly 0): the
+            # oracle's unrolled SQL turns this step's division into NULLs
+            # that propagate to 64 (dim, NULL, NULL) output rows — emit the
+            # IDENTICAL shape so the gate sees a match, not a row-count
+            # mismatch (nor the pre-round-6 ZeroDivisionError)
+            return spark.createDataFrame(
+                [(d, None, None) for d in range(PI_DIMS)], schema=out_schema
+            )
         v = [int(math.floor(float(x) / float(mw) * 1e6)) for x in w]
     num = sum(
         G[i][j] * v[i] * v[j] for i in range(PI_DIMS) for j in range(PI_DIMS)

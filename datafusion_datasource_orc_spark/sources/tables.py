@@ -172,15 +172,16 @@ def orc_chunked_dir_for(
     path = _ORC_CACHE.get(cache_key)
     if path and os.path.isdir(path):
         return path
-    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    # directory name carries key+nchunks (like the cache key) so variant
-    # layouts never overwrite each other, and any pre-existing files are
-    # cleared so shrinking nchunks can't leave stale chunk files behind
-    path = os.path.join(_orc_root(), sf_tag, f"{name}_chunked_{key}_{nchunks}")
-    if os.path.isdir(path):
-        import shutil
+    import hashlib
 
-        shutil.rmtree(path)
+    # directory name carries key+nchunks (like the cache key) so variant
+    # layouts never overwrite each other, plus an sf_dir-abspath hash so
+    # two sf_dirs sharing a basename (sf_tag) can never collide either
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        _orc_root(), sf_tag, f"{name}_chunked_{key}_{nchunks}_{tag}"
+    )
     os.makedirs(path, exist_ok=True)
     table = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
     bucket = pc.cast(

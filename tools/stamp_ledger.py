@@ -50,11 +50,15 @@ def artifact_rounds() -> list[tuple[int, str]]:
 
 
 def introducing_commit(path: str) -> str | None:
-    """Newest commit that TOUCHED the artifact (not just the one that added
-    it): if the driver ever amends an artifact, the amendment certified the
-    code at amendment time, so stamps must hash modules at that snapshot."""
+    """The commit that ADDED the artifact. Deliberately NOT the newest
+    commit touching it: artifacts are driver-written once, and a future
+    non-driver commit that incidentally touches an artifact (bulk reformat,
+    merge resolution) while also editing operator modules would otherwise
+    become the 'stamp commit' and silently re-certify those modules —
+    defeating the stale-stamp re-front. If the driver ever starts amending
+    artifacts, revisit with an author-based filter."""
     rel = os.path.relpath(path, REPO)
-    sha = _git("log", "--format=%H", "-n", "1", "--", rel)
+    sha = _git("log", "--diff-filter=A", "--format=%H", "-n", "1", "--", rel)
     return sha or None
 
 
