@@ -671,3 +671,65 @@ class TestIncrementalIngestEdge:
             for r in con.execute(ORACLES["ingest_incremental_bloom"]).fetchall()
         }
         assert oracle == got
+
+
+class TestPowerIterationEdge:
+    def _tmp_sf(self, tmp_path_factory, vectors):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sf = tmp_path_factory.mktemp("pi_edge_sf")
+        table = pa.table(
+            {
+                "vec_id": pa.array(range(len(vectors)), type=pa.int64()),
+                "embedding": pa.array(vectors, type=pa.list_(pa.float32())),
+                "label": pa.array([0] * len(vectors), type=pa.int32()),
+            }
+        )
+        pq.write_table(table, str(sf / "embeddings.parquet"))
+        return str(sf)
+
+    def _both_engines(self, spark, sf):
+        import duckdb
+
+        from datafusion_datasource_orc_spark.operators import ORACLES
+        from datafusion_datasource_orc_spark.operators.simsearch import (
+            embedding_power_iteration,
+        )
+
+        srows = sorted(
+            [(r.dim, r.component, r.eigenvalue)
+             for r in embedding_power_iteration(spark, sf).collect()]
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet')"
+        )
+        orows = sorted(
+            [(int(r[0]), None if r[1] is None else float(r[1]),
+              None if r[2] is None else float(r[2]))
+             for r in con.execute(ORACLES["embedding_power_iteration"]).fetchall()]
+        )
+        return srows, orows
+
+    def test_all_zero_grid_matches_oracle_null_rows(self, spark, tmp_path_factory):
+        """Every |component| < 1e-6 floors to a zero grid: the oracle's
+        unrolled SQL NULLs the first renormalization and propagates 64
+        (dim, NULL, NULL) rows; the Spark side must emit the IDENTICAL
+        shape (round-6 review fix — previously ZeroDivisionError, then an
+        empty result that would row-count-mismatch)."""
+        # NON-NEGATIVE tiny components: floor(-5e-7 * 1e6) is -1, not 0, so
+        # a negative vector would give a real (non-degenerate) grid
+        sf = self._tmp_sf(
+            tmp_path_factory, [[5e-7] * 64, [9e-7] * 64, [0.0] * 64]
+        )
+        srows, orows = self._both_engines(spark, sf)
+        assert len(srows) == 64
+        assert srows == orows
+        assert all(c is None and e is None for _, c, e in srows)
+
+    def test_empty_embeddings_matches_oracle_empty(self, spark, tmp_path_factory):
+        sf = self._tmp_sf(tmp_path_factory, [])
+        srows, orows = self._both_engines(spark, sf)
+        assert srows == orows == []
