@@ -6,7 +6,9 @@ sorted column names, and an order-insensitive value hash (values normalized:
 floats rounded to 9 significant-ish decimals, timestamps/dates to ISO
 strings, arrays/structs to repr). Exit code 1 on any mismatch.
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--front N] [sf_dir] [query ...]
+  --front N   check only the first N entries of queries() order — the
+              driver's exact gate window (it samples positions 0..N-1).
 """
 
 from __future__ import annotations
@@ -72,8 +74,15 @@ def value_hash(rows, colnames) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    front = None  # --front N: check only the first N of queries() order —
+    # exactly the driver's gate window (it samples positions 0..N-1)
+    if "--front" in args:
+        i = args.index("--front")
+        front = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
 
@@ -85,6 +94,8 @@ def main() -> int:
         return 2
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
+    if front is not None:
+        qs = {k: qs[k] for k in list(qs)[:front]}
 
     spark = get_spark()
     con = duckdb.connect()
