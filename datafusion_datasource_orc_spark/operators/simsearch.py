@@ -801,6 +801,13 @@ def simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("vec_id", "s.m", "s.cell", "s.sv")
+    # subs has three consumers (centroid build, corpus encode, query
+    # distance table) and Catalyst re-derives it for each — MEASURED as
+    # cheaper than a localCheckpoint barrier here (the 16-double sv arrays
+    # make materialization cost more than the saved scans; 1.75s vs 2.0s+
+    # warm at sf0.1), the opposite trade from dedup_minhash_lsh's postings.
+    # At 100 TB prefer persisting the 4-ints-per-vector CODES table (after
+    # enc), which is what actually gets rescanned at query time.
 
     trunc = lambda x: F.floor(x * 1e6) / 1e6  # noqa: E731
     comp = subs.select(
