@@ -973,6 +973,8 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows = 0
         seen_max = 0.0
         for pdf in pdf_iter:
+            if not len(pdf):  # empty Arrow batch: np.stack would raise
+                continue
             vecs = np.stack(pdf["embedding"].to_numpy())  # (n, 64) float64
             # same grid op as the oracle: floor(x * 1e6), elementwise IEEE
             xi = np.floor(vecs * 1e6)
@@ -1026,8 +1028,18 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_schema = "dim int, component double, eigenvalue double"
     if not cells:
-        # no embeddings at all: the oracle's joins collapse to 0 rows —
-        # return the same empty result instead of iterating a zero matrix
+        # No non-NULL embeddings. The oracle distinguishes two shapes here:
+        # an EMPTY corpus collapses its joins to 0 rows, but a corpus with
+        # rows whose embeddings are all NULL keeps those rows in xi/g, the
+        # divisions go NULL, and it emits 64 (dim, NULL, NULL) rows. Match
+        # both (the limit(1) probe runs only in this degenerate branch).
+        corpus_has_rows = (
+            load_table(spark, sf_dir, "embeddings").limit(1).count() > 0
+        )
+        if corpus_has_rows:
+            return spark.createDataFrame(
+                [(d, None, None) for d in range(PI_DIMS)], schema=out_schema
+            )
         return spark.createDataFrame([], schema=out_schema)
     G = [[0] * PI_DIMS for _ in range(PI_DIMS)]
     for r in cells:

@@ -184,10 +184,16 @@ def orc_chunked_dir_for(
     )
     os.makedirs(path, exist_ok=True)
     table = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
-    bucket = pc.cast(
-        pc.bit_wise_and(table.column(key), nchunks - 1), "int64"
-    )  # nchunks must be a power of two for the mask == modulo identity
+    # mask == modulo only holds for power-of-two nchunks AND non-negative
+    # keys (two's-complement masking of a negative key disagrees with SQL
+    # `%`) — assert both loudly rather than silently drift from the oracle
     assert nchunks & (nchunks - 1) == 0, "nchunks must be a power of two"
+    key_min = pc.min(table.column(key)).as_py()
+    assert key_min is None or key_min >= 0, (
+        f"chunk key {name}.{key} has negative values (min={key_min}); the "
+        f"bit_wise_and layout would disagree with the oracle's % contract"
+    )
+    bucket = pc.cast(pc.bit_wise_and(table.column(key), nchunks - 1), "int64")
     for k in range(nchunks):
         porc.write_table(
             table.filter(pc.equal(bucket, k)),

@@ -733,3 +733,17 @@ class TestPowerIterationEdge:
         sf = self._tmp_sf(tmp_path_factory, [])
         srows, orows = self._both_engines(spark, sf)
         assert srows == orows == []
+
+    def test_all_null_embeddings_matches_oracle_null_rows(
+        self, spark, tmp_path_factory
+    ):
+        """Rows exist but every embedding is NULL: the oracle keeps the
+        NULL rows in xi/g so its divisions propagate 64 (dim, NULL, NULL)
+        rows — distinct from the truly-EMPTY corpus (0 rows). The Spark
+        side must tell the two apart (round-7 advisor fix: previously the
+        isNotNull filter collapsed both to an empty result)."""
+        sf = self._tmp_sf(tmp_path_factory, [None, None, None])
+        srows, orows = self._both_engines(spark, sf)
+        assert len(srows) == 64
+        assert srows == orows
+        assert all(c is None and e is None for _, c, e in srows)

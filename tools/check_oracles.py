@@ -92,10 +92,20 @@ def main() -> int:
     if unknown:
         print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
         return 2
-    if only:
-        qs = {k: v for k, v in qs.items() if k in only}
+    # --front slices the FULL queries() order first (the driver's gate window
+    # is positions 0..N-1 of that order), THEN the name filter intersects —
+    # so `--front N q1 q2` asks "is q1/q2 inside the gate window", not
+    # "take the front of the filtered subset".
     if front is not None:
         qs = {k: qs[k] for k in list(qs)[:front]}
+    if only:
+        missed = only - set(qs)
+        if missed:
+            print(
+                f"note: outside --front window, skipped: {sorted(missed)}",
+                file=sys.stderr,
+            )
+        qs = {k: v for k, v in qs.items() if k in only}
 
     spark = get_spark()
     con = duckdb.connect()
