@@ -495,3 +495,62 @@ def orc_stripe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "matches_file_stats",
         )
     )
+
+
+@query(
+    "orc_rowgroup_stats",
+    oracle=_li_stats_oracle(extra=", TRUE AS matches_stripe_stats"),
+)
+def orc_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-GROUP-granularity statistics from the ORC ROW_INDEX streams —
+    the granularity BELOW stripes, which the reference leaves as its second
+    open TODO ("row-level filtering when supported", src/opener.rs:64-66).
+    Completes the ladder file → stripe → row group (default stride 10,000
+    rows), and CROSS-CHECKS the row-group rollup against the metadata
+    section's stripe statistics in the same query: matches_stripe_stats
+    asserts, per column, that aggregating every row group reproduces the
+    stripe-level count and typed min/max — the invariant row-group pruning
+    depends on. I/O stays metadata-only (tail + per-stripe stripe-footer
+    and index-region ranged reads), one file per task via `orcmeta`."""
+    from datafusion_datasource_orc_spark.sources import orcmeta
+    from datafusion_datasource_orc_spark.sources.tables import orc_dir_for
+
+    orcmeta.register(spark)
+    d = orc_dir_for(spark, sf_dir, "lineitem")
+    rowgroups = _stats_agg(
+        spark.read.format("orcmeta").option("stats", "rowgroups").load(d)
+    )
+    stripes = _stats_agg(
+        spark.read.format("orcmeta").option("stats", "stripes").load(d)
+    ).select(
+        F.col("column_name").alias("s_column_name"),
+        F.col("n_values").alias("s_n_values"),
+        F.col("min_num").alias("s_min_num"),
+        F.col("max_num").alias("s_max_num"),
+        F.col("min_str").alias("s_min_str"),
+        F.col("max_str").alias("s_max_str"),
+    )
+    consistent = (
+        (F.col("n_values") == F.col("s_n_values"))
+        & F.col("min_num").eqNullSafe(F.col("s_min_num"))
+        & F.col("max_num").eqNullSafe(F.col("s_max_num"))
+        & F.col("min_str").eqNullSafe(F.col("s_min_str"))
+        & F.col("max_str").eqNullSafe(F.col("s_max_str"))
+    )
+    return (
+        rowgroups.join(
+            F.broadcast(stripes),
+            rowgroups.column_name == stripes.s_column_name,
+        )
+        .withColumn("matches_stripe_stats", consistent)
+        .select(
+            "column_name",
+            "col_kind",
+            "n_values",
+            "min_num",
+            "max_num",
+            "min_str",
+            "max_str",
+            "matches_stripe_stats",
+        )
+    )

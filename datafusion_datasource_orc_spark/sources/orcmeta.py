@@ -39,16 +39,21 @@ class OrcFilePartition(InputPartition):
 
 
 def _stats_mode(options: dict) -> str | None:
-    """None (per-file metadata), "file" (footer column stats), or "stripes"
-    (metadata-section per-stripe column stats)."""
+    """None (per-file metadata), "file" (footer column stats), "stripes"
+    (metadata-section per-stripe column stats), or "rowgroups" (ROW_INDEX
+    per-row-group column stats — the full granularity ladder)."""
     raw = str(options.get("stats", "")).lower()
     if raw in ("true", "1", "yes", "file"):
         return "file"
     if raw in ("stripes", "stripe"):
         return "stripes"
+    if raw in ("rowgroups", "rowgroup", "row_index", "rowindex"):
+        return "rowgroups"
     if raw in ("", "false", "0", "no"):
         return None
-    raise ValueError(f"orcmeta: unknown stats mode {raw!r} (file|stripes)")
+    raise ValueError(
+        f"orcmeta: unknown stats mode {raw!r} (file|stripes|rowgroups)"
+    )
 
 
 def _size_hint(options: dict) -> int | None:
@@ -164,11 +169,33 @@ def _stats_rows(path: str, mode: str, size_hint: int | None = None) -> Iterator[
     from datafusion_datasource_orc_spark.sources.orcfooter import (
         DEFAULT_TAIL_HINT,
         read_column_statistics,
+        read_rowgroup_statistics,
         read_stripe_statistics,
     )
 
     hint = size_hint or DEFAULT_TAIL_HINT
     fname = os.path.basename(path)
+    if mode == "rowgroups":
+        meta = read_rowgroup_statistics(path, size_hint=hint)
+        for sid, groups in enumerate(meta["stripes"]):
+            for gid, by_col in enumerate(groups):
+                for cid, cname in enumerate(meta["columns"]):
+                    st = by_col.get(cname)
+                    if st is None:
+                        continue
+                    kind, *slots = _typed_slots(st)
+                    yield (
+                        fname,
+                        sid,
+                        gid,
+                        cid,
+                        cname,
+                        kind,
+                        st["num_values"],
+                        st["has_null"],
+                        *slots,
+                    )
+        return
     if mode == "stripes":
         meta = read_stripe_statistics(path, size_hint=hint)
         for sid, by_col in enumerate(meta["stripes"]):
@@ -295,6 +322,14 @@ class OrcMetadataDataSource(DataSource):
             # option("stats","stripes"): one row per (file, stripe, column)
             # from the metadata section — stripe-pruning granularity
             return f"file_name STRING, stripe_id INT, {stats_cols}"
+        if mode == "rowgroups":
+            # option("stats","rowgroups"): one row per (file, stripe,
+            # row group, column) from the ROW_INDEX streams — the
+            # row-group-pruning granularity the reference only TODOs
+            return (
+                f"file_name STRING, stripe_id INT, row_group_id INT, "
+                f"{stats_cols}"
+            )
         return (
             "file_index INT, file_name STRING, num_rows BIGINT, "
             "num_stripes INT, num_columns INT, file_bytes BIGINT"

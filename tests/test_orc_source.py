@@ -523,6 +523,89 @@ class TestOrcMetaDataSource:
                 assert st["min"] == pc.min(rows[col]).as_py()
                 assert st["max"] == pc.max(rows[col]).as_py()
 
+    def test_rowgroup_statistics_match_sliced_reads(self, tmp_path):
+        """read_rowgroup_statistics parses the ROW_INDEX streams (one
+        ColumnStatistics per row group — the granularity the reference
+        TODOs at src/opener.rs:64-66); on a multi-stripe multi-row-group
+        file every group's parsed min/max/count must equal the ground
+        truth of slicing the stripe's rows at the index stride, for every
+        compression codec the chunk-stream decoder handles."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.orc as porc
+
+        from datafusion_datasource_orc_spark.sources.orcfooter import (
+            read_rowgroup_statistics,
+        )
+
+        t = pa.table(
+            {
+                "a": pa.array(range(100_000), type=pa.int64()),
+                "b": pa.array(np.arange(100_000) * 0.5, type=pa.float64()),
+            }
+        )
+        stride = 1000
+        for comp in ("uncompressed", "snappy", "zlib", "zstd"):
+            p = str(tmp_path / f"rg_{comp}.orc")
+            porc.write_table(
+                t,
+                p,
+                compression=comp,
+                stripe_size=64 * 1024,
+                row_index_stride=stride,
+            )
+            f = porc.ORCFile(p)
+            assert f.nstripes > 1, "fixture must span multiple stripes"
+            m = read_rowgroup_statistics(p)
+            assert m["columns"] == ["a", "b"]
+            assert len(m["stripes"]) == f.nstripes
+            for s in range(f.nstripes):
+                rows = f.read_stripe(s)
+                n_groups = -(-rows.num_rows // stride)  # ceil
+                assert len(m["stripes"][s]) == n_groups
+                for g, by_col in enumerate(m["stripes"][s]):
+                    chunk = rows.slice(g * stride, stride)
+                    for col in ("a", "b"):
+                        st = by_col[col]
+                        assert st["num_values"] == chunk.num_rows
+                        assert st["min"] == pc.min(chunk[col]).as_py()
+                        assert st["max"] == pc.max(chunk[col]).as_py()
+
+    def test_rowgroup_rollup_equals_stripe_statistics(self, tmp_path):
+        """The invariant orc_rowgroup_stats' matches_stripe_stats column
+        audits: aggregating every row group of a stripe reproduces the
+        metadata section's stripe statistics exactly (count, min, max,
+        int sum) — including a NULL-bearing column."""
+        import pyarrow as pa
+        import pyarrow.orc as porc
+
+        from datafusion_datasource_orc_spark.sources.orcfooter import (
+            read_rowgroup_statistics,
+            read_stripe_statistics,
+        )
+
+        vals = [None if i % 7 == 0 else (i * 13) % 991 for i in range(30_000)]
+        t = pa.table({"k": pa.array(vals, type=pa.int64())})
+        p = str(tmp_path / "rollup.orc")
+        porc.write_table(t, p, compression="snappy",
+                         stripe_size=128 * 1024, row_index_stride=2000)
+        rg = read_rowgroup_statistics(p)
+        ss = read_stripe_statistics(p)
+        assert len(rg["stripes"]) == len(ss["stripes"]) >= 1
+        for groups, sstats in zip(rg["stripes"], ss["stripes"]):
+            assert len(groups) > 1
+            got = {
+                "num_values": sum(g["k"]["num_values"] for g in groups),
+                "min": min(g["k"]["min"] for g in groups if g["k"]["min"] is not None),
+                "max": max(g["k"]["max"] for g in groups if g["k"]["max"] is not None),
+                "sum": sum(g["k"]["sum"] for g in groups if g["k"]["sum"] is not None),
+                "has_null": any(g["k"]["has_null"] for g in groups),
+            }
+            want = sstats["k"]
+            for key in got:
+                assert got[key] == want[key], (key, got[key], want[key])
+
     def test_stats_mode_rejects_unknown_value(self):
         import pytest as _pytest
 
