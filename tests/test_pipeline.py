@@ -119,6 +119,70 @@ class TestDedup:
             recall = len(approx & exact) / len(exact)
             assert recall >= 0.8, f"LSH recall too low: {recall}"
 
+    def test_minhash_hof_signature_equals_reference_aggregates(self, spark, sf_dir):
+        """dedup_minhash_lsh's round-7 one-pass HOF signature (fold a
+        64-slot running-minimum array over the shingle array) must equal
+        the REFERENCE formulation — minhash_signature_agg's per-permutation
+        MIN aggregates over exploded postings — slot by slot for every
+        document. This is what keeps the faster kernel honest: same
+        (h1 + i*h2) mod p arithmetic, different execution shape."""
+        from datafusion_datasource_orc_spark.operators.dedup import (
+            MINHASH_PERMS,
+            _MH_PRIME,
+            minhash_hash_cols,
+            minhash_signature_agg,
+            shingle_docs,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        sh = (
+            shingle_docs(docs, hashed=True)
+            .filter(F.size("s") > 0)
+            .select("doc_id", "s")
+            .localCheckpoint(eager=False)
+        )
+        ref = (
+            sh.select("doc_id", F.explode("s").alias("shingle"))
+            .select("doc_id", *minhash_hash_cols())
+            .groupBy("doc_id")
+            .agg(*minhash_signature_agg())
+        )
+        P = F.lit(_MH_PRIME)
+        hh = F.transform(
+            F.col("s"),
+            lambda x: F.struct(
+                F.pmod(F.xxhash64(x, F.lit(1)), P).alias("h1"),
+                F.pmod(F.xxhash64(x, F.lit(2)), P).alias("h2"),
+            ),
+        )
+        init = F.array_repeat(F.lit(_MH_PRIME).cast("long"), MINHASH_PERMS)
+        seq = F.sequence(F.lit(0), F.lit(MINHASH_PERMS - 1)).cast("array<long>")
+        sig_arr = F.aggregate(
+            hh,
+            init,
+            lambda acc, h: F.zip_with(
+                acc,
+                F.transform(seq, lambda i: F.pmod(h["h1"] + i * h["h2"], P)),
+                lambda a, b: F.least(a, b),
+            ),
+        )
+        hof = sh.select("doc_id", sig_arr.alias("sig"))
+        mismatches = (
+            ref.join(hof, "doc_id")
+            .filter(
+                ~F.forall(
+                    F.zip_with(
+                        F.array(*[F.col(f"mh_{i}") for i in range(MINHASH_PERMS)]),
+                        F.col("sig"),
+                        lambda a, b: a == b,
+                    ),
+                    lambda x: x,
+                )
+            )
+            .count()
+        )
+        assert mismatches == 0
+
     def test_identical_docs_collide_in_simhash(self, spark, sf_dir):
         # simhash of identical token sets is identical by construction: feed
         # the same doc twice through the hash and compare
