@@ -398,9 +398,9 @@ class TestMultimodal:
         assert row.meta.n_bytes == len(row.payload)
 
     def test_decode_stub_batch_shape(self, spark, sf_dir):
-        # the TYPED array<float> pipeline (the registered query drops the
-        # list column at the output boundary — the driver's comparator can't
-        # hash list cells — and emits the scalar feature moments instead)
+        # the TYPED array<float> pipeline: since round 7 the list column is
+        # fixed-point (integer-valued floats < 2^24, exact in float32) and
+        # ships INSIDE the registered query's hashed output
         from datafusion_datasource_orc_spark.operators.multimodal import (
             _DECODE_SCHEMA,
             decode_features,
@@ -419,11 +419,13 @@ class TestMultimodal:
             # scalar moments mirror the array (doubles vs float32-rounded)
             assert r.feat_n == r.feature[0]
             assert r.feat_first == r.feature[3]
-            assert abs(r.feat_mean - r.feature[1]) <= 1e-4 * max(1.0, abs(r.feat_mean))
-            assert abs(r.feat_var - r.feature[2]) <= 1e-4 * max(1.0, abs(r.feat_var))
-        # registered form: scalar columns only, no list cell
+            # fixed-point array mirrors the double moments: x256 / x16 floors
+            assert r.feature[1] == float(int(r.feat_mean * 256))
+            assert abs(r.feat_var * 16 - r.feature[2]) <= 1.0  # floor of exact ratio
+            assert all(f == float(int(f)) and f < 2**24 for f in r.feature)
+        # registered form: the typed list cell is part of the hashed output
         out = multimodal_decode(spark, sf_dir)
-        assert "feature" not in out.columns
+        assert "feature" in out.columns
         assert {"feat_n", "feat_mean", "feat_var", "feat_first"} <= set(out.columns)
 
     def test_real_decoder_is_marked_unimplemented(self):

@@ -112,7 +112,8 @@ def test_fake_decode_matches_integer_sum_identities(payload):
     (d*ss - s^2)/d^2), so the SQL twin is bit-identical by construction."""
     from datafusion_datasource_orc_spark.operators.multimodal import _fake_decode
 
-    n, checksum, first, feat_n, feat_mean, feat_var, feat_first = _fake_decode(payload)
+    (n, checksum, first, feat_n, feat_mean, feat_var, feat_first,
+     feature) = _fake_decode(payload)
     s = sum(payload)
     ss = sum(b * b for b in payload)
     d = n or 1
@@ -123,6 +124,14 @@ def test_fake_decode_matches_integer_sum_identities(payload):
     assert feat_var == (d * ss - s * s) / (d * d)
     assert feat_var >= 0.0
     assert feat_first == float(payload[0] if payload else 0)
+    # typed fixed-point array: pure integer formulas, float32-exact range
+    assert feature == [
+        float(n),
+        float((s * 256) // d),
+        float((16 * (d * ss - s * s)) // (d * d)),
+        float(payload[0] if payload else 0),
+    ]
+    assert all(f == float(int(f)) and f < 2**24 for f in feature)
 
 
 def test_fake_decode_rejects_payloads_beyond_exact_double_bound():
