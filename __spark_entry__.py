@@ -59,39 +59,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # fresh query is stamped, never WHETHER.
 # ---------------------------------------------------------------------------
 
-# Round-6 front 50 (judge r05 task 1): drain the never-stamped pool. The 14
-# non-TPC-DS never-stamped queries come first — they carry the newest code
-# (the round-5 additions simsearch_pq / embedding_power_iteration /
-# text_ngram_novelty / training_pack_sequences / text_vocab_coverage /
-# events_cdc_latest / dedup_rate_by_source, plus the orcmeta surface and the
-# bruteforce/embedding family) — followed by any round-6 additions; the
-# ~36 remaining slots fill with TPC-DS templates in stable registration
-# order, leaving ~22 templates for round 7.
+# Round-7 front 50 (judge r06 task 1): the 27 never-stamped TPC-DS
+# templates drain first (they front mechanically — every round-6 priority
+# entry earned its stamp, so the list below only needs the round-7
+# additions), then the ~22 remaining slots fill with the OLDEST stale
+# re-certifications (dedup/events modules, edited in r05-r07).
 _ROUND_PRIORITY = [
-    # round-5 additions, never stamped
-    "simsearch_pq",
-    "embedding_power_iteration",
-    "text_ngram_novelty",
-    "training_pack_sequences",
-    "text_vocab_coverage",
-    "events_cdc_latest",
-    "dedup_rate_by_source",
-    # orcmeta plugin surface (judge r05 tasks 4/5)
-    "orc_file_metadata",
-    "orc_file_metadata_pruned",
-    "orc_column_stats",
-    "orc_stripe_stats",
-    # incremental-ingest composition (judge r05 task 8)
-    "ingest_incremental_bloom",
-    # round-6 multimodal addition (the brief's resize op, oracle-exact)
-    "multimodal_resize",
-    # bruteforce / embedding family, never stamped
-    "simsearch_bruteforce",
-    "simsearch_bruteforce_arrow",
-    "simsearch_knn_join",
-    "dedup_embedding_cosine",
-    "embedding_stats",
-    "embedding_dim_stats",
+    # round-7 addition: row-group statistics ladder step (judge r06 task 4)
+    "orc_rowgroup_stats",
 ]
 
 

@@ -1,0 +1,131 @@
+"""Build a local K-x scale slice from an existing testdata sf dir.
+
+Judge r06 task 3: SCALE.md asserts the 100 TB design claims; this tool
+turns them into measurements by manufacturing a larger corpus the same
+shape as the driver's testdata (no external generator needed). Each table
+is replicated K times with DISJOINT key shards (every key domain shifted
+by copy*(max+1)), so joins stay referentially intact and per-key group
+sizes match the source distribution instead of collapsing onto hot keys:
+
+- region/nation keep ONE copy (fixed cardinality at any TPC scale) and
+  foreign nationkeys are left unshifted.
+- documents: doc_id shards; copy 0 keeps the original text, copies >= 1
+  get a deterministic per-copy word PERMUTATION. That keeps length/token
+  statistics identical while making cross-copy shingle sets disjoint —
+  replicating text verbatim would plant 10 near-dup pairs per original
+  document and make dedup output quadratic in K, which is a different
+  workload, not a bigger one.
+- embeddings: vec_id shards; copies >= 1 np.roll the vector by the copy
+  index (same norms/inner-product distribution, no duplicate points).
+- events: event_id/user_id shards, timestamps kept (K-x denser stream
+  over the same window — how real traffic grows).
+
+Usage: python tools/make_scale_slice.py [--src /root/testdata/sf0.1]
+       [--dst /root/repo/.scale/sf0.5] [--copies 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SHARD_KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+# each key column shifts by copy * (max(base_domain)+1); FK columns must
+# shift by their REFERENCED domain's stride, keyed by column name
+DOMAIN_OF = {
+    "c_custkey": "c_custkey",
+    "s_suppkey": "s_suppkey",
+    "p_partkey": "p_partkey",
+    "o_orderkey": "o_orderkey",
+    "o_custkey": "c_custkey",
+    "l_orderkey": "o_orderkey",
+    "l_partkey": "p_partkey",
+    "l_suppkey": "s_suppkey",
+    "event_id": "event_id",
+    "user_id": "user_id",
+    "doc_id": "doc_id",
+    "vec_id": "vec_id",
+}
+
+
+def _permute_words(text: str, copy: int) -> str:
+    words = text.split(" ")
+    rng = np.random.RandomState(copy * 1_000_003 + len(words))
+    return " ".join(words[i] for i in rng.permutation(len(words)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", default="/root/repo/.scale/sf0.5")
+    ap.add_argument("--copies", type=int, default=5)
+    args = ap.parse_args()
+    os.makedirs(args.dst, exist_ok=True)
+
+    # stride per key domain, from the base tables
+    stride: dict[str, int] = {}
+    for table, keys in SHARD_KEYS.items():
+        t = pq.read_table(os.path.join(args.src, f"{table}.parquet"))
+        for k in keys:
+            dom = DOMAIN_OF[k]
+            if dom == k:
+                stride[dom] = int(pc.max(t.column(k)).as_py()) + 1
+
+    for table in ("region", "nation"):
+        src = os.path.join(args.src, f"{table}.parquet")
+        pq.write_table(pq.read_table(src), os.path.join(args.dst, f"{table}.parquet"))
+        print(f"{table}: copied 1x (fixed cardinality)")
+
+    for table, keys in SHARD_KEYS.items():
+        base = pq.read_table(os.path.join(args.src, f"{table}.parquet"))
+        copies = []
+        for c in range(args.copies):
+            t = base
+            for k in keys:
+                shift = c * stride[DOMAIN_OF[k]]
+                if shift:
+                    shifted = pc.add(t.column(k), shift)
+                    t = t.set_column(
+                        t.schema.get_field_index(k), t.schema.field(k), shifted
+                    )
+            if table == "documents" and c > 0:
+                texts = pa.array(
+                    [_permute_words(x, c) for x in t.column("text").to_pylist()],
+                    type=pa.string(),
+                )
+                t = t.set_column(
+                    t.schema.get_field_index("text"), t.schema.field("text"), texts
+                )
+            if table == "embeddings" and c > 0:
+                vecs = t.column("embedding").to_pylist()
+                rolled = pa.array(
+                    [None if v is None else np.roll(v, c).tolist() for v in vecs],
+                    type=t.schema.field("embedding").type,
+                )
+                t = t.set_column(
+                    t.schema.get_field_index("embedding"),
+                    t.schema.field("embedding"),
+                    rolled,
+                )
+            copies.append(t)
+        out = pa.concat_tables(copies)
+        pq.write_table(out, os.path.join(args.dst, f"{table}.parquet"))
+        print(f"{table}: {base.num_rows} -> {out.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
