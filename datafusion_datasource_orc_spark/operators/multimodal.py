@@ -184,12 +184,13 @@ _ORACLE_BYTE = (
     SELECT p.doc_id,
            CAST(p.n AS INTEGER) AS n_bytes,
            CAST(COALESCE(s.s, 0) % 2147483648 AS BIGINT) AS byte_checksum,
-           [CAST(p.n AS DOUBLE),
-            CAST((COALESCE(s.s, 0) * 256) // GREATEST(p.n, 1) AS DOUBLE),
+           CONCAT_WS(',',
+            CAST(p.n AS BIGINT),
+            CAST((COALESCE(s.s, 0) * 256) // GREATEST(p.n, 1) AS BIGINT),
             CAST((16 * (GREATEST(p.n, 1) * COALESCE(s.ss, 0)
                         - COALESCE(s.s, 0) * COALESCE(s.s, 0)))
-                 // (GREATEST(p.n, 1) * GREATEST(p.n, 1)) AS DOUBLE),
-            CAST(COALESCE(s.first_byte, 0) AS DOUBLE)] AS feature,
+                 // (GREATEST(p.n, 1) * GREATEST(p.n, 1)) AS BIGINT),
+            CAST(COALESCE(s.first_byte, 0) AS BIGINT)) AS feature,
            CAST(p.n AS DOUBLE) AS feat_n,
            CAST(COALESCE(s.s, 0) AS DOUBLE) / GREATEST(p.n, 1) AS feat_mean,
            CAST(GREATEST(p.n, 1) * COALESCE(s.ss, 0)
@@ -210,15 +211,25 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces bit-for-bit by re-extracting payload bytes from the hex
     encoding — the full mapInPandas decode path gets a hash-level stamp, not
     just a rows-only check. Since round 7 (judge task 6) the typed
-    array<float> feature column is INSIDE the hash too, not beside it: its
-    values are fixed-point integers (< 2²⁴, see _fake_decode) computed with
-    pure integer arithmetic on both engines, so the float32 Arrow boundary
-    and DuckDB's DOUBLE[] list normalize to identical cells under the
-    comparator. NULL-text rows are excluded on both sides (a NULL payload
-    has nothing to decode)."""
+    array<float> feature column is INSIDE the hash too, not beside it: the
+    kernel emits it through the Arrow boundary as real array<float> (its
+    values are fixed-point integers < 2²⁴, so the float32 cast is EXACT —
+    see _fake_decode), and the output boundary serializes it to an integer
+    CSV string, because the driver's pandas comparator cannot hash list
+    cells (pinned by tests/test_entry_contract.py). Integer-cast-then-join
+    sidesteps float formatting divergence entirely; the round trip
+    float32 → bigint is lossless under the 2²⁴ bound. NULL-text rows are
+    excluded on both sides (a NULL payload has nothing to decode)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     p = with_payload(docs).repartition("doc_id")
-    return p.mapInPandas(decode_features, schema=_DECODE_SCHEMA)
+    decoded = p.mapInPandas(decode_features, schema=_DECODE_SCHEMA)
+    return decoded.withColumn(
+        "feature",
+        F.array_join(
+            F.transform(F.col("feature"), lambda x: x.cast("bigint").cast("string")),
+            ",",
+        ),
+    )
 
 
 # ---- frame-sampling shape: explode fixed-stride samples ----------------------
