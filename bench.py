@@ -81,6 +81,8 @@ HEADLINE = [
     "orc_column_stats",
     "embedding_power_iteration",
     "multimodal_resize",
+    # round 7 addition
+    "orc_rowgroup_stats",
 ]
 
 

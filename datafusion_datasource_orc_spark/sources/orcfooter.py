@@ -432,3 +432,160 @@ def read_rowgroup_statistics(
                 groups.append(by_col)
             stripes.append(groups)
     return {"columns": column_names, "stripes": stripes}
+
+
+# ---------------------------------------------------------------------------
+# row-group BLOOM FILTERS — membership pruning below statistics
+# ---------------------------------------------------------------------------
+
+_BLOOM_UTF8_STREAM = 8  # orc_proto Stream.Kind.BLOOM_FILTER_UTF8
+_BLOOM_DEFAULT_SEED = 104729  # ORC/Hive Murmur3 DEFAULT_SEED (public spec)
+_U64 = (1 << 64) - 1
+
+
+def orc_hash_long(value: int) -> int:
+    """ORC's 64-bit integer bloom hash: Thomas Wang's 64-bit mix evaluated
+    in SIGNED int64 arithmetic (left shifts wrap, right shifts are
+    ARITHMETIC) — the C++ writer's convention, which diverges from a
+    logical-shift reading for negative intermediates. Verified empirically
+    against pyarrow-written filters over negative/zero/positive keys
+    (tests pin 0 misses over 10k values)."""
+
+    def s64(x: int) -> int:
+        x &= _U64
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    key = s64(value)
+    key = s64((~key) + (key << 21))
+    key = s64(key ^ (key >> 24))  # Python >> on negative ints IS arithmetic
+    key = s64(key + (key << 3) + (key << 8))
+    key = s64(key ^ (key >> 14))
+    key = s64(key + (key << 2) + (key << 4))
+    key = s64(key ^ (key >> 28))
+    key = s64(key + (key << 31))
+    return key & _U64
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _U64
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _U64
+    k ^= k >> 33
+    return k
+
+
+def orc_hash_bytes(data: bytes, seed: int = _BLOOM_DEFAULT_SEED) -> int:
+    """ORC's string/bytes bloom hash: Hive's TRUE 64-bit Murmur3 variant
+    (8-byte blocks — NOT the x64_128 truncated to 64 bits), seed 104729.
+    Verified empirically against pyarrow-written filters (0 misses)."""
+    c1 = 0x87C37B91114253D5
+    c2 = 0x4CF5AD432745937F
+    h = seed
+    n8 = len(data) // 8
+    for i in range(n8):
+        k = int.from_bytes(data[i * 8 : i * 8 + 8], "little")
+        k = (k * c1) & _U64
+        k = ((k << 31) | (k >> 33)) & _U64
+        k = (k * c2) & _U64
+        h ^= k
+        h = ((h << 27) | (h >> 37)) & _U64
+        h = (h * 5 + 0x52DCE729) & _U64
+    tail = data[n8 * 8 :]
+    if tail:
+        k1 = int.from_bytes(tail, "little")
+        k1 = (k1 * c1) & _U64
+        k1 = ((k1 << 31) | (k1 >> 33)) & _U64
+        k1 = (k1 * c2) & _U64
+        h ^= k1
+    h ^= len(data)
+    return _fmix64(h)
+
+
+def bloom_might_contain(bf: dict[str, Any], hash64: int) -> bool:
+    """Membership test against one parsed BloomFilter: split the 64-bit
+    hash into signed 32-bit halves, combine as h1 + i*h2 for i in 1..k
+    (int32 wrap, negative → bitwise complement), test bit pos % numBits —
+    the Hive/ORC addHash contract."""
+    nbits = bf["num_bits"]
+    if not nbits:
+        return False
+    words = bf["words"]
+    h1 = hash64 & 0xFFFFFFFF
+    h2 = (hash64 >> 32) & 0xFFFFFFFF
+    if h1 >= 1 << 31:
+        h1 -= 1 << 32
+    if h2 >= 1 << 31:
+        h2 -= 1 << 32
+    for i in range(1, bf["num_hashes"] + 1):
+        combined = ((h1 + i * h2 + 2**31) % 2**32) - 2**31  # int32 wrap
+        if combined < 0:
+            combined = ~combined
+        pos = combined % nbits
+        if not (words[pos >> 6] >> (pos & 63)) & 1:
+            return False
+    return True
+
+
+def read_bloom_filters(
+    path: str, size_hint: int = DEFAULT_TAIL_HINT
+) -> dict[str, Any]:
+    """Parse the BLOOM_FILTER_UTF8 streams: one BloomFilter PER ROW GROUP
+    per bloom-indexed column (BloomFilterIndex { repeated BloomFilter = 1 },
+    BloomFilter { numHashFunctions=1, utf8bitset=3 }). Together with
+    read_rowgroup_statistics this is the complete row-group pruning input:
+    min/max ranges AND membership — the reference's row-level TODO
+    (src/opener.rs:64-66) exceeded at both axes. Same I/O shape as the
+    row-group stats (tail + two ranged reads per stripe)."""
+    footer, _, compression = _read_tail_sections(path, size_hint=size_hint)
+    column_names = _footer_column_names(footer)
+    stripes: list[dict[str, list[dict[str, Any]]]] = []
+    with open(path, "rb") as f:
+        for info in _footer_stripe_infos(footer):
+            f.seek(info["offset"] + info["index_len"] + info["data_len"])
+            sfooter = _decompress_stream(f.read(info["footer_len"]), compression)
+            f.seek(info["offset"])
+            index_region = f.read(info["index_len"])
+            pos = 0
+            by_col: dict[str, list[dict[str, Any]]] = {}
+            for fno, _wt, v in _fields(sfooter):
+                if fno != 1:  # Stream
+                    continue
+                kind, col, ln = 0, 0, 0
+                for f2, _w2, v2 in _fields(v):
+                    if f2 == 1:
+                        kind = v2
+                    elif f2 == 2:
+                        col = v2
+                    elif f2 == 3:
+                        ln = v2
+                if pos + ln > len(index_region):
+                    break  # past the index region: data streams from here on
+                if kind == _BLOOM_UTF8_STREAM and 1 <= col <= len(column_names):
+                    bfi = _decompress_stream(
+                        index_region[pos : pos + ln], compression
+                    )
+                    filters = []
+                    for f3, _w3, v3 in _fields(bfi):
+                        if f3 != 1:  # BloomFilter
+                            continue
+                        k, bits = 0, b""
+                        for f4, _w4, v4 in _fields(v3):
+                            if f4 == 1:
+                                k = v4
+                            elif f4 == 3:
+                                bits = v4
+                        filters.append(
+                            {
+                                "num_hashes": k,
+                                "num_bits": len(bits) * 8,
+                                "words": [
+                                    int.from_bytes(bits[i : i + 8], "little")
+                                    for i in range(0, len(bits), 8)
+                                ],
+                            }
+                        )
+                    by_col[column_names[col - 1]] = filters
+                pos += ln
+            stripes.append(by_col)
+    return {"columns": column_names, "stripes": stripes}

@@ -202,3 +202,66 @@ def orc_chunked_dir_for(
         )
     _ORC_CACHE[cache_key] = path
     return path
+
+
+BLOOM_STRIDE = 1000  # row_index_stride for the bloom-indexed layout
+
+
+def orc_bloom_dir_for(
+    sf_dir: str, name: str, key: str, nchunks: int = 4, stride: int = BLOOM_STRIDE
+) -> str:
+    """A deterministic BLOOM-INDEXED layout: like orc_chunked_dir_for but
+    each chunk is SORTED by ``key`` and written with a bloom filter on it
+    (pyarrow `bloom_filter_columns` takes FLATTENED ORC type ids; the key's
+    id is its column index + 1, root struct being 0) at a fixed
+    ``row_index_stride``. Sorting is what makes row-group MEMBERSHIP
+    oracle-checkable: row group g of chunk k is exactly rows
+    rank g*stride..(g+1)*stride-1 of {key % nchunks == k} ordered by key —
+    arithmetic both engines reproduce. Each chunk must land in ONE stripe
+    (asserted loudly) so group numbering never restarts mid-file."""
+    import pyarrow.compute as pc
+    import pyarrow.orc as porc
+    import pyarrow.parquet as pq
+
+    cache_key = (
+        os.path.abspath(sf_dir),
+        f"{name}#bloom:{key}:{nchunks}:{stride}",
+    )
+    path = _ORC_CACHE.get(cache_key)
+    if path and os.path.isdir(path):
+        return path
+    import hashlib
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(
+        _orc_root(), sf_tag, f"{name}_bloom_{key}_{nchunks}_{stride}_{tag}"
+    )
+    os.makedirs(path, exist_ok=True)
+    table = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
+    assert nchunks & (nchunks - 1) == 0, "nchunks must be a power of two"
+    key_min = pc.min(table.column(key)).as_py()
+    assert key_min is None or key_min >= 0, (
+        f"bloom chunk key {name}.{key} has negative values (min={key_min})"
+    )
+    bucket = pc.cast(pc.bit_wise_and(table.column(key), nchunks - 1), "int64")
+    key_id = table.schema.get_field_index(key) + 1  # flattened ORC type id
+    for k in range(nchunks):
+        chunk = table.filter(pc.equal(bucket, k)).sort_by(key)
+        out = os.path.join(path, f"chunk-{k}.orc")
+        porc.write_table(
+            chunk,
+            out,
+            compression="snappy",
+            row_index_stride=stride,
+            bloom_filter_columns=[key_id],
+            bloom_filter_fpp=0.01,
+        )
+        nstripes = porc.ORCFile(out).nstripes
+        assert nstripes <= 1, (
+            f"bloom layout chunk {out} spans {nstripes} stripes; group "
+            f"numbering would restart mid-file and break the oracle's rank "
+            f"arithmetic — shrink the source or raise stripe_size"
+        )
+    _ORC_CACHE[cache_key] = path
+    return path

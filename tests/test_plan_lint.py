@@ -26,6 +26,8 @@ ALLOWED_NESTED_LOOP = {
     "simsearch_ivf": "probed-centroid set (tiny) broadcast to the corpus stream",
     "dedup_embedding_cosine": "upper-triangle pair generation over the broadcast small side",
     "tfidf_top_terms": "1-row corpus-size aggregate crossJoin'd into scoring",
+    "dedup_minhash_lsh": "1-row over-cap-shingle (boilerplate) array aggregate "
+    "crossJoin'd onto the verify stream — the df-cap guard's broadcast form",
     "text_vocab_coverage": "1-row total-token aggregate crossJoin'd onto the "
     "(count -> frequency) histogram, itself at most |distinct counts| rows",
     "tpch_q11": "1-row scalar-subquery threshold joined below the HAVING",
