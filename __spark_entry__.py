@@ -65,8 +65,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # additions), then the ~22 remaining slots fill with the OLDEST stale
 # re-certifications (dedup/events modules, edited in r05-r07).
 _ROUND_PRIORITY = [
-    # round-7 addition: row-group statistics ladder step (judge r06 task 4)
+    # round-7 additions: the row-group pruning ladder (judge r06 task 4 +
+    # the bloom membership axis beyond it)
     "orc_rowgroup_stats",
+    "orc_bloom_prune",
 ]
 
 

@@ -497,6 +497,86 @@ def orc_stripe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Probe keys for orc_bloom_prune: three present at every SF (orders keys
+# are dense from 0) + two absent sentinels whose candidate groups can only
+# be bloom false positives (filtered by the verify join).
+_BLOOM_PROBES = [2, 3, 5, 1000000007, 1000000009]
+_BLOOM_NCHUNKS = 4
+
+
+@query(
+    "orc_bloom_prune",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_orderkey,
+             o_orderkey % {_BLOOM_NCHUNKS} AS c,
+             (row_number() OVER (PARTITION BY o_orderkey % {_BLOOM_NCHUNKS}
+                                 ORDER BY o_orderkey) - 1) // 1000 AS rg
+      FROM orders
+    )
+    SELECT o_orderkey AS probe,
+           'chunk-' || CAST(c AS VARCHAR) || '.orc' AS file_name,
+           CAST(rg AS INTEGER) AS row_group_id
+    FROM ranked
+    WHERE o_orderkey IN ({",".join(str(p) for p in _BLOOM_PROBES)})
+    """,
+)
+def orc_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-guided ROW-GROUP point lookup — membership pruning below the
+    min/max statistics ladder, the second axis of the reference's row-level
+    TODO (src/opener.rs:64-66). The `orcmeta` bloom mode parses each row
+    group's BLOOM_FILTER_UTF8 filter (sources/orcfooter.py: the ORC/Hive
+    signed-Wang long hash + h1+i*h2 probe) and emits a verdict per
+    (row group, probe key); candidate groups are then VERIFIED against the
+    deterministic sorted layout (orc_bloom_dir_for: group g of chunk k =
+    rank g*1000..g*1000+999 of {{key % 4 == k}} ordered by key), so the
+    output is exactly the groups that truly contain each probe — which the
+    oracle reproduces with the same rank arithmetic. False positives are
+    filtered by the verify join; a false NEGATIVE (a wrong hash) would
+    DROP a row and fail the gate loudly. At 100 TB this is the I/O shape
+    of a needle-in-haystack lookup: index bytes decide which ~1000-row
+    groups to read, the data scan touches only those."""
+    from pyspark.sql.window import Window
+
+    from datafusion_datasource_orc_spark.sources import orcmeta
+    from datafusion_datasource_orc_spark.sources.tables import orc_bloom_dir_for
+
+    orcmeta.register(spark)
+    d = orc_bloom_dir_for(sf_dir, "orders", "o_orderkey", _BLOOM_NCHUNKS)
+    cand = (
+        spark.read.format("orcmeta")
+        .option("stats", "bloom")
+        .option("bloom_column", "o_orderkey")
+        .option("bloom_probes", ",".join(str(p) for p in _BLOOM_PROBES))
+        .load(d)
+        .filter(F.col("bloom_maybe"))
+        .select("file_name", "row_group_id", "probe")
+    )
+    orders = load_orc_table(spark, sf_dir, "orders")
+    chunk = F.pmod(F.col("o_orderkey"), F.lit(_BLOOM_NCHUNKS))
+    w = Window.partitionBy(chunk).orderBy("o_orderkey")
+    truth = orders.select(
+        "o_orderkey",
+        F.concat(F.lit("chunk-"), chunk.cast("string"), F.lit(".orc")).alias(
+            "file_name"
+        ),
+        ((F.row_number().over(w) - 1) / 1000).cast("int").alias("row_group_id"),
+    )
+    return (
+        truth.join(
+            F.broadcast(cand),
+            (truth.o_orderkey == cand.probe)
+            & (truth.file_name == cand.file_name)
+            & (truth.row_group_id == cand.row_group_id),
+        )
+        .select(
+            F.col("probe"),
+            truth.file_name,
+            truth.row_group_id,
+        )
+    )
+
+
 @query(
     "orc_rowgroup_stats",
     oracle=_li_stats_oracle(extra=", TRUE AS matches_stripe_stats"),

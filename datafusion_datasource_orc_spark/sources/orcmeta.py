@@ -49,11 +49,31 @@ def _stats_mode(options: dict) -> str | None:
         return "stripes"
     if raw in ("rowgroups", "rowgroup", "row_index", "rowindex"):
         return "rowgroups"
+    if raw == "bloom":
+        return "bloom"
     if raw in ("", "false", "0", "no"):
         return None
     raise ValueError(
-        f"orcmeta: unknown stats mode {raw!r} (file|stripes|rowgroups)"
+        f"orcmeta: unknown stats mode {raw!r} (file|stripes|rowgroups|bloom)"
     )
+
+
+def _bloom_options(options: dict) -> tuple[str, list[int]]:
+    """stats="bloom" needs the probed column and the probe keys:
+    option("bloom_column", name) + option("bloom_probes", "k1,k2,...")."""
+    col = options.get("bloom_column")
+    if not col:
+        raise ValueError("orcmeta bloom mode requires option('bloom_column', ...)")
+    raw = options.get("bloom_probes", "")
+    try:
+        probes = [int(x) for x in str(raw).split(",") if x.strip()]
+    except ValueError as exc:
+        raise ValueError(
+            f"orcmeta bloom_probes must be comma-separated integers: {raw!r}"
+        ) from exc
+    if not probes:
+        raise ValueError("orcmeta bloom mode requires option('bloom_probes', ...)")
+    return str(col), probes
 
 
 def _size_hint(options: dict) -> int | None:
@@ -77,6 +97,7 @@ class OrcMetadataReader(DataSourceReader):
             raise ValueError("orcmeta requires a path (load(<dir>) or option('path', ...))")
         self.stats = _stats_mode(options)
         self.size_hint = _size_hint(options)
+        self.bloom = _bloom_options(options) if self.stats == "bloom" else None
         self._name_filters: list = []
 
     def pushFilters(self, filters):
@@ -125,6 +146,9 @@ class OrcMetadataReader(DataSourceReader):
     def read(self, partition: OrcFilePartition) -> Iterator[tuple]:
         # import inside read(): runs on the executor, keeps the reader object
         # picklable (the documented pattern for non-serializable resources)
+        if self.stats == "bloom":
+            yield from _bloom_rows(partition.path, *self.bloom, self.size_hint)
+            return
         if self.stats:
             yield from _stats_rows(partition.path, self.stats, self.size_hint)
             return
@@ -222,6 +246,31 @@ def _stats_rows(path: str, mode: str, size_hint: int | None = None) -> Iterator[
             continue
         kind, *slots = _typed_slots(st)
         yield (fname, cid, cname, kind, st["num_values"], st["has_null"], *slots)
+
+
+def _bloom_rows(
+    path: str, column: str, probes: list[int], size_hint: int | None = None
+) -> Iterator[tuple]:
+    """stats="bloom": one row per (stripe, row group, probe key) of one
+    file — bloom membership verdicts for the probed keys, from the
+    BLOOM_FILTER_UTF8 index streams (sources/orcfooter.py). Executor-side,
+    index bytes only; the pruning decision a row-group point lookup makes,
+    exposed as data."""
+    from datafusion_datasource_orc_spark.sources.orcfooter import (
+        DEFAULT_TAIL_HINT,
+        bloom_might_contain,
+        orc_hash_long,
+        read_bloom_filters,
+    )
+
+    hint = size_hint or DEFAULT_TAIL_HINT
+    fname = os.path.basename(path)
+    meta = read_bloom_filters(path, size_hint=hint)
+    hashes = [(p, orc_hash_long(p)) for p in probes]
+    for sid, by_col in enumerate(meta["stripes"]):
+        for gid, bf in enumerate(by_col.get(column, [])):
+            for probe, h in hashes:
+                yield (fname, sid, gid, probe, bloom_might_contain(bf, h))
 
 
 class OrcMetaStreamReader(SimpleDataSourceStreamReader):
@@ -329,6 +378,13 @@ class OrcMetadataDataSource(DataSource):
             return (
                 f"file_name STRING, stripe_id INT, row_group_id INT, "
                 f"{stats_cols}"
+            )
+        if mode == "bloom":
+            # option("stats","bloom") + bloom_column/bloom_probes: one row
+            # per (file, stripe, row group, probe) with the bloom verdict
+            return (
+                "file_name STRING, stripe_id INT, row_group_id INT, "
+                "probe BIGINT, bloom_maybe BOOLEAN"
             )
         return (
             "file_index INT, file_name STRING, num_rows BIGINT, "

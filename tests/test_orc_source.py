@@ -606,6 +606,95 @@ class TestOrcMetaDataSource:
             for key in got:
                 assert got[key] == want[key], (key, got[key], want[key])
 
+    def test_bloom_filter_membership_ground_truth(self, tmp_path):
+        """read_bloom_filters + the two ORC hash functions against
+        pyarrow-written filters: EVERY present value must test positive in
+        its own row group (a false negative means the hash is wrong — the
+        property bloom pruning's correctness rests on), absent values stay
+        near the configured fpp, for int64 (incl. negatives and 0 — the
+        signed-arithmetic Wang hash divergence) and strings (Hive's true
+        64-bit Murmur3), across the codecs the chunk decoder handles."""
+        import pyarrow as pa
+        import pyarrow.orc as porc
+
+        from datafusion_datasource_orc_spark.sources.orcfooter import (
+            bloom_might_contain,
+            orc_hash_bytes,
+            orc_hash_long,
+            read_bloom_filters,
+        )
+
+        vals = list(range(-100, 2900)) + list(range(10_000_000, 10_003_000))
+        strs = [f"key{abs(v):08d}" for v in vals]
+        t = pa.table({"k": pa.array(vals, type=pa.int64()), "s": pa.array(strs)})
+        stride = 2000
+        for comp in ("snappy", "zlib"):
+            p = str(tmp_path / f"bl_{comp}.orc")
+            porc.write_table(
+                t, p, compression=comp, row_index_stride=stride,
+                bloom_filter_columns=[1, 2], bloom_filter_fpp=0.01,
+            )
+            m = read_bloom_filters(p)
+            assert m["columns"] == ["k", "s"]
+            assert len(m["stripes"]) == 1
+            by_col = m["stripes"][0]
+            assert len(by_col["k"]) == len(by_col["s"]) == -(-len(vals) // stride)
+            fp = 0
+            for g, bf in enumerate(by_col["k"]):
+                for idx in range(g * stride, min((g + 1) * stride, len(vals))):
+                    assert bloom_might_contain(bf, orc_hash_long(vals[idx]))
+                for absent in range(7_000_000_000, 7_000_000_200):
+                    fp += bloom_might_contain(bf, orc_hash_long(absent))
+            assert fp / (len(by_col["k"]) * 200) < 0.05
+            for g, bf in enumerate(by_col["s"]):
+                for idx in range(g * stride, min((g + 1) * stride, len(vals)), 97):
+                    assert bloom_might_contain(
+                        bf, orc_hash_bytes(strs[idx].encode())
+                    )
+                assert not all(
+                    bloom_might_contain(bf, orc_hash_bytes(f"nope{x}".encode()))
+                    for x in range(50)
+                )
+
+    def test_bloom_mode_option_validation(self):
+        import pytest as _pytest
+
+        from datafusion_datasource_orc_spark.sources.orcmeta import OrcMetadataReader
+
+        with _pytest.raises(ValueError, match="bloom_column"):
+            OrcMetadataReader({"path": "/tmp", "stats": "bloom"})
+        with _pytest.raises(ValueError, match="bloom_probes"):
+            OrcMetadataReader(
+                {"path": "/tmp", "stats": "bloom", "bloom_column": "k"}
+            )
+        with _pytest.raises(ValueError, match="comma-separated"):
+            OrcMetadataReader(
+                {"path": "/tmp", "stats": "bloom", "bloom_column": "k",
+                 "bloom_probes": "1,x"}
+            )
+
+    def test_bloom_layout_single_stripe_and_sorted(self, sf_dir):
+        """orc_bloom_dir_for's oracle contract: each chunk is one stripe,
+        sorted by the key, holding exactly the key % nchunks == k rows —
+        the rank//stride arithmetic both engines reproduce."""
+        import pyarrow.compute as pc
+        import pyarrow.orc as porc
+        import pyarrow.parquet as pq
+
+        from datafusion_datasource_orc_spark.sources.tables import orc_bloom_dir_for
+
+        d = orc_bloom_dir_for(sf_dir, "orders", "o_orderkey", 4)
+        orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"))
+        for k in range(4):
+            f = porc.ORCFile(os.path.join(d, f"chunk-{k}.orc"))
+            assert f.nstripes == 1
+            keys = f.read(columns=["o_orderkey"]).column("o_orderkey").to_pylist()
+            assert keys == sorted(keys)
+            want = pc.sum(
+                pc.equal(pc.cast(pc.bit_wise_and(orders.column("o_orderkey"), 3), "int64"), k)
+            ).as_py() or 0
+            assert len(keys) == want
+
     def test_stats_mode_rejects_unknown_value(self):
         import pytest as _pytest
 
