@@ -69,6 +69,8 @@ _ROUND_PRIORITY = [
     # the bloom membership axis beyond it)
     "orc_rowgroup_stats",
     "orc_bloom_prune",
+    # round-7 text-family addition (n-gram LM quality proxy)
+    "text_bigram_commonness",
 ]
 
 

@@ -987,3 +987,82 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage_frac"),
         )
     )
+
+
+# ---- n-gram LM quality proxy -------------------------------------------------
+COMMON_DF = 3  # a bigram is "common" when >= this many docs contain it
+
+
+@query(
+    "text_bigram_commonness",
+    oracle=f"""
+    WITH bg AS (
+      SELECT DISTINCT doc_id, md5(g) AS gh
+      FROM (SELECT doc_id, unnest({{BIGRAMS}}) AS g
+            FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+                  FROM documents))
+    ),
+    scored AS (
+      SELECT doc_id, COUNT(*) OVER (PARTITION BY gh) AS df
+      FROM bg
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(df) AS BIGINT) AS df_sum,
+           CAST(SUM(CASE WHEN df >= {COMMON_DF} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_common,
+           floor(CAST(SUM(df) AS DOUBLE) / COUNT(*) * 1e6) / 1e6 AS mean_df,
+           floor(CAST(SUM(CASE WHEN df >= {COMMON_DF} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*) * 1e6) / 1e6 AS common_frac
+    FROM scored GROUP BY doc_id
+    """.replace("{BIGRAMS}", _ngram_join_duckdb(2)),
+)
+def text_bigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality proxy without the logs: per document, the
+    corpus document-frequency profile of its distinct word bigrams —
+    mean df (how "expected" the doc's phrasing is under the corpus's own
+    bigram distribution, the count-based core of an n-gram LM score) and
+    the fraction of bigrams shared by >= COMMON_DF documents. Low mean_df
+    flags gibberish/boilerplate-free-but-random text; a common_frac near
+    1.0 with high df flags template spam — the two tails a quality filter
+    cuts. Integer counts + floor-gridded divisions keep the oracle exact
+    (no log(), whose libm rounding differs across engines).
+
+    Scale shape — identical to text_ngram_novelty: distinct bigrams
+    explode to md5 postings (16-byte keys, never text), df is a
+    count-over-partition window on the hash (ONE shuffle), the per-doc
+    rollup is a map-side-combinable groupBy. At 100 TB the df table is
+    the training by-product you persist as the corpus LM."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words(F.col("text"))
+    bg = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngrams_linear(w, 2))).alias("g"),
+    ).select("doc_id", F.md5(F.col("g").cast("binary")).alias("gh"))
+    df = F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    grid = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return (
+        bg.withColumn("df", df)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("df").alias("df_sum"),
+            F.sum(
+                F.when(F.col("df") >= COMMON_DF, 1).otherwise(0)
+            ).alias("n_common"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "df_sum",
+            "n_common",
+            grid(F.col("df_sum").cast("double") / F.col("n_bigrams")).alias(
+                "mean_df"
+            ),
+            grid(F.col("n_common").cast("double") / F.col("n_bigrams")).alias(
+                "common_frac"
+            ),
+        )
+    )
