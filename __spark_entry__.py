@@ -71,6 +71,8 @@ _ROUND_PRIORITY = [
     "orc_bloom_prune",
     # round-7 text-family addition (n-gram LM quality proxy)
     "text_bigram_commonness",
+    # round-7 ANN-ladder composition (the FAISS IVFPQ shape)
+    "simsearch_ivfpq",
 ]
 
 

@@ -1075,3 +1075,253 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(d, v[d] / 1e6, lam) for d in range(PI_DIMS)],
         schema="dim int, component double, eigenvalue double",
     )
+
+
+# ---- IVF+PQ composite (two-level ANN: coarse pruning + codes-only rank) -----
+def _ivfpq_oracle() -> str:
+    """Composes the IVF oracle's coarse index (label-mean centroids,
+    nearest-cell assignment, probe set) with the PQ oracle's fine index
+    (sign-pattern codebooks, nearest-centroid codes, integer ADC) — the
+    full two-level replica, so a divergence anywhere in either level fails
+    the hash."""
+
+    def cell(m: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN embedding[{m * PQ_SUBDIM + k + 1}] >= 0 THEN {1 << k} ELSE 0 END)"
+            for k in range(PQ_SIGN_BITS)
+        )
+
+    sub_structs = ", ".join(
+        f"({m}, {cell(m)}, embedding[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}])"
+        for m in range(PQ_M)
+    )
+    return f"""
+    WITH d AS (
+      SELECT label, i - 1 AS dim,
+             floor(CAST(embedding[i] AS DOUBLE) * 1e6) / 1e6 AS t
+      FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)
+    ),
+    coarse_cm AS (
+      SELECT label AS cell, dim,
+             CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
+      FROM d GROUP BY label, dim
+    ),
+    coarse AS (SELECT cell, list(c ORDER BY dim) AS centroid
+               FROM coarse_cm GROUP BY cell),
+    ac AS (
+      SELECT e.vec_id, c.cell,
+             ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_SQL_COSINE.format(a='e.embedding', b='c.centroid')}, 6) DESC,
+                          c.cell
+             ) AS rk
+      FROM embeddings e CROSS JOIN coarse c
+    ),
+    assigned AS (SELECT vec_id, cell FROM ac WHERE rk = 1),
+    qp AS (
+      SELECT e.vec_id AS q_vec_id, c.cell,
+             ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND({_SQL_COSINE.format(a='e.embedding', b='c.centroid')}, 6) DESC,
+                          c.cell
+             ) AS rk
+      FROM embeddings e CROSS JOIN coarse c WHERE e.vec_id < {PQ_QUERIES}
+    ),
+    probes AS (SELECT q_vec_id, cell FROM qp WHERE rk <= {IVF_PROBES}),
+    subs AS (
+      SELECT vec_id, s.m, s.cell, s.sv
+      FROM (SELECT vec_id, embedding FROM embeddings),
+           UNNEST([{{'m': x[1], 'cell': x[2], 'sv': x[3]}}
+                   FOR x IN [{sub_structs}]]) AS t(s)
+    ),
+    comp AS (
+      SELECT m, cell, i AS within,
+             floor(CAST(sv[i] AS DOUBLE) * 1e6) / 1e6 AS t
+      FROM subs, UNNEST(generate_series(1, {PQ_SUBDIM})) AS u(i)
+    ),
+    cm AS (
+      SELECT m, cell, within,
+             CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
+      FROM comp GROUP BY m, cell, within
+    ),
+    cent AS (
+      SELECT m, cell AS ccell, list(c ORDER BY within) AS centroid
+      FROM cm GROUP BY m, cell
+    ),
+    enc AS (
+      SELECT vec_id, s.m, c.ccell,
+             ROW_NUMBER() OVER (
+                 PARTITION BY vec_id, s.m
+                 ORDER BY ROUND({_SQL_L2SQ.format(a='s.sv', b='c.centroid')}, 6),
+                          c.ccell
+             ) AS rk
+      FROM subs s JOIN cent c USING (m)
+    ),
+    codes AS (SELECT vec_id, m, ccell FROM enc WHERE rk = 1),
+    dtable AS (
+      SELECT s.vec_id AS q_vec_id, s.m, c.ccell,
+             CAST(ROUND(ROUND({_SQL_L2SQ.format(a='s.sv', b='c.centroid')}, 6) * 1e6)
+                  AS BIGINT) AS qd_int
+      FROM subs s JOIN cent c USING (m)
+      WHERE s.vec_id < {PQ_QUERIES}
+    ),
+    cand AS (
+      SELECT p.q_vec_id, a.vec_id
+      FROM assigned a JOIN probes p USING (cell)
+      WHERE a.vec_id != p.q_vec_id
+    )
+    SELECT q_vec_id, vec_id, rnk, adc FROM (
+      SELECT n.q_vec_id, n.vec_id,
+             CAST(SUM(t.qd_int) AS DOUBLE) / 1e6 AS adc,
+             ROW_NUMBER() OVER (
+                 PARTITION BY n.q_vec_id
+                 ORDER BY SUM(t.qd_int), n.vec_id
+             ) AS rnk
+      FROM cand n
+      JOIN codes k ON k.vec_id = n.vec_id
+      JOIN dtable t ON t.q_vec_id = n.q_vec_id AND t.m = k.m AND t.ccell = k.ccell
+      GROUP BY n.q_vec_id, n.vec_id
+    ) WHERE rnk <= {PQ_TOP_K}
+    """
+
+
+@query("simsearch_ivfpq", oracle=_ivfpq_oracle())
+def simsearch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ — the two-level production ANN architecture (FAISS IVFPQ,
+    Jégou et al. 2011): a COARSE inverted-file index prunes the corpus to
+    the query's IVF_PROBES nearest cells, then PQ asymmetric distance ranks
+    only those candidates from their 4-int codes. This is the composition
+    the ladder's rungs exist for: at 100 TB the coarse index bounds how
+    much of the corpus a query touches (probes/nlist), and PQ bounds the
+    bytes per touched vector (codes, not embeddings) — the two multipliers
+    that make trillion-vector search tractable.
+
+    Both levels reuse the ladder's deterministic training (label-mean
+    coarse centroids from exact decimal sums; sign-pattern PQ codebooks
+    with nearest-centroid encode), so the DuckDB oracle replicates the
+    ENTIRE composite index and the hash gate checks coarse assignment,
+    probe sets, codes, and ADC ranks together.
+
+    Scale shape: coarse centroids + PQ codebook broadcast; assignment and
+    encoding are linear scans; the candidate join shuffles (q, vec_id)
+    pairs bounded by probes/nlist of the corpus; ADC joins 4 ints per
+    candidate. No embedding bytes move after the two encode scans."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # ---- coarse level: IVF cells (simsearch_ivf's index, ids only) ----
+    pos = emb.select("label", F.posexplode(F.col("embedding")).alias("pos", "val"))
+    t = F.floor(F.col("val").cast("double") * 1e6) / 1e6
+    coarse = (
+        pos.groupBy("label", "pos")
+        .agg(
+            (F.sum(t.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("c")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
+        )
+    )
+    csim = F.round(cosine_similarity(F.col("embedding"), F.col("centroid")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
+    assigned = (
+        emb.crossJoin(F.broadcast(coarse))
+        .select("vec_id", "cell", csim.alias("csim"))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cell")
+    )
+    probes = (
+        emb.filter(F.col("vec_id") < PQ_QUERIES)
+        .crossJoin(F.broadcast(coarse))
+        .select(F.col("vec_id").alias("q_vec_id"), "cell", csim.alias("csim"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("q_vec_id").orderBy(F.col("csim").desc(), "cell")
+            ),
+        )
+        .filter(F.col("rk") <= IVF_PROBES)
+        .select("q_vec_id", "cell")
+    )
+
+    # ---- fine level: PQ codes + query distance table (simsearch_pq) ----
+    e = F.col("embedding").cast("array<double>")
+
+    def cell_expr(m: int):
+        bits = [
+            F.when(e[m * PQ_SUBDIM + k] >= 0, F.lit(1 << k)).otherwise(F.lit(0))
+            for k in range(PQ_SIGN_BITS)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    subs = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        cell_expr(m).alias("cell"),
+                        F.slice(e, m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.cell", "s.sv")
+    trunc = lambda x: F.floor(x * 1e6) / 1e6  # noqa: E731
+    comp = subs.select(
+        "m", "cell", F.posexplode(F.transform("sv", trunc)).alias("within", "t")
+    )
+    cm = comp.groupBy("m", "cell", "within").agg(
+        (F.sum(F.col("t").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    cent = cm.groupBy("m", F.col("cell").alias("ccell")).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("within", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    d2 = F.round(_l2_sq(F.col("sv"), F.col("centroid")), 6)
+    w_enc = Window.partitionBy("vec_id", "m").orderBy(F.col("d2").asc(), "ccell")
+    codes = (
+        subs.join(F.broadcast(cent), "m")
+        .select("vec_id", "m", "ccell", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w_enc))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "m", "ccell")
+    )
+    qd_int = F.round(d2 * 1e6).cast("long")
+    dtable = (
+        subs.filter(F.col("vec_id") < PQ_QUERIES)
+        .join(F.broadcast(cent), "m")
+        .select(
+            F.col("vec_id").alias("q_vec_id"), "m", "ccell", qd_int.alias("qd_int")
+        )
+    )
+
+    # ---- compose: candidates from probed cells, ranked by codes-only ADC
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "vec_id")
+    )
+    w_rank = Window.partitionBy("q_vec_id").orderBy(F.col("adc_int").asc(), "vec_id")
+    return (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(dtable), ["q_vec_id", "m", "ccell"])
+        .groupBy("q_vec_id", "vec_id")
+        .agg(F.sum("qd_int").alias("adc_int"))
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= PQ_TOP_K)
+        .select(
+            "q_vec_id",
+            "vec_id",
+            "rnk",
+            (F.col("adc_int").cast("double") / 1e6).alias("adc"),
+        )
+    )

