@@ -81,8 +81,11 @@ HEADLINE = [
     "orc_column_stats",
     "embedding_power_iteration",
     "multimodal_resize",
-    # round 7 addition
+    # round 7 additions
     "orc_rowgroup_stats",
+    "orc_bloom_prune",
+    "text_bigram_commonness",
+    "simsearch_ivfpq",
 ]
 
 

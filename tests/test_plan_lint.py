@@ -24,6 +24,8 @@ ALLOWED_NESTED_LOOP = {
     "simsearch_bruteforce": "query set (5 vectors) broadcast x corpus — the exact-scan ANN baseline",
     "simsearch_knn_join": "query set broadcast x corpus, same baseline shape",
     "simsearch_ivf": "probed-centroid set (tiny) broadcast to the corpus stream",
+    "simsearch_ivfpq": "same coarse-centroid broadcast as simsearch_ivf (the "
+    "composite's level-1 assignment crossJoins the tiny codebook)",
     "dedup_embedding_cosine": "upper-triangle pair generation over the broadcast small side",
     "tfidf_top_terms": "1-row corpus-size aggregate crossJoin'd into scoring",
     "dedup_minhash_lsh": "1-row over-cap-shingle (boilerplate) array aggregate "
