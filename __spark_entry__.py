@@ -73,6 +73,8 @@ _ROUND_PRIORITY = [
     "text_bigram_commonness",
     # round-7 ANN-ladder composition (the FAISS IVFPQ shape)
     "simsearch_ivfpq",
+    # round-7 iterative trainer (distributed Lloyd's k-means)
+    "embedding_kmeans",
 ]
 
 

@@ -86,6 +86,7 @@ HEADLINE = [
     "orc_bloom_prune",
     "text_bigram_commonness",
     "simsearch_ivfpq",
+    "embedding_kmeans",
 ]
 
 

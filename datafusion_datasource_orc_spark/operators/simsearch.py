@@ -1325,3 +1325,150 @@ def simsearch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("adc_int").cast("double") / 1e6).alias("adc"),
         )
     )
+
+
+# ---- distributed k-means (Lloyd's iterations, oracle-exact) ------------------
+KM_K = 8
+KM_ITERS = 3
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB twin of the unrolled Lloyd iterations: seeds are the
+    1e-6-truncated components of vec_id < KM_K, each assignment ranks on
+    ROUND(squared-L2, 6) with centroid-id tie-break, each update is an
+    exact decimal-sum mean of truncated components — the
+    embedding_power_iteration discipline applied to clustering, so both
+    engines walk the identical centroid trajectory."""
+    steps = []
+    prev = "c0"
+    for it in range(1, KM_ITERS + 1):
+        steps.append(
+            f"""a{it} AS MATERIALIZED (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT e.vec_id, c.cid,
+               ROUND({_SQL_L2SQ.format(a='e.embedding', b='c.centroid')}, 6) AS d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY ROUND({_SQL_L2SQ.format(a='e.embedding', b='c.centroid')}, 6),
+                            c.cid
+               ) AS rk
+        FROM embeddings e CROSS JOIN {prev} c
+      ) WHERE rk = 1
+    ),
+    c{it} AS MATERIALIZED (
+      SELECT a.cid, x.dim,
+             CAST(SUM(CAST(x.t AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS c
+      FROM a{it} a JOIN xi x USING (vec_id) GROUP BY a.cid, x.dim
+    ),
+    cl{it} AS MATERIALIZED (
+      SELECT cid, list(c ORDER BY dim) AS centroid FROM c{it} GROUP BY cid
+    )"""
+        )
+        prev = f"cl{it}"
+    last = KM_ITERS
+    return f"""
+    WITH xi AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS dim,
+             floor(CAST(embedding[i] AS DOUBLE) * 1e6) / 1e6 AS t
+      FROM embeddings, UNNEST(generate_series(1, {PI_DIMS})) AS u(i)
+    ),
+    c0 AS MATERIALIZED (
+      SELECT vec_id AS cid,
+             list(floor(CAST(embedding[i] AS DOUBLE) * 1e6) / 1e6 ORDER BY i)
+                 AS centroid
+      FROM embeddings, UNNEST(generate_series(1, {PI_DIMS})) AS u(i)
+      WHERE vec_id < {KM_K} GROUP BY vec_id
+    ),
+    {', '.join(steps)},
+    sizes AS (
+      SELECT cid, COUNT(*) AS n_vecs,
+             CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) AS inertia
+      FROM a{last} GROUP BY cid
+    )
+    SELECT c.cid AS cluster_id, s.n_vecs, s.inertia,
+           c.dim, c.c AS component
+    FROM c{last} c JOIN sizes s USING (cid)
+    """
+
+
+@query("embedding_kmeans", oracle=_kmeans_oracle())
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's algorithm, KM_ITERS iterations) over the
+    embedding corpus — the OFFLINE TRAINER the ANN rungs assume: the
+    "swap the deterministic codebook for k-means at scale" note on
+    simsearch_ivf/simsearch_pq, made real. Returns the trained codebook at
+    (cluster, dim) grain with per-cluster sizes and inertia.
+
+    Determinism (full hash-level oracle, no RNG): seeds are the truncated
+    components of vec_id < KM_K (k-means++ is orthogonal to the distributed
+    plumbing); assignments rank on 6-dp-rounded squared L2 with cid
+    tie-break; updates are exact decimal-sum means of 1e-6-truncated
+    components; inertia is an exact decimal sum of the rounded distances.
+    Both engines walk the identical trajectory — the iterative-algorithm
+    discipline of embedding_power_iteration applied to clustering.
+
+    Scale shape (spark.ml KMeans' own loop): centroids are a broadcast
+    k x d codebook; each iteration is ONE linear scan (crossJoin the
+    broadcast codebook + window argmin) plus a |k x d|-sized aggregate —
+    no corpus-sized state, no driver-side data. A lazy localCheckpoint per
+    update keeps the iterated lineage from re-deriving prior rounds (the
+    dedup_connected_components barrier pattern); at 100 TB the same
+    barrier is a persist of the k x d codebook, trivially small."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    trunc6 = lambda x: F.floor(x.cast("double") * 1e6) / 1e6  # noqa: E731
+    xi = emb.select(
+        "vec_id", F.posexplode(F.transform("embedding", trunc6)).alias("dim", "t")
+    )
+    centroids = (
+        emb.filter(F.col("vec_id") < KM_K)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.transform("embedding", trunc6).alias("centroid"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    e = F.col("embedding").cast("array<double>")
+    assigned = None
+    for _ in range(KM_ITERS):
+        d2 = F.round(_l2_sq(e, F.col("centroid")), 6)
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), "cid")
+        assigned = (
+            emb.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "cid", d2.alias("d2"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cid", "d2")
+            .localCheckpoint(eager=False)
+        )
+        centroids = (
+            assigned.join(xi, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(
+                (
+                    F.sum(F.col("t").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+            .select(
+                "cid", F.transform("dc", lambda s: s.getField("c")).alias("centroid")
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    sizes = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("d2").cast("decimal(18,6)")).cast("double").alias("inertia"),
+    )
+    final = centroids.select(
+        "cid", F.posexplode("centroid").alias("dim", "component")
+    )
+    return final.join(F.broadcast(sizes), "cid").select(
+        F.col("cid").alias("cluster_id"),
+        "n_vecs",
+        "inertia",
+        "dim",
+        "component",
+    )

@@ -623,6 +623,56 @@ class TestRound5Pipeline:
                 f"below corpus mean {corpus_mean:.3f}"
             )
 
+    def test_kmeans_invariants(self, spark, sf_dir):
+        """Lloyd guarantees, checked with the engine itself: every vector
+        assigned exactly once (sizes partition the corpus), the codebook is
+        KM_K x 64, and one MORE E-step against the returned centroids can
+        only lower total inertia (the output's inertia is measured against
+        the PREVIOUS iterate's centroids — monotone descent is the
+        algorithm's defining property)."""
+        from datafusion_datasource_orc_spark.operators.simsearch import (
+            KM_K,
+            _l2_sq,
+            embedding_kmeans,
+        )
+
+        out = embedding_kmeans(spark, sf_dir).collect()
+        by_c = {}
+        for r in out:
+            by_c.setdefault(r.cluster_id, []).append(r)
+        assert len(by_c) <= KM_K
+        corpus_n = load_table(spark, sf_dir, "embeddings").count()
+        assert sum(rs[0].n_vecs for rs in by_c.values()) == corpus_n
+        for rs in by_c.values():
+            assert sorted(r.dim for r in rs) == list(range(64))
+            assert len({r.n_vecs for r in rs}) == 1
+
+        cent_rows = [
+            (c, [r.component for r in sorted(rs, key=lambda r: r.dim)])
+            for c, rs in by_c.items()
+        ]
+        cent = spark.createDataFrame(cent_rows, "cid long, centroid array<double>")
+        emb = load_table(spark, sf_dir, "embeddings")
+        d2 = F.round(
+            _l2_sq(F.col("embedding").cast("array<double>"), F.col("centroid")), 6
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), "cid")
+        refreshed = (
+            emb.crossJoin(F.broadcast(cent))
+            .select("vec_id", "cid", d2.alias("d2"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .agg(F.sum("d2"))
+            .first()[0]
+        )
+        reported = sum(rs[0].inertia for rs in by_c.values())
+        assert refreshed <= reported + 1e-6, (
+            f"one more E-step RAISED inertia ({refreshed} > {reported}) — "
+            f"not a Lloyd descent"
+        )
+
     def test_ngram_novelty_invariants(self, spark, sf_dir):
         from datafusion_datasource_orc_spark.operators.textstats import (
             text_ngram_novelty,
