@@ -26,6 +26,8 @@ ALLOWED_NESTED_LOOP = {
     "simsearch_ivf": "probed-centroid set (tiny) broadcast to the corpus stream",
     "simsearch_ivfpq": "same coarse-centroid broadcast as simsearch_ivf (the "
     "composite's level-1 assignment crossJoins the tiny codebook)",
+    "embedding_kmeans": "1-row packed-codebook crossJoin per Lloyd E-step — "
+    "the map-side-only argmin (array_min over k structs), no corpus shuffle",
     "dedup_embedding_cosine": "upper-triangle pair generation over the broadcast small side",
     "tfidf_top_terms": "1-row corpus-size aggregate crossJoin'd into scoring",
     "dedup_minhash_lsh": "1-row over-cap-shingle (boilerplate) array aggregate "
