@@ -111,6 +111,53 @@ def _zstd_content_size(chunk: bytes) -> int:
     return val + (256 if fcs_code == 1 else 0)
 
 
+def _lz4_block_decompress(chunk: bytes) -> bytes:
+    """Pure-Python LZ4 BLOCK decoder (the raw format ORC chunks use — not
+    the framed format pyarrow's default "lz4" codec speaks). ORC chunk
+    headers carry only the COMPRESSED length, and LZ4 blocks don't embed
+    their decompressed size, so a size-taking codec can't be used safely
+    (an over-estimate returns garbage-padded buffers); the block format
+    decodes cleanly by walking tokens until input is exhausted. Footer/
+    index sections are KBs, so pure Python is plenty. Verified against
+    pyarrow's lz4_raw compressor in tests."""
+    out = bytearray()
+    pos = 0
+    n = len(chunk)
+    while pos < n:
+        token = chunk[pos]
+        pos += 1
+        lit_len = token >> 4
+        if lit_len == 15:
+            while True:
+                b = chunk[pos]
+                pos += 1
+                lit_len += b
+                if b != 255:
+                    break
+        out += chunk[pos : pos + lit_len]
+        pos += lit_len
+        if pos >= n:  # last sequence: literals only
+            break
+        offset = chunk[pos] | (chunk[pos + 1] << 8)
+        pos += 2
+        if offset == 0:
+            raise ValueError("corrupt LZ4 block: zero match offset")
+        match_len = (token & 0x0F) + 4
+        if token & 0x0F == 15:
+            while True:
+                b = chunk[pos]
+                pos += 1
+                match_len += b
+                if b != 255:
+                    break
+        start = len(out) - offset
+        if start < 0:
+            raise ValueError("corrupt LZ4 block: offset before start")
+        for i in range(match_len):  # may self-overlap: copy byte-wise
+            out.append(out[start + i])
+    return bytes(out)
+
+
 def _decompress_stream(buf: bytes, kind: int) -> bytes:
     if kind == _NONE:
         return bytes(buf)
@@ -143,6 +190,8 @@ def _decompress_stream(buf: bytes, kind: int) -> bytes:
                 decompressed_size=_zstd_content_size(chunk),
                 asbytes=True,
             )
+        elif kind == _LZ4:
+            out += _lz4_block_decompress(chunk)
         else:
             raise ValueError(f"unsupported ORC compression kind {kind}")
     return bytes(out)

@@ -656,6 +656,51 @@ class TestOrcMetaDataSource:
                     for x in range(50)
                 )
 
+    def test_lz4_block_decoder_inverts_compressor(self):
+        """_lz4_block_decompress against pyarrow's lz4_raw COMPRESSOR (the
+        same raw block format ORC chunks carry): round-trip across sizes
+        and redundancy profiles incl. self-overlapping matches, plus an
+        end-to-end synthetic ORC chunk stream of compressed + original
+        chunks. pyarrow's own ORC writer never emits compressed LZ4 chunks
+        for footer-sized sections (verified: every chunk arrives with the
+        original bit), so this is the ground truth available for the
+        decode path other writers (Java ORC) exercise."""
+        import pyarrow as pa
+
+        from datafusion_datasource_orc_spark.sources.orcfooter import (
+            _LZ4,
+            _decompress_stream,
+            _lz4_block_decompress,
+        )
+
+        c = pa.Codec("lz4_raw")
+        cases = [
+            b"",
+            b"a",
+            b"abc" * 1,
+            b"hello world " * 1000,          # long matches
+            bytes(range(256)) * 40,           # low redundancy
+            b"x" * 70000,                     # self-overlapping RLE match
+            b"ab" * 9,                        # short input, short matches
+        ]
+        for data in cases:
+            comp = c.compress(data, asbytes=True)
+            assert _lz4_block_decompress(comp) == data, len(data)
+        # synthetic ORC chunk stream: [compressed][original][compressed]
+        d1, d2, d3 = cases[3], b"ORIGINAL-CHUNK-BYTES", cases[5]
+        c1, c3 = c.compress(d1, asbytes=True), c.compress(d3, asbytes=True)
+
+        def hdr(ln, orig):
+            h = (ln << 1) | (1 if orig else 0)
+            return bytes((h & 0xFF, (h >> 8) & 0xFF, (h >> 16) & 0xFF))
+
+        stream = (
+            hdr(len(c1), False) + c1
+            + hdr(len(d2), True) + d2
+            + hdr(len(c3), False) + c3
+        )
+        assert _decompress_stream(stream, _LZ4) == d1 + d2 + d3
+
     def test_bloom_mode_option_validation(self):
         import pytest as _pytest
 
