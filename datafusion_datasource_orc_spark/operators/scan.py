@@ -499,8 +499,11 @@ def orc_stripe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Probe keys for orc_bloom_prune: three present at every SF (orders keys
 # are dense from 0) + two absent sentinels whose candidate groups can only
-# be bloom false positives (filtered by the verify join).
+# be bloom false positives (filtered by the verify join). The string
+# probes exercise the OTHER ORC bloom hash (Hive 64-bit Murmur3 over
+# UTF-8 bytes): two priorities present at every SF + one absent sentinel.
 _BLOOM_PROBES = [2, 3, 5, 1000000007, 1000000009]
+_BLOOM_STR_PROBES = ["1-URGENT", "5-LOW", "Z-ABSENT"]
 _BLOOM_NCHUNKS = 4
 
 
@@ -508,73 +511,112 @@ _BLOOM_NCHUNKS = 4
     "orc_bloom_prune",
     oracle=f"""
     WITH ranked AS (
-      SELECT o_orderkey,
+      SELECT o_orderkey, o_orderpriority,
              o_orderkey % {_BLOOM_NCHUNKS} AS c,
              (row_number() OVER (PARTITION BY o_orderkey % {_BLOOM_NCHUNKS}
                                  ORDER BY o_orderkey) - 1) // 1000 AS rg
       FROM orders
     )
-    SELECT o_orderkey AS probe,
+    SELECT 'key' AS probe_kind,
+           CAST(o_orderkey AS VARCHAR) AS probe,
            'chunk-' || CAST(c AS VARCHAR) || '.orc' AS file_name,
            CAST(rg AS INTEGER) AS row_group_id
     FROM ranked
     WHERE o_orderkey IN ({",".join(str(p) for p in _BLOOM_PROBES)})
+    UNION ALL
+    SELECT DISTINCT 'priority' AS probe_kind,
+           o_orderpriority AS probe,
+           'chunk-' || CAST(c AS VARCHAR) || '.orc' AS file_name,
+           CAST(rg AS INTEGER) AS row_group_id
+    FROM ranked
+    WHERE o_orderpriority IN ({",".join(f"'{p}'" for p in _BLOOM_STR_PROBES)})
     """,
 )
 def orc_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-guided ROW-GROUP point lookup — membership pruning below the
     min/max statistics ladder, the second axis of the reference's row-level
     TODO (src/opener.rs:64-66). The `orcmeta` bloom mode parses each row
-    group's BLOOM_FILTER_UTF8 filter (sources/orcfooter.py: the ORC/Hive
-    signed-Wang long hash + h1+i*h2 probe) and emits a verdict per
-    (row group, probe key); candidate groups are then VERIFIED against the
-    deterministic sorted layout (orc_bloom_dir_for: group g of chunk k =
-    rank g*1000..g*1000+999 of {{key % 4 == k}} ordered by key), so the
-    output is exactly the groups that truly contain each probe — which the
-    oracle reproduces with the same rank arithmetic. False positives are
-    filtered by the verify join; a false NEGATIVE (a wrong hash) would
-    DROP a row and fail the gate loudly. At 100 TB this is the I/O shape
-    of a needle-in-haystack lookup: index bytes decide which ~1000-row
-    groups to read, the data scan touches only those."""
+    group's BLOOM_FILTER_UTF8 filter (sources/orcfooter.py) and emits a
+    verdict per (row group, probe key), covering BOTH ORC bloom hashes:
+    the signed-Wang long hash on the integer sort key and the Hive 64-bit
+    Murmur3 on a string column. Candidate groups are then VERIFIED against
+    the deterministic sorted layout (orc_bloom_dir_for: group g of chunk
+    k = rank g*1000..g*1000+999 of {{key % 4 == k}} ordered by key), so
+    the output is exactly the groups that truly contain each probe — which
+    the oracle reproduces with the same rank arithmetic. False positives
+    are filtered by the verify join; a false NEGATIVE (a wrong hash, in
+    either hash family) would DROP rows and fail the gate loudly. At
+    100 TB this is the I/O shape of a needle-in-haystack lookup: index
+    bytes decide which ~1000-row groups to read, the data scan touches
+    only those."""
     from pyspark.sql.window import Window
 
     from datafusion_datasource_orc_spark.sources import orcmeta
     from datafusion_datasource_orc_spark.sources.tables import orc_bloom_dir_for
 
     orcmeta.register(spark)
-    d = orc_bloom_dir_for(sf_dir, "orders", "o_orderkey", _BLOOM_NCHUNKS)
-    cand = (
-        spark.read.format("orcmeta")
-        .option("stats", "bloom")
-        .option("bloom_column", "o_orderkey")
-        .option("bloom_probes", ",".join(str(p) for p in _BLOOM_PROBES))
-        .load(d)
-        .filter(F.col("bloom_maybe"))
-        .select("file_name", "row_group_id", "probe")
+    d = orc_bloom_dir_for(
+        sf_dir, "orders", "o_orderkey", _BLOOM_NCHUNKS,
+        extra_bloom=("o_orderpriority",),
     )
+
+    def bloom_cands(column: str, probes: list, hash_kind: str) -> DataFrame:
+        return (
+            spark.read.format("orcmeta")
+            .option("stats", "bloom")
+            .option("bloom_column", column)
+            .option("bloom_hash", hash_kind)
+            .option("bloom_probes", ",".join(str(p) for p in probes))
+            .load(d)
+            .filter(F.col("bloom_maybe"))
+            .select("file_name", "row_group_id", "probe")
+        )
+
+    cand_key = bloom_cands("o_orderkey", _BLOOM_PROBES, "long")
+    cand_pri = bloom_cands("o_orderpriority", _BLOOM_STR_PROBES, "utf8")
+
     orders = load_orc_table(spark, sf_dir, "orders")
     chunk = F.pmod(F.col("o_orderkey"), F.lit(_BLOOM_NCHUNKS))
     w = Window.partitionBy(chunk).orderBy("o_orderkey")
     truth = orders.select(
         "o_orderkey",
+        "o_orderpriority",
         F.concat(F.lit("chunk-"), chunk.cast("string"), F.lit(".orc")).alias(
             "file_name"
         ),
         ((F.row_number().over(w) - 1) / 1000).cast("int").alias("row_group_id"),
-    )
-    return (
+    ).localCheckpoint(eager=False)  # one window pass feeds both verifies
+
+    keys = (
         truth.join(
-            F.broadcast(cand),
-            (truth.o_orderkey == cand.probe)
-            & (truth.file_name == cand.file_name)
-            & (truth.row_group_id == cand.row_group_id),
+            F.broadcast(cand_key),
+            (truth.o_orderkey.cast("string") == cand_key.probe)
+            & (truth.file_name == cand_key.file_name)
+            & (truth.row_group_id == cand_key.row_group_id),
         )
         .select(
+            F.lit("key").alias("probe_kind"),
             F.col("probe"),
             truth.file_name,
             truth.row_group_id,
         )
     )
+    pris = (
+        truth.join(
+            F.broadcast(cand_pri),
+            (truth.o_orderpriority == cand_pri.probe)
+            & (truth.file_name == cand_pri.file_name)
+            & (truth.row_group_id == cand_pri.row_group_id),
+        )
+        .select(
+            F.lit("priority").alias("probe_kind"),
+            F.col("probe"),
+            truth.file_name,
+            truth.row_group_id,
+        )
+        .distinct()
+    )
+    return keys.unionAll(pris)
 
 
 @query(

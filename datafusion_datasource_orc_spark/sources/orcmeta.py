@@ -58,22 +58,34 @@ def _stats_mode(options: dict) -> str | None:
     )
 
 
-def _bloom_options(options: dict) -> tuple[str, list[int]]:
+def _bloom_options(options: dict) -> tuple[str, list, str]:
     """stats="bloom" needs the probed column and the probe keys:
-    option("bloom_column", name) + option("bloom_probes", "k1,k2,...")."""
+    option("bloom_column", name) + option("bloom_probes", "k1,k2,...") +
+    optional option("bloom_hash", "long"|"utf8") selecting the ORC hash —
+    Thomas Wang signed-int64 for integer columns (default) or the Hive
+    64-bit Murmur3 over UTF-8 bytes for string columns."""
     col = options.get("bloom_column")
     if not col:
         raise ValueError("orcmeta bloom mode requires option('bloom_column', ...)")
-    raw = options.get("bloom_probes", "")
-    try:
-        probes = [int(x) for x in str(raw).split(",") if x.strip()]
-    except ValueError as exc:
+    hash_kind = str(options.get("bloom_hash", "long")).lower()
+    if hash_kind not in ("long", "utf8"):
         raise ValueError(
-            f"orcmeta bloom_probes must be comma-separated integers: {raw!r}"
-        ) from exc
+            f"orcmeta bloom_hash must be 'long' or 'utf8', got {hash_kind!r}"
+        )
+    raw = options.get("bloom_probes", "")
+    parts = [x for x in str(raw).split(",") if x.strip()]
+    if hash_kind == "long":
+        try:
+            probes: list = [int(x) for x in parts]
+        except ValueError as exc:
+            raise ValueError(
+                f"orcmeta bloom_probes must be comma-separated integers: {raw!r}"
+            ) from exc
+    else:
+        probes = parts
     if not probes:
         raise ValueError("orcmeta bloom mode requires option('bloom_probes', ...)")
-    return str(col), probes
+    return str(col), probes, hash_kind
 
 
 def _size_hint(options: dict) -> int | None:
@@ -249,16 +261,22 @@ def _stats_rows(path: str, mode: str, size_hint: int | None = None) -> Iterator[
 
 
 def _bloom_rows(
-    path: str, column: str, probes: list[int], size_hint: int | None = None
+    path: str,
+    column: str,
+    probes: list,
+    hash_kind: str,
+    size_hint: int | None = None,
 ) -> Iterator[tuple]:
     """stats="bloom": one row per (stripe, row group, probe key) of one
     file — bloom membership verdicts for the probed keys, from the
     BLOOM_FILTER_UTF8 index streams (sources/orcfooter.py). Executor-side,
     index bytes only; the pruning decision a row-group point lookup makes,
-    exposed as data."""
+    exposed as data. ``probe`` is surfaced as STRING so the long and utf8
+    hash modes share one schema."""
     from datafusion_datasource_orc_spark.sources.orcfooter import (
         DEFAULT_TAIL_HINT,
         bloom_might_contain,
+        orc_hash_bytes,
         orc_hash_long,
         read_bloom_filters,
     )
@@ -266,7 +284,10 @@ def _bloom_rows(
     hint = size_hint or DEFAULT_TAIL_HINT
     fname = os.path.basename(path)
     meta = read_bloom_filters(path, size_hint=hint)
-    hashes = [(p, orc_hash_long(p)) for p in probes]
+    if hash_kind == "long":
+        hashes = [(str(p), orc_hash_long(p)) for p in probes]
+    else:
+        hashes = [(str(p), orc_hash_bytes(str(p).encode())) for p in probes]
     for sid, by_col in enumerate(meta["stripes"]):
         for gid, bf in enumerate(by_col.get(column, [])):
             for probe, h in hashes:
@@ -380,11 +401,13 @@ class OrcMetadataDataSource(DataSource):
                 f"{stats_cols}"
             )
         if mode == "bloom":
-            # option("stats","bloom") + bloom_column/bloom_probes: one row
-            # per (file, stripe, row group, probe) with the bloom verdict
+            # option("stats","bloom") + bloom_column/bloom_probes[/
+            # bloom_hash]: one row per (file, stripe, row group, probe)
+            # with the bloom verdict; probe is STRING so the long and
+            # utf8 hash modes share one schema
             return (
                 "file_name STRING, stripe_id INT, row_group_id INT, "
-                "probe BIGINT, bloom_maybe BOOLEAN"
+                "probe STRING, bloom_maybe BOOLEAN"
             )
         return (
             "file_index INT, file_name STRING, num_rows BIGINT, "

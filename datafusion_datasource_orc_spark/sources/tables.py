@@ -208,7 +208,12 @@ BLOOM_STRIDE = 1000  # row_index_stride for the bloom-indexed layout
 
 
 def orc_bloom_dir_for(
-    sf_dir: str, name: str, key: str, nchunks: int = 4, stride: int = BLOOM_STRIDE
+    sf_dir: str,
+    name: str,
+    key: str,
+    nchunks: int = 4,
+    stride: int = BLOOM_STRIDE,
+    extra_bloom: tuple[str, ...] = (),
 ) -> str:
     """A deterministic BLOOM-INDEXED layout: like orc_chunked_dir_for but
     each chunk is SORTED by ``key`` and written with a bloom filter on it
@@ -225,7 +230,7 @@ def orc_bloom_dir_for(
 
     cache_key = (
         os.path.abspath(sf_dir),
-        f"{name}#bloom:{key}:{nchunks}:{stride}",
+        f"{name}#bloom:{key}:{nchunks}:{stride}:{','.join(extra_bloom)}",
     )
     path = _ORC_CACHE.get(cache_key)
     if path and os.path.isdir(path):
@@ -233,7 +238,9 @@ def orc_bloom_dir_for(
     import hashlib
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    tag = hashlib.md5(
+        (os.path.abspath(sf_dir) + ":" + ",".join(extra_bloom)).encode()
+    ).hexdigest()[:8]
     path = os.path.join(
         _orc_root(), sf_tag, f"{name}_bloom_{key}_{nchunks}_{stride}_{tag}"
     )
@@ -245,7 +252,10 @@ def orc_bloom_dir_for(
         f"bloom chunk key {name}.{key} has negative values (min={key_min})"
     )
     bucket = pc.cast(pc.bit_wise_and(table.column(key), nchunks - 1), "int64")
-    key_id = table.schema.get_field_index(key) + 1  # flattened ORC type id
+    # flattened ORC type ids: root struct is 0, column j is j+1
+    bloom_ids = [
+        table.schema.get_field_index(c) + 1 for c in (key, *extra_bloom)
+    ]
     for k in range(nchunks):
         chunk = table.filter(pc.equal(bucket, k)).sort_by(key)
         out = os.path.join(path, f"chunk-{k}.orc")
@@ -254,7 +264,7 @@ def orc_bloom_dir_for(
             out,
             compression="snappy",
             row_index_stride=stride,
-            bloom_filter_columns=[key_id],
+            bloom_filter_columns=bloom_ids,
             bloom_filter_fpp=0.01,
         )
         nstripes = porc.ORCFile(out).nstripes
