@@ -139,7 +139,7 @@ class TestCatalog:
 
 # ---- writer (reference stub src/writer.rs — implemented) -----------------------
 class TestWriter:
-    @pytest.mark.parametrize("compression", ["snappy", "zstd", "zlib"])
+    @pytest.mark.parametrize("compression", ["snappy", "zstd", "zlib", "lz4"])
     def test_roundtrip_compressions(self, spark, sf_dir, tmp_path, compression):
         df = load_table(spark, sf_dir, "nation")
         out = str(tmp_path / f"nation_{compression}")

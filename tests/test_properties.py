@@ -283,3 +283,28 @@ def test_fake_resize_matches_naive_pooling(payload):
             total += block // 4
     assert checksum == total % (2**31)
     assert mean == (total / (H * (RESIZE_W // 2)) if H else 0.0)
+
+
+@given(
+    st.binary(min_size=0, max_size=4000)
+    | st.builds(
+        lambda chunk, reps: chunk * reps,
+        st.binary(min_size=1, max_size=40),
+        st.integers(min_value=1, max_value=400),
+    )
+)
+@settings(max_examples=120, deadline=None)
+def test_lz4_block_decoder_inverts_pyarrow_for_any_bytes(data):
+    """Property form of the fixed-case LZ4 test: for ARBITRARY byte
+    strings (including highly repetitive inputs that force long and
+    self-overlapping matches), the pure-Python block decoder must invert
+    pyarrow's lz4_raw compressor exactly — the ground-truth pairing
+    available in-container for the ORC LZ4 chunk format."""
+    import pyarrow as pa
+
+    from datafusion_datasource_orc_spark.sources.orcfooter import (
+        _lz4_block_decompress,
+    )
+
+    comp = pa.Codec("lz4_raw").compress(data, asbytes=True)
+    assert _lz4_block_decompress(comp) == data
