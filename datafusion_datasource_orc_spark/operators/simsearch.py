@@ -1096,10 +1096,14 @@ def _ivfpq_oracle() -> str:
         for m in range(PQ_M)
     )
     return f"""
-    WITH d AS (
+    WITH emb AS MATERIALIZED (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE embedding IS NOT NULL
+    ),
+    d AS (
       SELECT label, i - 1 AS dim,
              floor(CAST(embedding[i] AS DOUBLE) * 1e6) / 1e6 AS t
-      FROM embeddings, UNNEST(generate_series(1, 64)) AS u(i)
+      FROM emb, UNNEST(generate_series(1, 64)) AS u(i)
     ),
     coarse_cm AS (
       SELECT label AS cell, dim,
@@ -1115,7 +1119,7 @@ def _ivfpq_oracle() -> str:
                  ORDER BY ROUND({_SQL_COSINE.format(a='e.embedding', b='c.centroid')}, 6) DESC,
                           c.cell
              ) AS rk
-      FROM embeddings e CROSS JOIN coarse c
+      FROM emb e CROSS JOIN coarse c
     ),
     assigned AS (SELECT vec_id, cell FROM ac WHERE rk = 1),
     qp AS (
@@ -1125,12 +1129,12 @@ def _ivfpq_oracle() -> str:
                  ORDER BY ROUND({_SQL_COSINE.format(a='e.embedding', b='c.centroid')}, 6) DESC,
                           c.cell
              ) AS rk
-      FROM embeddings e CROSS JOIN coarse c WHERE e.vec_id < {PQ_QUERIES}
+      FROM emb e CROSS JOIN coarse c WHERE e.vec_id < {PQ_QUERIES}
     ),
     probes AS (SELECT q_vec_id, cell FROM qp WHERE rk <= {IVF_PROBES}),
     subs AS (
       SELECT vec_id, s.m, s.cell, s.sv
-      FROM (SELECT vec_id, embedding FROM embeddings),
+      FROM (SELECT vec_id, embedding FROM emb),
            UNNEST([{{'m': x[1], 'cell': x[2], 'sv': x[3]}}
                    FOR x IN [{sub_structs}]]) AS t(s)
     ),
@@ -1206,7 +1210,12 @@ def simsearch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding are linear scans; the candidate join shuffles (q, vec_id)
     pairs bounded by probes/nlist of the corpus; ADC joins 4 ints per
     candidate. No embedding bytes move after the two encode scans."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # NULL embeddings carry nothing to quantize: excluded on BOTH sides
+    # (the oracle's emb CTE mirrors this filter), so the NULL-divergence
+    # class the round-6 advisor flagged on power iteration can't recur here
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
 
     # ---- coarse level: IVF cells (simsearch_ivf's index, ids only) ----
     pos = emb.select("label", F.posexplode(F.col("embedding")).alias("pos", "val"))
@@ -1352,7 +1361,7 @@ def _kmeans_oracle() -> str:
                    ORDER BY ROUND({_SQL_L2SQ.format(a='e.embedding', b='c.centroid')}, 6),
                             c.cid
                ) AS rk
-        FROM embeddings e CROSS JOIN {prev} c
+        FROM emb e CROSS JOIN {prev} c
       ) WHERE rk = 1
     ),
     c{it} AS MATERIALIZED (
@@ -1367,16 +1376,19 @@ def _kmeans_oracle() -> str:
         prev = f"cl{it}"
     last = KM_ITERS
     return f"""
-    WITH xi AS MATERIALIZED (
+    WITH emb AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    xi AS MATERIALIZED (
       SELECT vec_id, i - 1 AS dim,
              floor(CAST(embedding[i] AS DOUBLE) * 1e6) / 1e6 AS t
-      FROM embeddings, UNNEST(generate_series(1, {PI_DIMS})) AS u(i)
+      FROM emb, UNNEST(generate_series(1, {PI_DIMS})) AS u(i)
     ),
     c0 AS MATERIALIZED (
       SELECT vec_id AS cid,
              list(floor(CAST(embedding[i] AS DOUBLE) * 1e6) / 1e6 ORDER BY i)
                  AS centroid
-      FROM embeddings, UNNEST(generate_series(1, {PI_DIMS})) AS u(i)
+      FROM emb, UNNEST(generate_series(1, {PI_DIMS})) AS u(i)
       WHERE vec_id < {KM_K} GROUP BY vec_id
     ),
     {', '.join(steps)},
@@ -1419,7 +1431,11 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from re-deriving prior rounds (the dedup_connected_components barrier
     pattern); at 100 TB the same barrier is a persist of the k x d
     codebook, trivially small."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # NULL embeddings can't be clustered: excluded on BOTH sides (the
+    # oracle's emb CTE mirrors this filter) — see simsearch_ivfpq's note
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     trunc6 = lambda x: F.floor(x.cast("double") * 1e6) / 1e6  # noqa: E731
     xi = emb.select(
         "vec_id", F.posexplode(F.transform("embedding", trunc6)).alias("dim", "t")

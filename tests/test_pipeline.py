@@ -897,6 +897,54 @@ class TestPowerIterationEdge:
         srows, orows = self._both_engines(spark, sf)
         assert srows == orows == []
 
+    def test_kmeans_and_ivfpq_agree_with_oracle_under_null_embeddings(
+        self, spark, tmp_path_factory
+    ):
+        """Round-7 preemptive fix for the NULL-divergence class the round-6
+        advisor flagged on power iteration: a corpus with SOME NULL
+        embeddings must hash-match between both engines for the two new
+        quantization queries (both sides exclude NULL vectors explicitly —
+        DuckDB's UNNEST(generate_series) would otherwise keep NULL rows in
+        COUNT(*) denominators that Spark's posexplode drops)."""
+        import duckdb
+
+        from datafusion_datasource_orc_spark.operators import ORACLES
+        from datafusion_datasource_orc_spark.operators.simsearch import (
+            embedding_kmeans,
+            simsearch_ivfpq,
+        )
+
+        rng_vecs = [
+            None if i % 9 == 4 else [((i * 37 + j * 11) % 200 - 100) / 173.0
+                                     for j in range(64)]
+            for i in range(40)
+        ]
+        sf = self._tmp_sf(tmp_path_factory, rng_vecs)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf}/embeddings.parquet')"
+        )
+        for fn, name in ((embedding_kmeans, "embedding_kmeans"),
+                         (simsearch_ivfpq, "simsearch_ivfpq")):
+            srows = sorted(
+                tuple(round(v, 6) if isinstance(v, float) else v for v in r)
+                for r in fn(spark, sf).collect()
+            )
+            orows = sorted(
+                tuple(round(float(v), 6) if isinstance(v, (float, int)) and
+                      not isinstance(v, bool) else v for v in r)
+                for r in con.execute(ORACLES[name]).fetchall()
+            )
+            assert len(srows) == len(orows), name
+            for a, b in zip(srows, orows):
+                assert len(a) == len(b), name
+                for x, y in zip(a, b):
+                    if isinstance(x, (int, float)) and not isinstance(x, bool):
+                        assert float(x) == float(y), (name, a, b)
+                    else:
+                        assert x == y, (name, a, b)
+
     def test_all_null_embeddings_matches_oracle_null_rows(
         self, spark, tmp_path_factory
     ):
