@@ -59,22 +59,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # fresh query is stamped, never WHETHER.
 # ---------------------------------------------------------------------------
 
-# Round-7 front 50 (judge r06 task 1): the 27 never-stamped TPC-DS
-# templates drain first (they front mechanically — every round-6 priority
-# entry earned its stamp, so the list below only needs the round-7
-# additions), then the ~22 remaining slots fill with the OLDEST stale
-# re-certifications (dedup/events modules, edited in r05-r07).
-_ROUND_PRIORITY = [
-    # round-7 additions: the row-group pruning ladder (judge r06 task 4 +
-    # the bloom membership axis beyond it)
-    "orc_rowgroup_stats",
-    "orc_bloom_prune",
-    # round-7 text-family addition (n-gram LM quality proxy)
-    "text_bigram_commonness",
-    # round-7 ANN-ladder composition (the FAISS IVFPQ shape)
-    "simsearch_ivfpq",
-    # round-7 iterative trainer (distributed Lloyd's k-means)
-    "embedding_kmeans",
+# Round-8 front 50 (judge r07 tasks 1/5/6): the never-stamped pool hit
+# zero in r07, so tier 1 holds only this round's additions; the remaining
+# ~49 slots drain the OLDEST stale re-certifications — tier 2 is now
+# sorted by each query's recorded stamp round ascending (oldest evidence
+# first), so the r02/r03-era stamps in extras/textstats/scan/tpcds
+# re-certify before the r05/r06 ones.
+_ROUND_PRIORITY: list[str] = [
+    # round-8 additions are appended as they land (registered names only;
+    # tests/test_entry_contract.py enforces that)
 ]
 
 
@@ -184,8 +177,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered = [n for n in _ROUND_PRIORITY if n in fresh]
     ordered += [n for n in fresh if n not in ordered]
     # stamped-but-materially-changed queries re-front BEHIND the
-    # never-stamped pool: first stamps always outrank re-certification
-    ordered += [n for n in names if n in stale]
+    # never-stamped pool: first stamps always outrank re-certification.
+    # Within the stale tier, oldest stamp evidence first (judge r07 task 1:
+    # drain the oldest 50) — sort by the sidecar's recorded stamp round,
+    # ties broken by registration order; names missing a recorded round
+    # sort first (no evidence is the oldest evidence).
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "stamp_hashes.json")) as f:
+            _sidecar = json.load(f)
+    except (OSError, ValueError):
+        _sidecar = {}
+    reg_pos = {n: i for i, n in enumerate(names)}
+    ordered += sorted(
+        (n for n in names if n in stale),
+        key=lambda n: (
+            _sidecar.get(n, {}).get("round", 0)
+            if isinstance(_sidecar.get(n), dict)
+            else 0,
+            reg_pos[n],
+        ),
+    )
     ordered += [n for n in names if n in stamped and n not in stale]
     assert set(ordered) == set(names)
     return {n: QUERIES[n] for n in ordered}
