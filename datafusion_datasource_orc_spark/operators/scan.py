@@ -24,7 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_datasource_orc_spark.operators.registry import query
-from datafusion_datasource_orc_spark.sources.tables import load_orc_table
+from datafusion_datasource_orc_spark.sources.tables import (
+    BLOOM_STRIDE,
+    load_orc_table,
+)
 
 
 # B1 — full table scan (tests/basic_reading.rs:245-278; bench full_table_scan)
@@ -514,7 +517,7 @@ _BLOOM_NCHUNKS = 4
       SELECT o_orderkey, o_orderpriority,
              o_orderkey % {_BLOOM_NCHUNKS} AS c,
              (row_number() OVER (PARTITION BY o_orderkey % {_BLOOM_NCHUNKS}
-                                 ORDER BY o_orderkey) - 1) // 1000 AS rg
+                                 ORDER BY o_orderkey) - 1) // {BLOOM_STRIDE} AS rg
       FROM orders
     )
     SELECT 'key' AS probe_kind,
@@ -541,7 +544,9 @@ def orc_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the signed-Wang long hash on the integer sort key and the Hive 64-bit
     Murmur3 on a string column. Candidate groups are then VERIFIED against
     the deterministic sorted layout (orc_bloom_dir_for: group g of chunk
-    k = rank g*1000..g*1000+999 of {{key % 4 == k}} ordered by key), so
+    k = rank g*stride..(g+1)*stride-1 of {{key % 4 == k}} ordered by key,
+    stride = tables.BLOOM_STRIDE — the single constant all three sites
+    here derive from), so
     the output is exactly the groups that truly contain each probe — which
     the oracle reproduces with the same rank arithmetic. False positives
     are filtered by the verify join; a false NEGATIVE (a wrong hash, in
@@ -584,7 +589,9 @@ def orc_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("chunk-"), chunk.cast("string"), F.lit(".orc")).alias(
             "file_name"
         ),
-        ((F.row_number().over(w) - 1) / 1000).cast("int").alias("row_group_id"),
+        ((F.row_number().over(w) - 1) / BLOOM_STRIDE).cast("int").alias(
+            "row_group_id"
+        ),
     ).localCheckpoint(eager=False)  # one window pass feeds both verifies
 
     keys = (

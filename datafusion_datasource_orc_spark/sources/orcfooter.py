@@ -134,10 +134,14 @@ def _lz4_block_decompress(chunk: bytes) -> bytes:
                 lit_len += b
                 if b != 255:
                     break
+        if pos + lit_len > n:  # a slice would silently truncate
+            raise ValueError("corrupt LZ4 block: truncated literals")
         out += chunk[pos : pos + lit_len]
         pos += lit_len
         if pos >= n:  # last sequence: literals only
             break
+        if pos + 2 > n:
+            raise ValueError("corrupt LZ4 block: truncated match offset")
         offset = chunk[pos] | (chunk[pos + 1] << 8)
         pos += 2
         if offset == 0:

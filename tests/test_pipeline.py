@@ -91,6 +91,46 @@ class TestDedup:
         assert worst <= max_df - 1
         assert tight.count() < uncapped.count()
 
+    def test_lsh_bucket_pair_cap_headroom_and_star_mechanism(self, spark, sf_dir):
+        """The bucket-width guard must (a) sit far above the testdata's max
+        LSH bucket width, so capped and uncapped candidate sets are identical
+        at test scale (the oracle-parity gate then proves the capped form),
+        and (b) actually degrade to star pairs when the cap is lowered —
+        O(width) pairs through the bucket minimum, never all-pairs."""
+        from datafusion_datasource_orc_spark.operators.dedup import (
+            LSH_BUCKET_PAIR_CAP,
+            lsh_candidate_pairs,
+        )
+
+        # (a) headroom: widest real bucket via the query's own banding —
+        # identical docs share every band, so width == largest dup cluster.
+        docs = load_table(spark, sf_dir, "documents")
+        max_cluster = (
+            docs.groupBy(F.md5("text"))
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()["m"]
+        )
+        assert max_cluster < LSH_BUCKET_PAIR_CAP, (
+            f"testdata max dup cluster {max_cluster} reaches the pair cap"
+        )
+
+        # (b) mechanism: one synthetic bucket of width 5 with cap 4 →
+        # star pairs only (min=1 vs 2..5), not the 10 all-pairs.
+        buckets = spark.createDataFrame(
+            [(d, 0, 7) for d in [3, 1, 4, 2, 5]], "doc_id long, band int, bh long"
+        )
+        star = {
+            (r.doc_a, r.doc_b)
+            for r in lsh_candidate_pairs(buckets, pair_cap=4).collect()
+        }
+        assert star == {(1, 2), (1, 3), (1, 4), (1, 5)}
+        full = {
+            (r.doc_a, r.doc_b)
+            for r in lsh_candidate_pairs(buckets, pair_cap=5).collect()
+        }
+        assert len(full) == 10 and star <= full
+
     def test_basket_size_cap_headroom(self, spark, sf_dir):
         from datafusion_datasource_orc_spark.operators.extras import BASKET_SIZE_CAP
 
@@ -641,7 +681,13 @@ class TestRound5Pipeline:
         for r in out:
             by_c.setdefault(r.cluster_id, []).append(r)
         assert len(by_c) <= KM_K
-        corpus_n = load_table(spark, sf_dir, "embeddings").count()
+        # the query's corpus excludes NULL embeddings (both engine sides do;
+        # see the r07 NULL-exclusion contract) — count the same corpus here
+        corpus_n = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("embedding").isNotNull())
+            .count()
+        )
         assert sum(rs[0].n_vecs for rs in by_c.values()) == corpus_n
         for rs in by_c.values():
             assert sorted(r.dim for r in rs) == list(range(64))
