@@ -66,8 +66,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # first), so the r02/r03-era stamps in extras/textstats/scan/tpcds
 # re-certify before the r05/r06 ones.
 _ROUND_PRIORITY: list[str] = [
-    # round-8 additions are appended as they land (registered names only;
-    # tests/test_entry_contract.py enforces that)
+    # round-8 addition (judge r07 task 6): the composed training-data build
+    # — filter funnel → exact dedup → minhash-LSH near-dedup →
+    # contamination screen → mix sample → pack manifest as ONE query
+    "pipeline_end_to_end",
 ]
 
 

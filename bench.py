@@ -28,6 +28,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # on this box (same query: 3.6s-90s wall clock under external load)
 ITERATIONS = int(os.environ.get("BENCH_ITERATIONS", "3"))
 
+# --- host-load calibration (judge r07 task 2) -------------------------------
+# A fixed CPU-bound probe — deterministic in-memory aggregate over a generated
+# range, zero I/O, whole-stage-codegen — timed at harness start and end.
+# drift = probe_time / CAL_REFERENCE measures how loaded THIS run's box is
+# relative to the pinned idle-box reference; regression flags are computed on
+# drift-NORMALIZED times so a uniformly loaded host (the BENCH_r07 episode:
+# ~1.33x drift produced 4 spurious flags the judge had to adjudicate) cannot
+# fake a plan regression. Raw ratios stay in bench_detail.json.
+_CAL_ROWS = 6_000_000_000
+CAL_REFERENCE = 1.42  # idle-box best-of-3 seconds, measured r08 on local[32]
+
+# Judge-adjudicated drift for baselines recorded BEFORE the calibration probe
+# existed: BENCH_r07's driver box ran ~1.33x uniformly loaded (VERDICT r07,
+# Performance: judge idle re-run geomean 1.05 with 0 flags vs the recorded
+# 1.332 with 4) — its times are deflated by this factor before comparison.
+_KNOWN_BASELINE_DRIFT = {"BENCH_r07.json": 1.332}
+
+
+def _calibrate(spark) -> float:
+    """Best-of-3 seconds for the fixed CPU probe (sum of two modulos over a
+    6B-row range; term bound keeps the ANSI int64 sum far from overflow)."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, _CAL_ROWS, 1).selectExpr(
+            "sum(id % 97 + id % 101) as s"
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
 # Headline set: the reference's demonstrated core (scan/filter/agg/groupby via
 # the ORC path), the join/window/TPC-H analytical surface, and one of each
 # beyond-reference pipeline family.
@@ -87,6 +117,8 @@ HEADLINE = [
     "text_bigram_commonness",
     "simsearch_ivfpq",
     "embedding_kmeans",
+    # round 8 addition: the composed end-to-end training-data build
+    "pipeline_end_to_end",
 ]
 
 
@@ -109,6 +141,8 @@ def main() -> None:
 
     _register_tpcds_views(spark, sf_dir)
 
+    cal_start = _calibrate(spark)
+
     results: dict[str, float] = {}
     iterations: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -122,9 +156,20 @@ def main() -> None:
         # headline value stays best-of-N (absorbs codegen warm-up), but every
         # iteration is recorded so host-load spikes are separable from real
         # regressions when BENCH artifacts are compared across rounds
-        results[name] = min(times)
+        results[name] = round(min(times), 3)  # 3dp: stdout-line budget
         iterations[name] = times
         print(f"# {name}: {min(times):.3f}s rows={rows} iters={times}", file=sys.stderr)
+
+    cal_end = _calibrate(spark)
+    # geometric mean of the start/end probes: load that ramps mid-run is
+    # captured half-way rather than by whichever endpoint it missed
+    cal_sec = round(statistics.geometric_mean([cal_start, cal_end]), 4)
+    cal_drift = round(cal_sec / CAL_REFERENCE, 3)
+    print(
+        f"# calibration: start={cal_start}s end={cal_end}s ref={CAL_REFERENCE}s "
+        f"drift={cal_drift}x",
+        file=sys.stderr,
+    )
 
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     try:
@@ -169,6 +214,7 @@ def main() -> None:
     )
     regression: dict[str, object] = {}
     ratios: dict[str, float] = {}
+    norm_ratios: dict[str, float] = {}
     if prev_art:
         try:
             # newest artifact whose JSON actually parsed: the driver artifact
@@ -177,6 +223,7 @@ def main() -> None:
             # (BENCH_r02/r04); a bare local run is the line itself
             prev_q: dict[str, float] = {}
             baseline_name = None  # stays None unless a same-sf baseline parses
+            prev_drift = 1.0
             for path in reversed(prev_art):
                 with open(path) as f:
                     prev = json.load(f)
@@ -189,40 +236,86 @@ def main() -> None:
                 prev_q = parsed.get("queries") or {}
                 if prev_q:
                     baseline_name = os.path.basename(path)
+                    # baseline's own recorded calibration drift (runs since
+                    # r08 carry one); pre-calibration artifacts fall back to
+                    # the judge-adjudicated table, else assumed idle
+                    prev_cal = parsed.get("calibration") or {}
+                    prev_drift = float(
+                        prev_cal.get("drift")
+                        or _KNOWN_BASELINE_DRIFT.get(baseline_name, 1.0)
+                    )
+                    # a committed `<stem>_clean.json` sidecar (an idle-box
+                    # re-run of the same workload) overrides a known-drifted
+                    # artifact: per-query CLEAN times beat a uniform drift
+                    # divisor, which amplifies per-query noise (measured:
+                    # raw geomean 0.906 became 1.329 normalized, 5 false
+                    # flags, when r07's 1.332x was applied per-query)
+                    clean_path = path[: -len(".json")] + "_clean.json"
+                    if baseline_name in _KNOWN_BASELINE_DRIFT and os.path.exists(
+                        clean_path
+                    ):
+                        with open(clean_path) as f:
+                            clean = json.load(f)
+                        if str(clean.get("sf")) == str(sf_val) and clean.get(
+                            "queries"
+                        ):
+                            prev_q = clean["queries"]
+                            prev_drift = 1.0
+                            baseline_name = os.path.basename(clean_path)
                     break
             common = sorted(set(prev_q) & set(results))
             ratios = {
                 n: round(results[n] / prev_q[n], 3) for n in common if prev_q[n] > 0
             }
+            # drift-normalized comparison, ONE-SIDED on each run: times are
+            # divided by max(drift, 1.0), so a LOADED box's inflation is
+            # removed but a probe reading "faster than reference" (probe
+            # noise, +/-10% between sessions) never inflates times into
+            # false flags. Host load can only slow queries down; a drift
+            # below 1 is measurement noise, not a speedup to correct for.
+            eff = max(cal_drift, 1.0)
+            prev_eff = max(prev_drift, 1.0)
+            norm_scale = prev_eff / eff
+            norm_ratios = {n: round(r * norm_scale, 3) for n, r in ratios.items()}
             # flag = likely plan regression. Thresholds sized to this host's
             # observed noise: back-to-back identical-code runs swing
             # sub-second queries by 1.5-1.8x (+/-0.4s), so both a large
-            # ratio AND a >0.5s absolute delta are required.
+            # NORMALIZED ratio AND a >0.5s normalized absolute delta are
+            # required.
             flagged = {
                 n: r
-                for n, r in ratios.items()
-                if r > 1.5 and results[n] - prev_q[n] > 0.5
+                for n, r in norm_ratios.items()
+                if r > 1.5 and results[n] / eff - prev_q[n] / prev_eff > 0.5
             }
             geomean = (
+                round(statistics.geometric_mean(norm_ratios.values()), 3)
+                if norm_ratios
+                else None
+            )
+            geomean_raw = (
                 round(statistics.geometric_mean(ratios.values()), 3) if ratios else None
             )
             regression = {
                 "vs": baseline_name,
                 "n": len(common),
                 "geomean": geomean,
+                "geomean_raw": geomean_raw,
+                "prev_drift": prev_drift,
                 "flagged": flagged,
             }
-            # self-annotate: when the WHOLE common set drifted, per-query
-            # flags are most likely load artifacts, not plan regressions —
-            # a real plan regression is an outlier against a stable field
+            # self-annotate: if the NORMALIZED field still drifted uniformly
+            # (load the probes missed, e.g. bursty competitors), per-query
+            # flags remain suspect — a real plan regression is an outlier
+            # against a stable field
             if geomean and geomean > 1.25 and flagged:
                 regression["note"] = (
-                    "geomean ratio is uniformly elevated; flags are likely "
-                    "host-load artifacts — re-run on an idle box before "
-                    "treating them as plan regressions"
+                    "normalized geomean is uniformly elevated; flags may be "
+                    "residual host-load artifacts — re-run on an idle box "
+                    "before treating them as plan regressions"
                 )
             print(
-                f"# regression vs {regression['vs']}: geomean ratio {geomean} over "
+                f"# regression vs {regression['vs']}: normalized geomean {geomean} "
+                f"(raw {geomean_raw}, prev_drift {prev_drift}x) over "
                 f"{len(common)} common queries, {len(flagged)} flagged"
                 + (
                     " (uniform drift = host load, flagged outlier = plan regression)"
@@ -243,7 +336,16 @@ def main() -> None:
                 "queries_warm_median": warm,
                 "cold_total": round(sum(cold.values()), 4),
                 "warm_total": round(sum(warm.values()), 4),
-                "regression_ratios_vs_prev": ratios,
+                "calibration": {
+                    "start": cal_start,
+                    "end": cal_end,
+                    "sec": cal_sec,
+                    "ref": CAL_REFERENCE,
+                    "drift": cal_drift,
+                    "probe": f"range({_CAL_ROWS}) sum(id%97 + id%101), best-of-3",
+                },
+                "regression_ratios_vs_prev_raw": ratios,
+                "regression_ratios_vs_prev_normalized": norm_ratios,
                 "regression_summary": regression,
             },
             f,
@@ -256,25 +358,35 @@ def main() -> None:
     # parsed=null failure). The full flagged table and note live in
     # bench_detail.json.
     regression_compact = {
-        k: regression[k] for k in ("vs", "n", "geomean", "error") if k in regression
+        k: regression[k]
+        for k in ("vs", "n", "geomean", "prev_drift", "error")
+        if k in regression
     }
     if "flagged" in regression:
         regression_compact["n_flagged"] = len(regression["flagged"])
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_best_of_%d" % ITERATIONS,
-                "value": round(sum(results.values()), 4),
-                "unit": "sec",
-                "queries": results,
-                "cold_total": round(sum(cold.values()), 4),
-                "warm_total": round(sum(warm.values()), 4),
-                "regression_vs_prev": regression_compact,
-                "detail": "bench_detail.json",
-                "sf": sf_val,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_best_of_%d" % ITERATIONS,
+            "value": round(sum(results.values()), 4),
+            "unit": "sec",
+            "queries": results,
+            "cold_total": round(sum(cold.values()), 4),
+            "warm_total": round(sum(warm.values()), 4),
+            "calibration": {"sec": cal_sec, "drift": cal_drift},
+            "regression_vs_prev": regression_compact,
+            "detail": "bench_detail.json",
+            "sf": sf_val,
+        }
     )
+    # the driver parses the JSON line out of the LAST 2000 chars of stdout
+    # (BENCH_r02/r04 recorded parsed=null after overflowing it) — fail
+    # loudly at emit time rather than silently losing the round's record;
+    # per-query detail beyond best-of-N belongs in bench_detail.json
+    assert len(line) < 1900, (
+        f"stdout summary line {len(line)} chars >= 1900: trim HEADLINE per-query "
+        "precision or move fields to bench_detail.json"
+    )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -8,6 +8,7 @@ from datafusion_datasource_orc_spark.operators import (  # noqa: F401
     extras,
     ingest,
     multimodal,
+    pipeline_e2e,
     relational,
     scan,
     simsearch,

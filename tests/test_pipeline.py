@@ -131,6 +131,29 @@ class TestDedup:
         }
         assert len(full) == 10 and star <= full
 
+    def test_pipeline_end_to_end_invariants(self, spark, sf_dir):
+        """Cross-family composition sanity: survivor counts and token
+        budgets are monotone non-increasing through the funnel, every stage
+        is present, and the manifest rows partition stage 7 exactly (docs,
+        tokens, and pack arithmetic)."""
+        from datafusion_datasource_orc_spark.operators.pipeline_e2e import (
+            pipeline_end_to_end,
+        )
+
+        rows = pipeline_end_to_end(spark, sf_dir).collect()
+        stages = {r.stage_no: r for r in rows if r.stage != "manifest"}
+        assert sorted(stages) == list(range(1, 8))
+        for i in range(2, 8):
+            assert stages[i].n_docs <= stages[i - 1].n_docs, i
+            assert stages[i].n_tokens <= stages[i - 1].n_tokens, i
+        assert stages[1].n_docs > 0 and stages[7].n_docs > 0
+        manifest = [r for r in rows if r.stage == "manifest"]
+        assert len(manifest) > 0
+        assert sum(m.n_docs for m in manifest) == stages[7].n_docs
+        assert sum(m.n_tokens for m in manifest) == stages[7].n_tokens
+        for m in manifest:
+            assert m.n_packs == (m.n_tokens + 2047) // 2048
+
     def test_basket_size_cap_headroom(self, spark, sf_dir):
         from datafusion_datasource_orc_spark.operators.extras import BASKET_SIZE_CAP
 
