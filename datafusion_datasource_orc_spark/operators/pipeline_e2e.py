@@ -206,22 +206,21 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flags table: row-local columns only, arrays projected AWAY before the
     # barrier (bg exists only to compute r) — the checkpoint materializes
     # ~50 bytes/doc, not the documents
-    flags = (
-        base.select(
-            "doc_id",
-            "source",
-            "toks",
-            "content_hash",
-            "is_eval",
-            "sampled",
-            q.alias("q"),
-            r.alias("r"),
-        )
-        .withColumn("qr", F.col("q") * F.col("r"))
-        .localCheckpoint(eager=False)
-    )
+    flags = base.select(
+        "doc_id",
+        "source",
+        "toks",
+        "content_hash",
+        "is_eval",
+        "sampled",
+        q.alias("q"),
+        r.alias("r"),
+    ).withColumn("qr", F.col("q") * F.col("r"))
     # exact dedup among quality survivors: ONE window over the content
-    # hash; min is taken over qr docs only (min ignores the others' NULLs)
+    # hash; min is taken over qr docs only (min ignores the others' NULLs).
+    # The ONLY barrier sits AFTER the window — the pre-window flags are
+    # consumed exactly once, so an earlier checkpoint would materialize an
+    # intermediate for nothing
     wh = Window.partitionBy("content_hash")
     flags = flags.withColumn(
         "keep_exact",
