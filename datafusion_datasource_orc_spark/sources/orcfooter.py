@@ -491,6 +491,7 @@ def read_rowgroup_statistics(
 # row-group BLOOM FILTERS — membership pruning below statistics
 # ---------------------------------------------------------------------------
 
+_BLOOM_STREAM = 7  # orc_proto Stream.Kind.BLOOM_FILTER (legacy, fixed64 bitset)
 _BLOOM_UTF8_STREAM = 8  # orc_proto Stream.Kind.BLOOM_FILTER_UTF8
 _BLOOM_DEFAULT_SEED = 104729  # ORC/Hive Murmur3 DEFAULT_SEED (public spec)
 _U64 = (1 << 64) - 1
@@ -583,13 +584,22 @@ def bloom_might_contain(bf: dict[str, Any], hash64: int) -> bool:
 def read_bloom_filters(
     path: str, size_hint: int = DEFAULT_TAIL_HINT
 ) -> dict[str, Any]:
-    """Parse the BLOOM_FILTER_UTF8 streams: one BloomFilter PER ROW GROUP
+    """Parse the bloom-filter index streams: one BloomFilter PER ROW GROUP
     per bloom-indexed column (BloomFilterIndex { repeated BloomFilter = 1 },
-    BloomFilter { numHashFunctions=1, utf8bitset=3 }). Together with
-    read_rowgroup_statistics this is the complete row-group pruning input:
-    min/max ranges AND membership — the reference's row-level TODO
-    (src/opener.rs:64-66) exceeded at both axes. Same I/O shape as the
-    row-group stats (tail + two ranged reads per stripe)."""
+    BloomFilter { numHashFunctions=1, bitset=2, utf8bitset=3 }). Both
+    stream kinds are handled: BLOOM_FILTER_UTF8 (kind 8, bitset as bytes)
+    and the LEGACY BLOOM_FILTER (kind 7, bitset as repeated fixed64 —
+    written by pre-ORC-101 Java writers and still emitted under
+    orc.bloom.filter.write.version=original; a 100 TB lake has old files).
+    When a writer emits both kinds for a column, UTF8 wins: for string
+    columns the legacy kind hashed default-charset bytes (the ORC-101 bug
+    the UTF8 kind fixed), so it is only trusted alone. The long/int hash is
+    identical in both kinds; legacy STRING filters match UTF-8 writers only
+    for ASCII data. Together with read_rowgroup_statistics this is the
+    complete row-group pruning input: min/max ranges AND membership — the
+    reference's row-level TODO (src/opener.rs:64-66) exceeded at both axes.
+    Same I/O shape as the row-group stats (tail + two ranged reads per
+    stripe)."""
     footer, _, compression = _read_tail_sections(path, size_hint=size_hint)
     column_names = _footer_column_names(footer)
     stripes: list[dict[str, list[dict[str, Any]]]] = []
@@ -614,7 +624,9 @@ def read_bloom_filters(
                         ln = v2
                 if pos + ln > len(index_region):
                     break  # past the index region: data streams from here on
-                if kind == _BLOOM_UTF8_STREAM and 1 <= col <= len(column_names):
+                if kind in (_BLOOM_STREAM, _BLOOM_UTF8_STREAM) and (
+                    1 <= col <= len(column_names)
+                ):
                     bfi = _decompress_stream(
                         index_region[pos : pos + ln], compression
                     )
@@ -622,23 +634,37 @@ def read_bloom_filters(
                     for f3, _w3, v3 in _fields(bfi):
                         if f3 != 1:  # BloomFilter
                             continue
-                        k, bits = 0, b""
-                        for f4, _w4, v4 in _fields(v3):
+                        k = 0
+                        words: list[int] = []
+                        for f4, w4, v4 in _fields(v3):
                             if f4 == 1:
                                 k = v4
-                            elif f4 == 3:
-                                bits = v4
+                            elif f4 == 2:  # legacy bitset: repeated fixed64
+                                if w4 == 1:  # unpacked: one word per field
+                                    words.append(
+                                        int.from_bytes(v4, "little")
+                                    )
+                                else:  # packed: blob of 8-byte LE words
+                                    words.extend(
+                                        int.from_bytes(v4[i : i + 8], "little")
+                                        for i in range(0, len(v4), 8)
+                                    )
+                            elif f4 == 3:  # utf8bitset: the same longs, bytes
+                                words = [
+                                    int.from_bytes(v4[i : i + 8], "little")
+                                    for i in range(0, len(v4), 8)
+                                ]
                         filters.append(
                             {
                                 "num_hashes": k,
-                                "num_bits": len(bits) * 8,
-                                "words": [
-                                    int.from_bytes(bits[i : i + 8], "little")
-                                    for i in range(0, len(bits), 8)
-                                ],
+                                "num_bits": len(words) * 64,
+                                "words": words,
                             }
                         )
-                    by_col[column_names[col - 1]] = filters
+                    name = column_names[col - 1]
+                    # UTF8 (kind 8) wins when a writer emits both kinds
+                    if kind == _BLOOM_UTF8_STREAM or name not in by_col:
+                        by_col[name] = filters
                 pos += ln
             stripes.append(by_col)
     return {"columns": column_names, "stripes": stripes}

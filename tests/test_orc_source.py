@@ -735,6 +735,73 @@ class TestOrcMetaDataSource:
             )
             assert fp / (n_groups * 100) < 0.05
 
+    def test_bloom_filter_legacy_kind7_streams(self, spark, tmp_path):
+        """Legacy BLOOM_FILTER (kind 7) streams — bitset as repeated fixed64
+        instead of utf8bitset bytes — parse and match: a 100 TB lake holds
+        files from pre-ORC-101 writers, and Spark still emits the legacy
+        kind under orc.bloom.filter.write.version=original. Long hashing is
+        identical across kinds; string probes here are ASCII, where the
+        legacy default-charset hashing coincides with UTF-8 (the non-ASCII
+        divergence is exactly why kind 8 wins when both kinds are present —
+        preference asserted by the parser's docstring contract)."""
+        import glob as _glob
+
+        from datafusion_datasource_orc_spark.sources.orcfooter import (
+            bloom_might_contain,
+            orc_hash_bytes,
+            orc_hash_long,
+            read_bloom_filters,
+        )
+
+        vals = list(range(-100, 2900))
+        stride = 1000
+        df = (
+            spark.createDataFrame(
+                [(v, f"key{abs(v):08d}") for v in vals], "k long, s string"
+            )
+            .coalesce(1)
+            .sortWithinPartitions("k")
+        )
+        out = str(tmp_path / "legacy_bloom")
+        (
+            df.write.mode("overwrite")
+            .option("compression", "snappy")
+            .option("orc.bloom.filter.columns", "k,s")
+            .option("orc.bloom.filter.write.version", "original")
+            .option("orc.row.index.stride", str(stride))
+            .orc(out)
+        )
+        files = _glob.glob(os.path.join(out, "*.orc"))
+        assert len(files) == 1
+        m = read_bloom_filters(files[0])
+        by_col = {}
+        for st in m["stripes"]:
+            for c, fs in st.items():
+                by_col.setdefault(c, []).extend(fs)
+        assert set(by_col) == {"k", "s"}
+        n_groups = len(by_col["k"])
+        assert n_groups >= -(-len(vals) // stride)
+        if n_groups == -(-len(vals) // stride):  # single stripe: per-group
+            for g, bf in enumerate(by_col["k"]):
+                for idx in range(g * stride, min((g + 1) * stride, len(vals))):
+                    assert bloom_might_contain(bf, orc_hash_long(vals[idx]))
+            for g, bf in enumerate(by_col["s"]):
+                for idx in range(g * stride, min((g + 1) * stride, len(vals)), 37):
+                    assert bloom_might_contain(
+                        bf, orc_hash_bytes(f"key{abs(vals[idx]):08d}".encode())
+                    )
+        else:  # multi-stripe: union-of-groups membership
+            for v in vals[::53]:
+                assert any(
+                    bloom_might_contain(bf, orc_hash_long(v)) for bf in by_col["k"]
+                )
+        fp = sum(
+            bloom_might_contain(bf, orc_hash_long(absent))
+            for bf in by_col["k"]
+            for absent in range(7_000_000_000, 7_000_000_100)
+        )
+        assert fp / (n_groups * 100) < 0.05
+
     def test_lz4_block_decoder_inverts_compressor(self):
         """_lz4_block_decompress against pyarrow's lz4_raw COMPRESSOR (the
         same raw block format ORC chunks carry): round-trip across sizes
