@@ -70,6 +70,11 @@ _ROUND_PRIORITY: list[str] = [
     # — filter funnel → exact dedup → minhash-LSH near-dedup →
     # contamination screen → mix sample → pack manifest as ONE query
     "pipeline_end_to_end",
+    # round-8 family extensions: perceptual-hash near-dup (pigeonhole-exact
+    # banding), asymmetric shingle containment, integer-exact EWMA
+    "multimodal_phash_neardup",
+    "dedup_containment",
+    "events_ewma_smooth",
 ]
 
 

@@ -117,8 +117,12 @@ HEADLINE = [
     "text_bigram_commonness",
     "simsearch_ivfpq",
     "embedding_kmeans",
-    # round 8 addition: the composed end-to-end training-data build
+    # round 8 additions: the composed end-to-end training-data build + the
+    # three family extensions
     "pipeline_end_to_end",
+    "multimodal_phash_neardup",
+    "dedup_containment",
+    "events_ewma_smooth",
 ]
 
 

@@ -3,8 +3,10 @@
 line-by-line coverage map)."""
 
 from datafusion_datasource_orc_spark.operators import (  # noqa: F401
+    containment,
     dedup,
     events,
+    ewma,
     extras,
     ingest,
     multimodal,
