@@ -75,6 +75,12 @@ _ROUND_PRIORITY: list[str] = [
     "multimodal_phash_neardup",
     "dedup_containment",
     "events_ewma_smooth",
+    # round-8 additions, second batch: the trainer-feeds-index ANN
+    # composition, the Count-Min frequency sketch, and the epoch shard
+    # balance audit
+    "simsearch_ivf_kmeans",
+    "approx_countmin_tokens",
+    "training_epoch_shard",
 ]
 
 

@@ -123,6 +123,8 @@ HEADLINE = [
     "multimodal_phash_neardup",
     "dedup_containment",
     "events_ewma_smooth",
+    "simsearch_ivf_kmeans",
+    "approx_countmin_tokens",
 ]
 
 
@@ -374,8 +376,6 @@ def main() -> None:
             "value": round(sum(results.values()), 4),
             "unit": "sec",
             "queries": results,
-            "cold_total": round(sum(cold.values()), 4),
-            "warm_total": round(sum(warm.values()), 4),
             "calibration": {"sec": cal_sec, "drift": cal_drift},
             "regression_vs_prev": regression_compact,
             "detail": "bench_detail.json",

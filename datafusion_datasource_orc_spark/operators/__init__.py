@@ -4,15 +4,18 @@ line-by-line coverage map)."""
 
 from datafusion_datasource_orc_spark.operators import (  # noqa: F401
     containment,
+    countmin,
     dedup,
     events,
     ewma,
     extras,
     ingest,
+    ivf_kmeans,
     multimodal,
     pipeline_e2e,
     relational,
     scan,
+    sharding,
     simsearch,
     textstats,
     tpcds,

@@ -1,0 +1,100 @@
+"""Epoch shard assignment + load-balance audit — the "distribute the packed
+corpus to W workers" step a real training-data build runs after sampling
+(training_mix_sample) and packing (training_pack_sequences).
+
+Each sampled document is assigned to one of SHARD_WORKERS shards by an
+md5-based hash of its doc_id (INDEPENDENT of the Knuth sampling hash — a
+correlated shard key would fold the mixture weights into the shard sizes);
+the output is the per-shard manifest row a dataloader consumes: document
+count, token budget, and the shard's token share as an exact
+parts-per-million ratio against a perfectly balanced split.
+
+Exactness discipline: the balance ratio is PURE INTEGER arithmetic —
+ratio_ppm = (shard_tokens * W * 1,000,000) div total_tokens — so both
+engines produce identical BIGINTs with no float rounding to emulate
+(the text_bigram_commonness floor-grid lesson, minus the floats).
+
+Scale shape (100 TB): hash + token heuristic are row-local map-side
+expressions; ONE groupBy(shard) shuffle of W partial rows per executor
+(map-side combinable); the total for the ratio is a 1-row aggregate
+broadcast back over the W-row result (allowlisted tiny crossJoin, the
+tfidf_top_terms shape). No sort, no skew surface — the audit itself proves
+the shards are skew-free before 1,000 dataloader workers each read one.
+
+No reference counterpart: extends the training-pipeline family
+(SURVEY §2C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_datasource_orc_spark.operators.registry import query
+from datafusion_datasource_orc_spark.sources.tables import load_table
+
+SHARD_WORKERS = 16
+# the training_mix_sample membership test (Knuth multiplicative hash),
+# shared so the sharded corpus IS the sampled corpus
+_SAMPLE_RATE_SQL = (
+    "(10 + 4 * (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 10))"
+)
+
+
+def _shard_oracle() -> str:
+    # md5 of the DECIMAL doc_id string: 4 hex chars -> 16-bit value mod W
+    nib = "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {j}, 1)) - 1)"
+    val = " + ".join(f"({nib.format(j=c + 1)} * {16 ** (3 - c)})" for c in range(4))
+    return f"""
+    WITH sampled AS (
+      SELECT doc_id, n_chars // 4 AS toks,
+             (({val}) % {SHARD_WORKERS}) AS shard_id
+      FROM documents
+      WHERE (doc_id * 2654435761) % 4294967296 < {_SAMPLE_RATE_SQL} * 42949672
+    ),
+    per AS (
+      SELECT shard_id, COUNT(*) AS n_docs,
+             CAST(SUM(toks) AS BIGINT) AS shard_tokens
+      FROM sampled GROUP BY shard_id
+    ),
+    tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS total_tokens FROM sampled)
+    SELECT shard_id, n_docs, shard_tokens,
+           (shard_tokens * {SHARD_WORKERS} * 1000000) // total_tokens
+               AS balance_ppm
+    FROM per, tot
+    """
+
+
+@query("training_epoch_shard", oracle=_shard_oracle())
+def training_epoch_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module docstring. balance_ppm = 1,000,000 means the shard holds
+    exactly its fair 1/W share of tokens; the spread across shards is the
+    skew a dataloader would see per epoch."""
+    docs = load_table(spark, sf_dir, "documents")
+    tier = F.regexp_extract("source", r"([0-9]+)$", 1).cast("long") % 10
+    rate_pct = F.lit(10) + F.lit(4) * tier
+    sampled_f = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) < (
+        rate_pct * F.lit(42949672)
+    )
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        % SHARD_WORKERS
+    )
+    sampled = docs.filter(sampled_f).select(
+        shard.alias("shard_id"), F.expr("n_chars div 4").alias("toks")
+    )
+    per = sampled.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("shard_tokens"),
+    )
+    tot = sampled.agg(F.sum("toks").alias("total_tokens"))
+    return per.join(F.broadcast(tot)).select(
+        "shard_id",
+        "n_docs",
+        "shard_tokens",
+        F.expr(
+            f"(shard_tokens * {SHARD_WORKERS} * 1000000) div total_tokens"
+        ).alias("balance_ppm"),
+    )

@@ -1341,13 +1341,10 @@ KM_K = 8
 KM_ITERS = 3
 
 
-def _kmeans_oracle() -> str:
-    """DuckDB twin of the unrolled Lloyd iterations: seeds are the
-    1e-6-truncated components of vec_id < KM_K, each assignment ranks on
-    ROUND(squared-L2, 6) with centroid-id tie-break, each update is an
-    exact decimal-sum mean of truncated components — the
-    embedding_power_iteration discipline applied to clustering, so both
-    engines walk the identical centroid trajectory."""
+def _kmeans_cte_prefix() -> tuple[str, str, str]:
+    """The unrolled-Lloyd CTE chain shared by embedding_kmeans's oracle and
+    simsearch_ivf_kmeans's (trainer-feeds-index composition): returns
+    (cte_body, final_centroids_cte, final_assignment_cte)."""
     steps = []
     prev = "c0"
     for it in range(1, KM_ITERS + 1):
@@ -1375,8 +1372,7 @@ def _kmeans_oracle() -> str:
         )
         prev = f"cl{it}"
     last = KM_ITERS
-    return f"""
-    WITH emb AS MATERIALIZED (
+    body = f"""emb AS MATERIALIZED (
       SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
     ),
     xi AS MATERIALIZED (
@@ -1391,15 +1387,28 @@ def _kmeans_oracle() -> str:
       FROM emb, UNNEST(generate_series(1, {PI_DIMS})) AS u(i)
       WHERE vec_id < {KM_K} GROUP BY vec_id
     ),
-    {', '.join(steps)},
+    {', '.join(steps)}"""
+    return body, f"cl{last}", f"a{last}"
+
+
+def _kmeans_oracle() -> str:
+    """DuckDB twin of the unrolled Lloyd iterations: seeds are the
+    1e-6-truncated components of vec_id < KM_K, each assignment ranks on
+    ROUND(squared-L2, 6) with centroid-id tie-break, each update is an
+    exact decimal-sum mean of truncated components — the
+    embedding_power_iteration discipline applied to clustering, so both
+    engines walk the identical centroid trajectory."""
+    body, cl, a = _kmeans_cte_prefix()
+    return f"""
+    WITH {body},
     sizes AS (
       SELECT cid, COUNT(*) AS n_vecs,
              CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE) AS inertia
-      FROM a{last} GROUP BY cid
+      FROM {a} GROUP BY cid
     )
     SELECT c.cid AS cluster_id, s.n_vecs, s.inertia,
            c.dim, c.c AS component
-    FROM c{last} c JOIN sizes s USING (cid)
+    FROM c{KM_ITERS} c JOIN sizes s USING (cid)
     """
 
 
@@ -1431,6 +1440,31 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from re-deriving prior rounds (the dedup_connected_components barrier
     pattern); at 100 TB the same barrier is a persist of the k x d
     codebook, trivially small."""
+    emb, centroids, assigned = kmeans_train(spark, sf_dir)
+    sizes = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col("d2").cast("decimal(18,6)")).cast("double").alias("inertia"),
+    )
+    final = centroids.select(
+        "cid", F.posexplode("centroid").alias("dim", "component")
+    )
+    return final.join(F.broadcast(sizes), "cid").select(
+        F.col("cid").alias("cluster_id"),
+        "n_vecs",
+        "inertia",
+        "dim",
+        "component",
+    )
+
+
+def kmeans_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The Lloyd trainer shared by embedding_kmeans (reports the codebook)
+    and simsearch_ivf_kmeans (searches with it): returns
+    (emb, centroids, assigned) — the NULL-filtered vec_id-partitioned
+    corpus, the final (cid, centroid) codebook, and the final
+    (vec_id, cid, d2) assignment."""
     # NULL embeddings can't be clustered: excluded on BOTH sides (the
     # oracle's emb CTE mirrors this filter) — see simsearch_ivfpq's note.
     # HASH-PARTITIONED BY vec_id and materialized ONCE (judge r07 task 3):
@@ -1500,17 +1534,4 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
 
-    sizes = assigned.groupBy("cid").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.sum(F.col("d2").cast("decimal(18,6)")).cast("double").alias("inertia"),
-    )
-    final = centroids.select(
-        "cid", F.posexplode("centroid").alias("dim", "component")
-    )
-    return final.join(F.broadcast(sizes), "cid").select(
-        F.col("cid").alias("cluster_id"),
-        "n_vecs",
-        "inertia",
-        "dim",
-        "component",
-    )
+    return emb, centroids, assigned

@@ -28,8 +28,13 @@ ALLOWED_NESTED_LOOP = {
     "composite's level-1 assignment crossJoins the tiny codebook)",
     "embedding_kmeans": "1-row packed-codebook crossJoin per Lloyd E-step — "
     "the map-side-only argmin (array_min over k structs), no corpus shuffle",
+    "simsearch_ivf_kmeans": "the trainer's 1-row packed-codebook E-step "
+    "crossJoins (see embedding_kmeans) plus one more of the same shape for "
+    "probe selection over the 5-query set",
     "dedup_embedding_cosine": "upper-triangle pair generation over the broadcast small side",
     "tfidf_top_terms": "1-row corpus-size aggregate crossJoin'd into scoring",
+    "training_epoch_shard": "1-row total-token aggregate crossJoin'd onto "
+    "the W-row (16) per-shard result for the exact balance ratio",
     "dedup_minhash_lsh": "1-row over-cap-shingle (boilerplate) array aggregate "
     "crossJoin'd onto the verify stream — the df-cap guard's broadcast form",
     "text_vocab_coverage": "1-row total-token aggregate crossJoin'd onto the "

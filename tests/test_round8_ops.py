@@ -121,3 +121,199 @@ class TestEwma:
             if r.event_id == 7
         ][0]
         assert last("recent") > last("old") > 1.0
+
+
+class TestPhashNearDup:
+    def test_banded_recall_is_pigeonhole_exact(self, spark, sf_dir):
+        """With PHASH_BANDS(4) > PHASH_HAMMING(3), at least one 8-bit band
+        of any qualifying pair matches exactly, so the banded LSH path must
+        equal the all-pairs truth computed from the same hashes — exact
+        recall by pigeonhole, independent of the DuckDB oracle."""
+        from datafusion_datasource_orc_spark.operators.multimodal import (
+            PHASH_HAMMING,
+            multimodal_phash_neardup,
+            with_payload,
+            _phash_kernel,
+        )
+
+        got = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in multimodal_phash_neardup(spark, sf_dir).collect()
+        }
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull() & (F.octet_length(F.encode("text", "UTF-8")) > 0)
+        )
+        ph = (
+            with_payload(docs)
+            .select("doc_id", "payload")
+            .mapInPandas(_phash_kernel, schema="doc_id long, phash long")
+        )
+        a = ph.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("ha"))
+        b = ph.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("hb"))
+        truth = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= PHASH_HAMMING)
+            .collect()
+        }
+        assert got == truth
+        assert all(0 <= h <= PHASH_HAMMING and da < db for da, db, h in got)
+
+
+class TestIvfKmeans:
+    def test_candidates_come_from_probed_cells(self, spark, sf_dir):
+        """Every returned neighbor must live in one of its query's probed
+        cells of the TRAINED assignment, rnk must be 1..TOPK dense per
+        query, and d2 must be nondecreasing in rnk — the IVF contract over
+        the k-means codebook."""
+        from datafusion_datasource_orc_spark.operators.ivf_kmeans import (
+            IVFKM_PROBES,
+            IVFKM_QUERIES,
+            IVFKM_TOPK,
+            simsearch_ivf_kmeans,
+        )
+        from datafusion_datasource_orc_spark.operators.simsearch import kmeans_train
+
+        rows = simsearch_ivf_kmeans(spark, sf_dir).collect()
+        _, _, assigned = kmeans_train(spark, sf_dir)
+        cid_of = {r.vec_id: r.cid for r in assigned.collect()}
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r.q_vec_id, []).append(r)
+        assert set(by_q) <= set(range(IVFKM_QUERIES))
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r.rnk)
+            assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+            assert len(rs) <= IVFKM_TOPK
+            d2s = [r.d2 for r in rs]
+            assert d2s == sorted(d2s)
+            # the probed set is at most IVFKM_PROBES distinct cells
+            cells = {cid_of[r.vec_id] for r in rs}
+            assert len(cells) <= IVFKM_PROBES
+            assert all(r.vec_id != q for r in rs)
+
+    def test_recall_vs_exact(self, spark, sf_dir):
+        """3/8 trained cells probed on the random corpus: measured recall
+        0.93 (sf0.001) / 1.0 (sf0.01); bound loosely at 0.6 — trained
+        centroids concentrate mass far better than the untrained
+        simsearch_ivf grid (bounded at 0.3)."""
+        from datafusion_datasource_orc_spark.operators.ivf_kmeans import (
+            simsearch_ivf_kmeans,
+        )
+        from datafusion_datasource_orc_spark.operators.simsearch import (
+            simsearch_knn_join,
+        )
+
+        ivf = {(r.q_vec_id, r.vec_id) for r in simsearch_ivf_kmeans(spark, sf_dir).collect()}
+        exact = {(r.q_vec_id, r.vec_id) for r in simsearch_knn_join(spark, sf_dir).collect()}
+        assert len(ivf & exact) / len(exact) >= 0.6
+
+
+class TestCountMin:
+    def test_no_undercount_and_exact_topk(self, spark, sf_dir):
+        """The CMS guarantee: estimate >= exact for EVERY reported token
+        (each occurrence increments all D of its counters; min can't fall
+        below truth). The reported set must be exactly the top-k of the
+        independently computed exact counts."""
+        from datafusion_datasource_orc_spark.operators.countmin import (
+            CMS_TOP_K,
+            approx_countmin_tokens,
+        )
+
+        rows = approx_countmin_tokens(spark, sf_dir).collect()
+        assert len(rows) == CMS_TOP_K
+        assert all(r.never_underestimates for r in rows)
+        assert all(r.cms_estimate >= r.exact_cnt for r in rows)
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+        exact = (
+            docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+            .filter(F.col("tok") != "")
+            .groupBy("tok")
+            .count()
+            .orderBy(F.col("count").desc(), F.col("tok").asc())
+            .limit(CMS_TOP_K)
+            .collect()
+        )
+        assert {(r.tok, r.exact_cnt) for r in rows} == {
+            (r.tok, r["count"]) for r in exact
+        }
+
+    def test_counters_are_mergeable(self, spark, sf_dir):
+        """The 100 TB property: CMS counters built from two disjoint halves
+        of the corpus sum to the whole-corpus counters — partial sketches
+        bit-add across executors/batches (same contract as the bloom
+        filter's bit_or)."""
+        from datafusion_datasource_orc_spark.operators.countmin import CMS_DEPTH, CMS_WIDTH
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+
+        def counters(df):
+            toks = df.select(
+                F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+            ).filter(F.col("tok") != "")
+            bk = toks.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(d).alias("d"),
+                                (
+                                    F.conv(
+                                        F.substring(F.md5("tok"), 4 * d + 1, 4), 16, 10
+                                    ).cast("bigint")
+                                    % CMS_WIDTH
+                                ).alias("bucket"),
+                            )
+                            for d in range(CMS_DEPTH)
+                        ]
+                    )
+                ).alias("db")
+            )
+            return {
+                (r.db.d, r.db.bucket): r["count"]
+                for r in bk.groupBy("db").count().collect()
+            }
+
+        whole = counters(docs)
+        a = counters(docs.filter(F.col("doc_id") % 2 == 0))
+        b = counters(docs.filter(F.col("doc_id") % 2 == 1))
+        merged: dict = {}
+        for part in (a, b):
+            for k, v in part.items():
+                merged[k] = merged.get(k, 0) + v
+        assert merged == whole
+
+
+class TestEpochShard:
+    def test_partition_and_balance_arithmetic(self, spark, sf_dir):
+        """Shards partition the sampled corpus exactly: doc and token sums
+        equal the independently computed sampled totals, every shard_id is
+        in [0, W), and the integer balance ratios sum to W*1e6 minus only
+        floor losses (< W)."""
+        from datafusion_datasource_orc_spark.operators.sharding import (
+            SHARD_WORKERS,
+            training_epoch_shard,
+        )
+
+        rows = training_epoch_shard(spark, sf_dir).collect()
+        assert all(0 <= r.shard_id < SHARD_WORKERS for r in rows)
+        assert len({r.shard_id for r in rows}) == len(rows)
+        docs = load_table(spark, sf_dir, "documents")
+        tier = F.regexp_extract("source", r"([0-9]+)$", 1).cast("long") % 10
+        rate = F.lit(10) + F.lit(4) * tier
+        sampled = docs.filter(
+            ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296))
+            < rate * F.lit(42949672)
+        )
+        n, toks = sampled.agg(
+            F.count(F.lit(1)), F.sum(F.expr("n_chars div 4"))
+        ).first()
+        assert sum(r.n_docs for r in rows) == n
+        assert sum(r.shard_tokens for r in rows) == toks
+        s = sum(r.balance_ppm for r in rows)
+        assert SHARD_WORKERS * 1_000_000 - SHARD_WORKERS < s <= SHARD_WORKERS * 1_000_000
