@@ -403,13 +403,21 @@ def multimodal_batch_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- perceptual-hash near-duplicate detection --------------------------------
-PHASH_BLOCKS = 32  # 32-bit aHash: block means vs global mean, int64-safe
+PHASH_BLOCKS = 60  # 60-bit aHash: block means vs global mean. 60, not 64:
+# bit 63 is the int64 sign (DuckDB overflow-checks 1<<63) and 60 splits
+# into 4 equal bands; the extra bits over a 32-bit hash keep band buckets
+# SPARSE as the corpus grows (see PHASH_BANDS).
 PHASH_HAMMING = 3  # pairs at hamming <= 3 are near-dups
-PHASH_BANDS = 4  # 4 x 8-bit bands; bands > hamming => pigeonhole-exact recall
+PHASH_BANDS = 4  # 4 x 15-bit bands; bands > hamming => pigeonhole-exact
+# recall, and the 2^15 bucket space per band keeps expected bucket width
+# |corpus|/32768 — candidate pairs stay near-linear in rows where 8-bit
+# bands (2^8 buckets) went quadratic at ~10^4 docs (sf0.5 rehearsal:
+# 7.9x at 5x rows before; ~linear after).
+PHASH_BAND_BITS = 15
 
 
 def _phash_kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: payload bytes -> 32-bit average-hash.
+    """mapInPandas kernel: payload bytes -> 60-bit average-hash.
 
     EXACT integer arithmetic (replicated by the DuckDB oracle): byte j of an
     n-byte payload belongs to block (PHASH_BLOCKS*j)//n; bit b is set iff
@@ -472,16 +480,28 @@ def _phash_kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 )
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-style near-duplicate detection over opaque payload bytes: a
-    32-bit average-hash (block mean vs global mean, exact integer
+    60-bit average-hash (block mean vs global mean, exact integer
     cross-multiplication) computed in the Arrow mapInPandas kernel, banded
-    into {PHASH_BANDS} x 8-bit LSH buckets, candidate pairs expanded with
+    into {PHASH_BANDS} x {PHASH_BAND_BITS}-bit LSH buckets, candidate pairs expanded with
     dedup.lsh_candidate_pairs (one shuffle, width-capped), then verified
     with bit_count(xor) <= {PHASH_HAMMING} JVM-side.
 
     This is the MinHash-for-images rung of the dedup ladder: on real image
     payloads the same plumbing carries a real perceptual hash (pHash/DCT
     from the decoded pixels — the _fake_decode/real_decoder seam); the
-    banding guarantee is hash-agnostic. Unlike minhash's probabilistic
+    banding guarantee is hash-agnostic.
+
+    Threshold note (why hamming <= {PHASH_HAMMING} and not looser): exact
+    banded recall requires radius < bits/bands = band width; widening the
+    radius to catch text payloads that differ by a few words (~13% of bits
+    flip on this synthetic byte corpus) would force 7-bit bands whose 128
+    buckets go quadratic in candidates — near-MISS detection at scale is
+    minhash's probabilistic job, near-IDENTICAL payload detection is this
+    query's. Consequence on the synthetic corpus: qualifying pairs exist
+    from sf0.1 up (8 pairs; byte-identical payloads), zero at sf0.001/0.01
+    — the 0-row gate rows still hash-match (the tpcds_q64 precedent), and
+    the pigeonhole pytest proves recall exactness at every scale
+    independent of row count. Unlike minhash's probabilistic
     banding, {PHASH_BANDS} bands at hamming <= {PHASH_HAMMING} give
     PIGEONHOLE-EXACT recall, so the driver gate proves the full pair set.
 
@@ -506,7 +526,9 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright("phash", 8 * i).bitwiseAND(F.lit(255)).alias("bh"),
+                        F.shiftright("phash", PHASH_BAND_BITS * i)
+                        .bitwiseAND(F.lit((1 << PHASH_BAND_BITS) - 1))
+                        .alias("bh"),
                     )
                     for i in range(PHASH_BANDS)
                 ]
