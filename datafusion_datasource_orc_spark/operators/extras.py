@@ -565,7 +565,22 @@ def map_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LEV_PREFIX = 60
-LEV_MAX = 20
+# Threshold 6, not the round-1 cut's 20: every true pair on this corpus sits
+# at dist <= 4 (measured at sf0.01/0.1: {0: 78, 2: 1, 4: 4}) while 20/60 was
+# pure slack — and a K/L ratio of 1/3 defeats every exact candidate filter
+# (q-gram count bounds go negative, segment keys shrink to 3 chars), forcing
+# the naive per-block all-pairs that went quadratic in the sf0.5 rehearsal
+# (blocks are FIXED in number, so block width grows with the corpus). K=6
+# admits PassJoin segment blocking: near-linear candidates, exact recall.
+LEV_MAX = 6
+LEV_SEGS = LEV_MAX + 1  # pigeonhole: <=K edits leave >=1 of K+1 segments intact
+
+
+def _lev_seg_bounds() -> list[tuple[int, int]]:
+    """(start, length) 1-based segment boundaries of an even K+1-split of
+    the full LEV_PREFIX-char prefix."""
+    cuts = [(LEV_PREFIX * i) // LEV_SEGS for i in range(LEV_SEGS + 1)]
+    return [(cuts[i] + 1, cuts[i + 1] - cuts[i]) for i in range(LEV_SEGS)]
 
 
 @query(
@@ -585,33 +600,97 @@ LEV_MAX = 20
     """,
 )
 def fuzzy_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance fuzzy pairs with blocking: candidate pairs only within
-    (lang, n_chars//100) blocks, levenshtein on a fixed-length prefix.
-    Blocking turns the quadratic comparison into per-block quadratics (the
-    classic record-linkage move); at 100 TB, tighten blocks (more key bits)
-    or pre-filter with minhash before paying edit distance, which is the
-    expensive verifier here, not the candidate generator."""
+    """Edit-distance fuzzy pairs within (lang, n_chars//100) blocks,
+    levenshtein on a fixed-length prefix — with EXACT PassJoin segment
+    blocking (Li et al., VLDB'12) generating the candidates instead of
+    per-block all-pairs: the block count is fixed, so block width grows
+    with the corpus and all-pairs went 25x-at-5x-rows in the sf0.5
+    rehearsal while the OUTPUT stays sparse (77 rows at sf0.1).
+
+    The filter: a full-prefix pair with lev <= {LEV_MAX} must match one of
+    the {LEV_SEGS} even segments of doc_a's prefix EXACTLY somewhere in
+    doc_b's prefix within a +/-{LEV_MAX} position shift (<= K edits leave a
+    segment untouched, and indels before it displace it by at most K). So
+    doc_a emits {LEV_SEGS} (block, i, segment) keys, doc_b emits the
+    {LEV_SEGS} x (2K+1) shifted substrings, candidates come from the
+    equality join (selective 8-9-char keys), and levenshtein runs once per
+    candidate. Documents whose prefix is shorter than {LEV_PREFIX} chars
+    (~2% here; fixed-boundary pigeonhole doesn't cover them) pair against
+    everything through the old block join — a broadcast of a tiny set, so
+    the union stays near-linear. Both paths land in one exact verify, and
+    the DuckDB oracle keeps the naive formulation, making the driver gate
+    an equivalence proof of the PassJoin path."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 100).cast("long").alias("size_bucket"),
         F.substring("text", 1, LEV_PREFIX).alias("prefix"),
+    ).localCheckpoint(eager=False)
+    bounds = _lev_seg_bounds()
+    full = d.filter(F.length("prefix") == LEV_PREFIX)
+    a_keys = full.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "size_bucket",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.substring("prefix", s, ln).alias("sub"),
+                    )
+                    for i, (s, ln) in enumerate(bounds)
+                ]
+            )
+        ).alias("k"),
+    ).select("doc_a", "lang", "size_bucket", F.col("k.i").alias("i"), F.col("k.sub").alias("sub"))
+    b_keys = full.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        "size_bucket",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.substring("prefix", p, ln).alias("sub"),
+                    )
+                    for i, (s, ln) in enumerate(bounds)
+                    for p in range(max(1, s - LEV_MAX), min(LEV_PREFIX - ln + 1, s + LEV_MAX) + 1)
+                ]
+            )
+        ).alias("k"),
+    ).select("doc_b", "lang", "size_bucket", F.col("k.i").alias("i"), F.col("k.sub").alias("sub"))
+    cand_seg = (
+        a_keys.join(b_keys, ["lang", "size_bucket", "i", "sub"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
     )
-    a, b = d.alias("a"), d.alias("b")
-    dist = F.levenshtein(F.col("a.prefix"), F.col("b.prefix"))
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.size_bucket") == F.col("b.size_bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    short = d.filter(F.length("prefix") < LEV_PREFIX)
+    cand_short = (
+        F.broadcast(
+            short.select(F.col("doc_id").alias("s_id"), "lang", "size_bucket")
         )
+        .join(d.select(F.col("doc_id").alias("o_id"), "lang", "size_bucket"), ["lang", "size_bucket"])
+        .filter(F.col("s_id") != F.col("o_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            dist.alias("dist"),
+            F.least("s_id", "o_id").alias("doc_a"),
+            F.greatest("s_id", "o_id").alias("doc_b"),
         )
+    )
+    cand = cand_seg.union(cand_short).distinct()
+    dist = F.levenshtein(F.col("pa"), F.col("pb"))
+    return (
+        cand.join(
+            d.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa")),
+            "doc_a",
+        )
+        .join(
+            d.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", dist.alias("dist"))
         .filter(F.col("dist") <= LEV_MAX)
     )
 

@@ -317,3 +317,46 @@ class TestEpochShard:
         assert sum(r.shard_tokens for r in rows) == toks
         s = sum(r.balance_ppm for r in rows)
         assert SHARD_WORKERS * 1_000_000 - SHARD_WORKERS < s <= SHARD_WORKERS * 1_000_000
+
+
+class TestFuzzyPassJoin:
+    def test_equals_naive_block_join(self, spark, sf_dir):
+        """The PassJoin segment path must return EXACTLY the naive
+        per-block all-pairs result — the prefix lemma (one of K+1 segments
+        survives <=K edits within a +/-K shift) is recall-exact, and the
+        verify step reuses the same levenshtein/threshold."""
+        from datafusion_datasource_orc_spark.operators.extras import (
+            LEV_MAX,
+            LEV_PREFIX,
+            fuzzy_pairs_levenshtein,
+        )
+
+        got = {
+            (r.doc_a, r.doc_b, r.dist)
+            for r in fuzzy_pairs_levenshtein(spark, sf_dir).collect()
+        }
+        docs = load_table(spark, sf_dir, "documents")
+        d = docs.select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") / 100).cast("long").alias("size_bucket"),
+            F.substring("text", 1, LEV_PREFIX).alias("prefix"),
+        )
+        a, b = d.alias("a"), d.alias("b")
+        naive = {
+            (r.doc_a, r.doc_b, r.dist)
+            for r in a.join(
+                b,
+                (F.col("a.lang") == F.col("b.lang"))
+                & (F.col("a.size_bucket") == F.col("b.size_bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("dist"),
+            )
+            .filter(F.col("dist") <= LEV_MAX)
+            .collect()
+        }
+        assert got == naive
