@@ -47,6 +47,29 @@ def _bucket_sql(d: int) -> str:
     return f"(({val}) % {CMS_WIDTH})"
 
 
+def cms_bucket(d: int) -> "F.Column":
+    """Row d's bucket for string column ``tok``: 4 md5 hex chars at offset
+    4d as a 16-bit value, mod CMS_WIDTH — the Spark twin of _bucket_sql."""
+    return (
+        F.conv(F.substring(F.md5("tok"), 4 * d + 1, 4), 16, 10).cast("bigint")
+        % CMS_WIDTH
+    )
+
+
+def explode_cms_buckets() -> "F.Column":
+    """explode() of the CMS_DEPTH (d, bucket) structs for column ``tok`` —
+    shared by the batch query and the streaming twin
+    (streaming/sketches.py) so both build bit-identical counters."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(d).alias("d"), cms_bucket(d).alias("bucket"))
+                for d in range(CMS_DEPTH)
+            ]
+        )
+    )
+
+
 def _countmin_oracle() -> str:
     buckets = " UNION ALL ".join(
         f"SELECT tok, cnt, {d} AS d, {_bucket_sql(d)} AS bucket FROM cnt"
@@ -91,24 +114,10 @@ def approx_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-
-    def bucket(d: int) -> F.Column:
-        return (
-            F.conv(F.substring(F.md5("tok"), 4 * d + 1, 4), 16, 10).cast("bigint")
-            % CMS_WIDTH
-        )
-
     bk = cnt.select(
         "tok",
         "cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(d).alias("d"), bucket(d).alias("bucket"))
-                    for d in range(CMS_DEPTH)
-                ]
-            )
-        ).alias("db"),
+        explode_cms_buckets().alias("db"),
     ).select("tok", "cnt", F.col("db.d").alias("d"), F.col("db.bucket").alias("bucket"))
     counters = bk.groupBy("d", "bucket").agg(F.sum("cnt").alias("c"))
 

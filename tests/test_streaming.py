@@ -310,3 +310,45 @@ def test_incremental_ingest_discover_probe_admit_exactly_once(
     # replay over the same checkpoint with no new files: nothing re-admitted
     start().awaitTermination()
     assert spark.read.orc(out).count() == len(ids)
+
+
+def test_stream_countmin_counters_equal_batch(spark, sf_dir, tmp_path_factory):
+    """The streaming CMS counter build must be BIT-IDENTICAL to the batch
+    counters over the same corpus (integer sums have no streaming
+    approximation), with multi-file triggers exercising the incremental
+    partial-counter merge."""
+    from pyspark.sql import functions as F
+
+    from datafusion_datasource_orc_spark.operators.countmin import (
+        explode_cms_buckets,
+    )
+    from datafusion_datasource_orc_spark.sources.tables import load_table
+    from datafusion_datasource_orc_spark.streaming.sketches import (
+        documents_stream,
+        stream_countmin_counters,
+    )
+    from datafusion_datasource_orc_spark.streaming.events import run_stream_to_memory
+
+    d = str(tmp_path_factory.mktemp("docs_stream"))
+    docs = load_table(spark, sf_dir, "documents")
+    # several files so availableNow runs multiple micro-batches
+    docs.repartition(4).write.mode("overwrite").parquet(d)
+
+    got = {
+        (r.d, r.bucket): r.c
+        for r in run_stream_to_memory(
+            stream_countmin_counters(documents_stream(spark, d, max_files_per_trigger=1)),
+            "cms_counters",
+        ).collect()
+    }
+    batch = {
+        (r["db"]["d"], r["db"]["bucket"]): r["count"]
+        for r in docs.filter(F.col("text").isNotNull())
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select(explode_cms_buckets().alias("db"))
+        .groupBy("db")
+        .count()
+        .collect()
+    }
+    assert got == batch
