@@ -81,6 +81,8 @@ _ROUND_PRIORITY: list[str] = [
     "simsearch_ivf_kmeans",
     "approx_countmin_tokens",
     "training_epoch_shard",
+    # round-8, third batch: the encodings axis of the ORC metadata ladder
+    "orc_encoding_stats",
 ]
 
 

@@ -12,6 +12,7 @@ from datafusion_datasource_orc_spark.operators import (  # noqa: F401
     ingest,
     ivf_kmeans,
     multimodal,
+    orc_encodings,
     pipeline_e2e,
     relational,
     scan,

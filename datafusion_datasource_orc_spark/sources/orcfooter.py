@@ -668,3 +668,48 @@ def read_bloom_filters(
                 pos += ln
             stripes.append(by_col)
     return {"columns": column_names, "stripes": stripes}
+
+
+_ENCODING_KINDS = {0: "DIRECT", 1: "DICTIONARY", 2: "DIRECT_V2", 3: "DICTIONARY_V2"}
+
+
+def read_column_encodings(
+    path: str, size_hint: int = DEFAULT_TAIL_HINT
+) -> list[dict[str, Any]]:
+    """Parse per-stripe column encodings from the StripeFooter
+    (StripeFooter { repeated Stream = 1; repeated ColumnEncoding = 2 },
+    ColumnEncoding { Kind kind = 1; uint32 dictionarySize = 2 }) — the
+    fourth axis of the metadata ladder after file/stripe/row-group stats
+    and bloom membership: WHICH physical encoding each column got and, for
+    dictionary encodings, the exact dictionary cardinality. The encoding
+    list is ordered by flattened type id (root struct = 0, column j = j+1,
+    the same numbering the bloom layout uses). Same I/O shape as the other
+    stripe readers: tail read + one ranged stripe-footer read per stripe."""
+    footer, _, compression = _read_tail_sections(path, size_hint=size_hint)
+    column_names = _footer_column_names(footer)
+    out: list[dict[str, Any]] = []
+    with open(path, "rb") as f:
+        for sidx, info in enumerate(_footer_stripe_infos(footer)):
+            f.seek(info["offset"] + info["index_len"] + info["data_len"])
+            sfooter = _decompress_stream(f.read(info["footer_len"]), compression)
+            cid = 0
+            for fno, _wt, v in _fields(sfooter):
+                if fno != 2:  # ColumnEncoding
+                    continue
+                kind, dsz = 0, 0
+                for f2, _w2, v2 in _fields(v):
+                    if f2 == 1:
+                        kind = v2
+                    elif f2 == 2:
+                        dsz = v2
+                if cid >= 1 and cid <= len(column_names):  # skip the root struct
+                    out.append(
+                        {
+                            "stripe": sidx,
+                            "column": column_names[cid - 1],
+                            "encoding": _ENCODING_KINDS.get(kind, f"UNKNOWN_{kind}"),
+                            "dictionary_size": dsz,
+                        }
+                    )
+                cid += 1
+    return out

@@ -51,10 +51,13 @@ def _stats_mode(options: dict) -> str | None:
         return "rowgroups"
     if raw == "bloom":
         return "bloom"
+    if raw in ("encodings", "encoding"):
+        return "encodings"
     if raw in ("", "false", "0", "no"):
         return None
     raise ValueError(
-        f"orcmeta: unknown stats mode {raw!r} (file|stripes|rowgroups|bloom)"
+        f"orcmeta: unknown stats mode {raw!r} "
+        "(file|stripes|rowgroups|bloom|encodings)"
     )
 
 
@@ -160,6 +163,24 @@ class OrcMetadataReader(DataSourceReader):
         # picklable (the documented pattern for non-serializable resources)
         if self.stats == "bloom":
             yield from _bloom_rows(partition.path, *self.bloom, self.size_hint)
+            return
+        if self.stats == "encodings":
+            from datafusion_datasource_orc_spark.sources.orcfooter import (
+                DEFAULT_TAIL_HINT,
+                read_column_encodings,
+            )
+
+            fname = os.path.basename(partition.path)
+            for e in read_column_encodings(
+                partition.path, size_hint=self.size_hint or DEFAULT_TAIL_HINT
+            ):
+                yield (
+                    fname,
+                    e["stripe"],
+                    e["column"],
+                    e["encoding"],
+                    e["dictionary_size"],
+                )
             return
         if self.stats:
             yield from _stats_rows(partition.path, self.stats, self.size_hint)
@@ -408,6 +429,14 @@ class OrcMetadataDataSource(DataSource):
             return (
                 "file_name STRING, stripe_id INT, row_group_id INT, "
                 "probe STRING, bloom_maybe BOOLEAN"
+            )
+        if mode == "encodings":
+            # option("stats","encodings"): one row per (file, stripe,
+            # column) with the StripeFooter's physical encoding kind and
+            # dictionary cardinality — the fourth metadata axis
+            return (
+                "file_name STRING, stripe_id INT, column_name STRING, "
+                "encoding STRING, dictionary_size BIGINT"
             )
         return (
             "file_index INT, file_name STRING, num_rows BIGINT, "

@@ -275,3 +275,49 @@ def orc_bloom_dir_for(
         )
     _ORC_CACHE[cache_key] = path
     return path
+
+
+# Columns materialized for the encoding-stats layout: three low-cardinality
+# strings (dictionary candidates) and one int64 (always DIRECT_V2).
+ENCODING_COLUMNS = ("l_orderkey", "l_returnflag", "l_linestatus")
+
+
+def orc_encoding_dir_for(sf_dir: str, name: str = "lineitem") -> str:
+    """Two single-stripe ORC variants of the same projection, differing ONLY
+    in the writer's dictionary decision: `direct` is written with
+    dictionary_key_size_threshold=0.0 (pyarrow's default — every column
+    DIRECT_V2) and `dict` with 1.0 (every string column DICTIONARY_V2,
+    dictionarySize = the stripe's exact distinct count). Thresholds 0/1
+    make the encoding choice DETERMINISTIC by construction — no replication
+    of the Java writer's 0.8 sampling heuristic — which is what lets a
+    DuckDB oracle pin the parsed encodings with literals + COUNT(DISTINCT).
+    Single stripe asserted so dictionarySize equals the whole file's ndv."""
+    import pyarrow.orc as porc
+    import pyarrow.parquet as pq
+
+    cache_key = (os.path.abspath(sf_dir), f"{name}#encodings")
+    path = _ORC_CACHE.get(cache_key)
+    if path and os.path.isdir(path):
+        return path
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(_orc_root(), sf_tag, f"{name}_encodings")
+    os.makedirs(path, exist_ok=True)
+    table = pq.read_table(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=list(ENCODING_COLUMNS)
+    )
+    for tag, thr in (("direct", 0.0), ("dict", 1.0)):
+        out = os.path.join(path, f"{tag}.orc")
+        porc.write_table(
+            table,
+            out,
+            compression="snappy",
+            dictionary_key_size_threshold=thr,
+            stripe_size=512 * 1024 * 1024,
+        )
+        nstripes = porc.ORCFile(out).nstripes
+        assert nstripes == 1, (
+            f"encoding layout {out} spans {nstripes} stripes; dictionarySize "
+            "would be per-stripe, not per-file — raise stripe_size"
+        )
+    _ORC_CACHE[cache_key] = path
+    return path

@@ -360,3 +360,65 @@ class TestFuzzyPassJoin:
             .collect()
         }
         assert got == naive
+
+
+class TestColumnEncodings:
+    def test_pyarrow_written_thresholds(self, spark, tmp_path):
+        """Threshold 0.0 → every column DIRECT_V2; 1.0 → strings
+        DICTIONARY_V2 with dictionarySize == exact ndv, ints unaffected."""
+        import pyarrow as pa
+        import pyarrow.orc as porc
+
+        from datafusion_datasource_orc_spark.sources.orcfooter import (
+            read_column_encodings,
+        )
+
+        t = pa.table(
+            {
+                "flag": pa.array(["A", "B", "C", "A", "B"] * 100),
+                "num": pa.array(list(range(500)), type=pa.int64()),
+            }
+        )
+        p0 = str(tmp_path / "direct.orc")
+        p1 = str(tmp_path / "dict.orc")
+        porc.write_table(t, p0, dictionary_key_size_threshold=0.0)
+        porc.write_table(t, p1, dictionary_key_size_threshold=1.0)
+        by = {e["column"]: e for e in read_column_encodings(p0)}
+        assert by["flag"]["encoding"] == "DIRECT_V2"
+        assert by["num"]["encoding"] == "DIRECT_V2"
+        by = {e["column"]: e for e in read_column_encodings(p1)}
+        assert by["flag"]["encoding"] == "DICTIONARY_V2"
+        assert by["flag"]["dictionary_size"] == 3
+        assert by["num"]["encoding"] == "DIRECT_V2"
+
+    def test_spark_java_writer_parses(self, spark, sf_dir, tmp_path):
+        """The parser must read Spark's Java ORC writer too (the writer
+        interop the bloom tests established): its default dictionary
+        heuristic (orc.dictionary.key.threshold=0.8) dictionary-encodes a
+        3-value string column, and the parsed dictionarySize equals the
+        column's exact distinct count."""
+        from pyspark.sql import functions as F
+
+        from datafusion_datasource_orc_spark.sources.orcfooter import (
+            read_column_encodings,
+        )
+        from datafusion_datasource_orc_spark.sources.tables import load_table
+
+        d = str(tmp_path / "java_orc")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag"
+        )
+        li.coalesce(1).write.mode("overwrite").orc(d)
+        import glob
+
+        files = glob.glob(f"{d}/part-*.orc")
+        assert len(files) == 1
+        encs = read_column_encodings(files[0])
+        by = {(e["stripe"], e["column"]): e for e in encs}
+        ndv = li.select(F.countDistinct("l_returnflag")).first()[0]
+        for (s, col), e in by.items():
+            if col == "l_returnflag":
+                assert e["encoding"] == "DICTIONARY_V2"
+                assert 1 <= e["dictionary_size"] <= ndv
+            else:
+                assert e["encoding"].startswith("DIRECT")
