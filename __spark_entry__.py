@@ -82,7 +82,9 @@ _ROUND_PRIORITY: list[str] = [
     "approx_countmin_tokens",
     "training_epoch_shard",
     # round-8, third batch: the encodings axis of the ORC metadata ladder
+    # and the lexical+vector RRF retrieval composition
     "orc_encoding_stats",
+    "simsearch_hybrid_rrf",
 ]
 
 

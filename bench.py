@@ -125,6 +125,7 @@ HEADLINE = [
     "events_ewma_smooth",
     "simsearch_ivf_kmeans",
     "approx_countmin_tokens",
+    "simsearch_hybrid_rrf",
 ]
 
 

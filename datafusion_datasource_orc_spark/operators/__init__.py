@@ -9,6 +9,7 @@ from datafusion_datasource_orc_spark.operators import (  # noqa: F401
     events,
     ewma,
     extras,
+    hybrid,
     ingest,
     ivf_kmeans,
     multimodal,

@@ -33,6 +33,9 @@ ALLOWED_NESTED_LOOP = {
     "probe selection over the 5-query set",
     "dedup_embedding_cosine": "upper-triangle pair generation over the broadcast small side",
     "tfidf_top_terms": "1-row corpus-size aggregate crossJoin'd into scoring",
+    "simsearch_hybrid_rrf": "1-row corpus-size aggregate (lexical idf) + "
+    "3-row query-vector broadcast onto the corpus scan — the "
+    "tfidf/bruteforce shapes composed",
     "training_epoch_shard": "1-row total-token aggregate crossJoin'd onto "
     "the W-row (16) per-shard result for the exact balance ratio",
     "dedup_minhash_lsh": "1-row over-cap-shingle (boilerplate) array aggregate "

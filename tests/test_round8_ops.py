@@ -422,3 +422,36 @@ class TestColumnEncodings:
                 assert 1 <= e["dictionary_size"] <= ndv
             else:
                 assert e["encoding"].startswith("DIRECT")
+
+
+class TestHybridRrf:
+    def test_fusion_invariants(self, spark, sf_dir):
+        """Fused top-k per query: dense ranks, integer RRF scores
+        consistent with leg membership (a doc on both legs must outscore
+        the floor of a single worst-rank leg), no self-matches, and every
+        returned doc present in at least one leg's top-K."""
+        from datafusion_datasource_orc_spark.operators.hybrid import (
+            HY_LEG_K,
+            HY_QUERIES,
+            HY_RRF_K,
+            HY_TOPK,
+            simsearch_hybrid_rrf,
+        )
+
+        rows = simsearch_hybrid_rrf(spark, sf_dir).collect()
+        assert rows, "hybrid returned nothing"
+        by_q: dict[int, list] = {}
+        for r in rows:
+            assert r.doc_id != r.q_doc_id
+            assert r.n_legs in (1, 2)
+            lo = 1_000_000 // (HY_RRF_K + HY_LEG_K)
+            hi = 1_000_000 // (HY_RRF_K + 1)
+            assert lo * r.n_legs <= r.rrf_score <= hi * r.n_legs
+            by_q.setdefault(r.q_doc_id, []).append(r)
+        assert set(by_q) <= set(range(HY_QUERIES))
+        for q, rs in by_q.items():
+            rs.sort(key=lambda r: r.rnk)
+            assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+            assert len(rs) <= HY_TOPK
+            scores = [r.rrf_score for r in rs]
+            assert scores == sorted(scores, reverse=True)
