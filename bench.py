@@ -366,7 +366,7 @@ def main() -> None:
     # bench_detail.json.
     regression_compact = {
         k: regression[k]
-        for k in ("vs", "n", "geomean", "prev_drift", "error")
+        for k in ("vs", "geomean", "error")
         if k in regression
     }
     if "flagged" in regression:
