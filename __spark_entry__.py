@@ -60,11 +60,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Round-8 front 50 (judge r07 tasks 1/5/6): the never-stamped pool hit
-# zero in r07, so tier 1 holds only this round's additions; the remaining
-# ~49 slots drain the OLDEST stale re-certifications — tier 2 is now
-# sorted by each query's recorded stamp round ascending (oldest evidence
-# first), so the r02/r03-era stamps in extras/textstats/scan/tpcds
-# re-certify before the r05/r06 ones.
+# zero in r07, so tier 1 holds only this round's additions (9 by round-8
+# end); the remaining ~41 slots drain the OLDEST stale re-certifications —
+# tier 2 is sorted by each query's recorded stamp round ascending (oldest
+# evidence first), so the r02/r03-era stamps in extras/textstats/scan/
+# tpcds re-certify before the r05/r06 ones.
 _ROUND_PRIORITY: list[str] = [
     # round-8 addition (judge r07 task 6): the composed training-data build
     # — filter funnel → exact dedup → minhash-LSH near-dedup →
