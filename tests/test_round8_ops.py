@@ -455,3 +455,135 @@ class TestHybridRrf:
             assert len(rs) <= HY_TOPK
             scores = [r.rrf_score for r in rs]
             assert scores == sorted(scores, reverse=True)
+
+
+class TestPrefixFilterLemmas:
+    """Property tests for the two candidate-generation lemmas the round-8
+    rewrites rely on — pure-Python replicas of the exact key logic, so
+    hypothesis can hammer them without a Spark round-trip per example (the
+    Spark paths are pinned separately by the naive-equivalence tests)."""
+
+    def test_passjoin_segment_lemma(self):
+        import random
+
+        from datafusion_datasource_orc_spark.operators.extras import (
+            LEV_MAX,
+            LEV_PREFIX,
+            _lev_seg_bounds,
+        )
+
+        def lev(a: str, b: str) -> int:
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                    )
+                prev = cur
+            return prev[-1]
+
+        rng = random.Random(8)
+        bounds = _lev_seg_bounds()
+        for trial in range(300):
+            s1 = "".join(rng.choice("abcd") for _ in range(LEV_PREFIX + 10))
+            s2 = list(s1)
+            for _ in range(rng.randint(0, LEV_MAX)):
+                op = rng.choice("sid")
+                pos = rng.randrange(len(s2))
+                if op == "s":
+                    s2[pos] = rng.choice("abcd")
+                elif op == "i":
+                    s2.insert(pos, rng.choice("abcd"))
+                elif len(s2) > 1:
+                    del s2[pos]
+            p1, p2 = s1[:LEV_PREFIX], "".join(s2)[:LEV_PREFIX]
+            if len(p2) < LEV_PREFIX or lev(p1, p2) > LEV_MAX:
+                continue
+            # the lemma: some segment of p1 appears EXACTLY in p2 within
+            # a +/-LEV_MAX shift of its own position
+            found = False
+            for start, ln in bounds:
+                seg = p1[start - 1 : start - 1 + ln]
+                for p in range(
+                    max(1, start - LEV_MAX),
+                    min(LEV_PREFIX - ln + 1, start + LEV_MAX) + 1,
+                ):
+                    if p2[p - 1 : p - 1 + ln] == seg:
+                        found = True
+                        break
+                if found:
+                    break
+            assert found, (trial, p1, p2, lev(p1, p2))
+
+    def test_ppjoin_prefix_and_filters_lemma(self):
+        import random
+
+        from datafusion_datasource_orc_spark.operators.dedup import (
+            JACCARD_THRESHOLD,
+            JT_DEN,
+            JT_NUM,
+        )
+
+        rng = random.Random(8)
+        for trial in range(500):
+            universe = list(range(200))
+            na = rng.randint(5, 60)
+            a = set(rng.sample(universe, na))
+            # bias toward qualifying pairs: start from a subset of A
+            keep = rng.randint(0, na)
+            b = set(rng.sample(sorted(a), keep))
+            b |= set(rng.sample(universe, rng.randint(0, 30)))
+            inter = len(a & b)
+            j = inter / len(a | b) if a | b else 0.0
+            if j < JACCARD_THRESHOLD or not a or not b:
+                continue
+            # global rare-first order stand-in: plain integer order (the
+            # lemma holds for ANY global total order)
+            sa, sb = sorted(a), sorted(b)
+            pa = len(sa) - (len(sa) * JT_NUM + JT_DEN - 1) // JT_DEN + 1
+            pb = len(sb) - (len(sb) * JT_NUM + JT_DEN - 1) // JT_DEN + 1
+            pref_a, pref_b = set(sa[:pa]), set(sb[:pb])
+            common_pref = pref_a & pref_b
+            assert common_pref, (trial, sorted(a), sorted(b), j)
+            # the size filter must admit the pair
+            assert len(sb) * JT_NUM <= len(sa) * JT_DEN
+            assert len(sa) * JT_NUM <= len(sb) * JT_DEN
+            # the positional filter must admit it at the FIRST common
+            # element of the canonical order
+            first = min(common_pref)
+            ra, rb = sa.index(first) + 1, sb.index(first) + 1
+            alpha = (
+                JT_NUM * (len(sa) + len(sb)) + JT_NUM + JT_DEN - 1
+            ) // (JT_NUM + JT_DEN)
+            assert 1 + min(len(sa) - ra, len(sb) - rb) >= alpha, (
+                trial, sorted(a), sorted(b)
+            )
+
+    def test_containment_prefix_lemma(self):
+        import random
+
+        from datafusion_datasource_orc_spark.operators.containment import (
+            CONTAIN_DEN,
+            CONTAIN_MIN_SHINGLES,
+            CONTAIN_NUM,
+        )
+
+        rng = random.Random(8)
+        for trial in range(500):
+            universe = list(range(200))
+            na = rng.randint(CONTAIN_MIN_SHINGLES, 60)
+            a = set(rng.sample(universe, na))
+            drop = rng.randint(0, na)
+            b = set(rng.sample(sorted(a), na - drop))
+            b |= set(rng.sample(universe, rng.randint(0, 60)))
+            inter = len(a & b)
+            if CONTAIN_DEN * inter < CONTAIN_NUM * len(a):
+                continue
+            sa = sorted(a)
+            m_plus_1 = (
+                len(sa)
+                - (len(sa) * CONTAIN_NUM + CONTAIN_DEN - 1) // CONTAIN_DEN
+                + 1
+            )
+            assert set(sa[:m_plus_1]) & b, (trial, sorted(a), sorted(b))
