@@ -246,3 +246,24 @@ def stream_to_orc(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_session_windows(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators.events.events_session_window: gap-based
+    (30-minute) sessionization via the native session_window operator under
+    a watermark — the 100 TB streaming-sessionization path the batch
+    docstring promises. State per (user, open session) only; the watermark
+    closes sessions and evicts state, which is what makes indefinite
+    sessionization of an unbounded feed feasible at all."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.floor(F.col("w.start").cast("double")).cast("long").alias(
+                "session_start_epoch"
+            ),
+        )
+    )

@@ -352,3 +352,30 @@ def test_stream_countmin_counters_equal_batch(spark, sf_dir, tmp_path_factory):
         .collect()
     }
     assert got == batch
+
+
+def test_stream_session_windows_equal_batch(spark, sf_dir, stream_dir):
+    """Streaming gap-sessionization over all available input must equal the
+    batch session_window operator on the same rows (watermark wide enough
+    that no session is dropped as late)."""
+    from datafusion_datasource_orc_spark.operators.events import (
+        events_session_window,
+    )
+    from datafusion_datasource_orc_spark.streaming.events import (
+        stream_session_windows,
+    )
+
+    got = {
+        (r.user_id, r.session_start_epoch, r.n_events)
+        for r in run_stream_to_memory(
+            stream_session_windows(
+                events_stream(spark, stream_dir), watermark="365 days"
+            ),
+            "sessions_stream",
+        ).collect()
+    }
+    want = {
+        (r.user_id, r.session_start_epoch, r.n_events)
+        for r in events_session_window(spark, sf_dir).collect()
+    }
+    assert got == want
