@@ -28,16 +28,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # on this box (same query: 3.6s-90s wall clock under external load)
 ITERATIONS = int(os.environ.get("BENCH_ITERATIONS", "3"))
 
-# --- host-load calibration (judge r07 task 2) -------------------------------
-# A fixed CPU-bound probe — deterministic in-memory aggregate over a generated
-# range, zero I/O, whole-stage-codegen — timed at harness start and end.
-# drift = probe_time / CAL_REFERENCE measures how loaded THIS run's box is
-# relative to the pinned idle-box reference; regression flags are computed on
-# drift-NORMALIZED times so a uniformly loaded host (the BENCH_r07 episode:
-# ~1.33x drift produced 4 spurious flags the judge had to adjudicate) cannot
-# fake a plan regression. Raw ratios stay in bench_detail.json.
+# --- host-load calibration (judge r07 task 2; r08 task 2) -------------------
+# TWO fixed probes timed at harness start and end, drift = max of the legs:
+#
+# 1. CPU leg — deterministic in-memory aggregate over a generated range,
+#    zero I/O, whole-stage-codegen. Catches pure CPU contention.
+# 2. SHUFFLE leg (round 9) — range -> repartition(64, key) -> hash aggregate:
+#    a real exchange (serialize, spill-path shuffle writes/reads, hash-table
+#    build), i.e. the memory-bandwidth + disk axes Spark queries actually
+#    contend on. BENCH_r08 proved the CPU leg alone is blind to these: the
+#    probe read 0.93 while every query ran uniformly +44% on the loaded
+#    driver box. max() is correct because host load can only SLOW a leg —
+#    whichever axis is contended shows up as the larger drift.
+#
+# drift = probe_time / reference measures how loaded THIS run's box is
+# relative to the pinned idle-box references; regression flags are computed
+# on drift-NORMALIZED times so a uniformly loaded host (the BENCH_r07
+# episode: ~1.33x drift produced 4 spurious flags the judge had to
+# adjudicate) cannot fake a plan regression. Raw ratios stay in
+# bench_detail.json.
 _CAL_ROWS = 6_000_000_000
 CAL_REFERENCE = 1.42  # idle-box best-of-3 seconds, measured r08 on local[32]
+_SHUF_ROWS = 60_000_000
+_SHUF_KEYS = 1_000_000
+# idle-box best-of-5 seconds, measured r09 on local[32] across 4 sessions
+# (session floors 1.66-1.95; the shuffle path has ~2x the CPU probe's
+# session-to-session noise, hence best-of-5 where the CPU leg uses 3)
+SHUF_REFERENCE = 1.80
 
 # Judge-adjudicated drift for baselines recorded BEFORE the calibration probe
 # existed: BENCH_r07's driver box ran ~1.33x uniformly loaded (VERDICT r07,
@@ -55,6 +72,31 @@ def _calibrate(spark) -> float:
         spark.range(0, _CAL_ROWS, 1).selectExpr(
             "sum(id % 97 + id % 101) as s"
         ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def _calibrate_shuffle(spark) -> float:
+    """Best-of-5 seconds for the fixed SHUFFLE probe: 60M (key, id) rows
+    through a 64-partition exchange + hash aggregate over 1M groups — the
+    serialize/spill/hash-build path real queries contend on (see the
+    calibration block comment). Best-of-5 because the shuffle path carries
+    ~2x the CPU probe's iteration noise (measured r09: raw iterations
+    1.83-2.24 s within one session after warm-up)."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, _SHUF_ROWS)
+            .select((F.col("id") % _SHUF_KEYS).alias("k"), F.col("id"))
+            .repartition(64, "k")
+            .groupBy("k")
+            .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("c"))
+            .agg(F.sum("k"), F.sum("s"), F.sum("c"))
+            .collect()
+        )
         best = min(best, time.perf_counter() - t0)
     return round(best, 4)
 
@@ -149,6 +191,7 @@ def main() -> None:
     _register_tpcds_views(spark, sf_dir)
 
     cal_start = _calibrate(spark)
+    shuf_start = _calibrate_shuffle(spark)
 
     results: dict[str, float] = {}
     iterations: dict[str, list[float]] = {}
@@ -168,13 +211,21 @@ def main() -> None:
         print(f"# {name}: {min(times):.3f}s rows={rows} iters={times}", file=sys.stderr)
 
     cal_end = _calibrate(spark)
+    shuf_end = _calibrate_shuffle(spark)
     # geometric mean of the start/end probes: load that ramps mid-run is
     # captured half-way rather than by whichever endpoint it missed
     cal_sec = round(statistics.geometric_mean([cal_start, cal_end]), 4)
-    cal_drift = round(cal_sec / CAL_REFERENCE, 3)
+    cpu_drift = round(cal_sec / CAL_REFERENCE, 3)
+    shuf_sec = round(statistics.geometric_mean([shuf_start, shuf_end]), 4)
+    shuf_drift = round(shuf_sec / SHUF_REFERENCE, 3)
+    # max of the legs: load can only slow a probe down, so the contended
+    # axis is whichever leg reads higher (BENCH_r08: cpu leg 0.93 while the
+    # field ran +44% — the shuffle leg exists to catch exactly that)
+    cal_drift = max(cpu_drift, shuf_drift)
     print(
-        f"# calibration: start={cal_start}s end={cal_end}s ref={CAL_REFERENCE}s "
-        f"drift={cal_drift}x",
+        f"# calibration: cpu start={cal_start}s end={cal_end}s ref={CAL_REFERENCE}s "
+        f"drift={cpu_drift}x | shuffle start={shuf_start}s end={shuf_end}s "
+        f"ref={SHUF_REFERENCE}s drift={shuf_drift}x | effective={cal_drift}x",
         file=sys.stderr,
     )
 
@@ -348,8 +399,19 @@ def main() -> None:
                     "end": cal_end,
                     "sec": cal_sec,
                     "ref": CAL_REFERENCE,
+                    "cpu_drift": cpu_drift,
+                    "shuffle": {
+                        "start": shuf_start,
+                        "end": shuf_end,
+                        "sec": shuf_sec,
+                        "ref": SHUF_REFERENCE,
+                        "drift": shuf_drift,
+                        "probe": f"range({_SHUF_ROWS}) repartition(64, id%{_SHUF_KEYS})"
+                        " groupBy(k) sum/count, best-of-5",
+                    },
                     "drift": cal_drift,
-                    "probe": f"range({_CAL_ROWS}) sum(id%97 + id%101), best-of-3",
+                    "probe": f"range({_CAL_ROWS}) sum(id%97 + id%101), best-of-3"
+                    " | max(cpu, shuffle)",
                 },
                 "regression_ratios_vs_prev_raw": ratios,
                 "regression_ratios_vs_prev_normalized": norm_ratios,
@@ -377,7 +439,7 @@ def main() -> None:
             "value": round(sum(results.values()), 4),
             "unit": "sec",
             "queries": results,
-            "calibration": {"sec": cal_sec, "drift": cal_drift},
+            "calibration": {"sec": cal_sec, "shuf_sec": shuf_sec, "drift": cal_drift},
             "regression_vs_prev": regression_compact,
             "detail": "bench_detail.json",
             "sf": sf_val,
