@@ -33,6 +33,7 @@ EWMA_WINDOW = 8  # trailing rows per key; weight of row j-from-newest = 2^-j
       SELECT event_id, user_id, event_type,
              CAST(round(value * 100) AS BIGINT) AS v
       FROM events
+      WHERE value IS NOT NULL
     ),
     win AS (
       SELECT event_id, user_id,
@@ -62,10 +63,18 @@ def events_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-element higher-order aggregate, map-side after the sort. At 100 TB
     this is the standard sessionized-feature shape (partition by key,
     bounded frame, no global sort)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        F.round(F.col("value") * 100).cast("long").alias("v"),
+    # NULL values are excluded explicitly on BOTH engine sides (r08 ADVICE):
+    # Spark's collect_list silently drops NULLs from the window while
+    # DuckDB's list() keeps them, so without the shared filter a future
+    # NULL-valued event row would silently diverge n_window/denom/ewma.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
     )
     w = (
         Window.partitionBy("user_id")

@@ -125,7 +125,7 @@ class TestEwma:
 
 class TestPhashNearDup:
     def test_banded_recall_is_pigeonhole_exact(self, spark, sf_dir):
-        """With PHASH_BANDS(4) > PHASH_HAMMING(3), at least one 8-bit band
+        """With PHASH_BANDS(4) > PHASH_HAMMING(3), at least one 15-bit band
         of any qualifying pair matches exactly, so the banded LSH path must
         equal the all-pairs truth computed from the same hashes — exact
         recall by pigeonhole, independent of the DuckDB oracle."""
