@@ -14,6 +14,7 @@ from datafusion_datasource_orc_spark.operators import (  # noqa: F401
     ivf_kmeans,
     multimodal,
     orc_encodings,
+    phash,
     pipeline_e2e,
     relational,
     scan,
