@@ -6,9 +6,15 @@ sorted column names, and an order-insensitive value hash (values normalized:
 floats rounded to 9 significant-ish decimals, timestamps/dates to ISO
 strings, arrays/structs to repr). Exit code 1 on any mismatch.
 
-Usage: python tools/check_oracles.py [--front N] [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--front N] [--rows-out] [sf_dir] [query ...]
   --front N   check only the first N entries of queries() order — the
               driver's exact gate window (it samples positions 0..N-1).
+  --rows-out  merge each checked query's Spark row count into the committed
+              sweep_rows.json ledger ({query: {sf: rows}}), keyed by the
+              sf_dir basename. tests/test_entry_contract.py reads that
+              ledger to assert every registered query is NON-TRIVIAL —
+              returns >0 rows at at least one recorded scale (judge r08
+              task 5: a 0-row hash match is a weak certificate).
 """
 
 from __future__ import annotations
@@ -81,6 +87,9 @@ def main() -> int:
         i = args.index("--front")
         front = int(args[i + 1])
         del args[i : i + 2]
+    rows_out = "--rows-out" in args
+    if rows_out:
+        args.remove("--rows-out")
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -115,6 +124,7 @@ def main() -> int:
         )
 
     failures = []
+    spark_rows: dict[str, int] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
         try:
@@ -125,6 +135,7 @@ def main() -> int:
             spdf = sdf.toPandas()
             srows = list(spdf.itertuples(index=False, name=None))
             scols = list(spdf.columns)
+            spark_rows[name] = len(srows)
         except Exception as e:
             failures.append((name, f"SPARK ERROR {type(e).__name__}: {e}"))
             print(f"FAIL  {name:28s} spark error: {str(e)[:200]}")
@@ -158,6 +169,28 @@ def main() -> int:
             print(f"FAIL  {name:28s} {'; '.join(problems)} ({dt:.1f}s)")
         else:
             print(f"ok    {name:28s} rows={len(srows)} ({dt:.1f}s)")
+
+    if rows_out:
+        # merge (never replace): the ledger accumulates scales and rounds,
+        # and a subset run must not drop other queries' recorded counts
+        import json
+
+        ledger_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "sweep_rows.json",
+        )
+        try:
+            with open(ledger_path) as f:
+                ledger = json.load(f)
+        except (OSError, ValueError):
+            ledger = {}
+        sf_key = os.path.basename(os.path.normpath(sf_dir))
+        for name, n in spark_rows.items():
+            ledger.setdefault(name, {})[sf_key] = n
+        with open(ledger_path, "w") as f:
+            json.dump(ledger, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"merged {len(spark_rows)} row counts into {ledger_path} [{sf_key}]")
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
     if failures:
