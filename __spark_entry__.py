@@ -59,32 +59,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # fresh query is stamped, never WHETHER.
 # ---------------------------------------------------------------------------
 
-# Round-8 front 50 (judge r07 tasks 1/5/6): the never-stamped pool hit
-# zero in r07, so tier 1 holds only this round's additions (9 by round-8
-# end); the remaining ~41 slots drain the OLDEST stale re-certifications —
-# tier 2 is sorted by each query's recorded stamp round ascending (oldest
-# evidence first), so the r02/r03-era stamps in extras/textstats/scan/
-# tpcds re-certify before the r05/r06 ones.
+# Round-9 front 50 (judge r08 tasks 1/3/5): tier 1 holds this round's
+# additions; the remaining slots drain the OLDEST stale re-certifications —
+# tier 2 is sorted by (0-row certificate first, recorded stamp round
+# ascending, registration order). The 0-row refinement is new in round 9
+# (judge task 5): a hash stamp that certified an EMPTY result is the
+# weakest certificate in the ledger, so a stale query whose latest stamp
+# was 0-row re-certifies before same-age siblings — it is exactly as
+# mechanical as the rest of the policy (reads only the committed
+# artifacts' recorded spark_rows).
 _ROUND_PRIORITY: list[str] = [
-    # round-8 addition (judge r07 task 6): the composed training-data build
-    # — filter funnel → exact dedup → minhash-LSH near-dedup →
-    # contamination screen → mix sample → pack manifest as ONE query
-    "pipeline_end_to_end",
-    # round-8 family extensions: perceptual-hash near-dup (pigeonhole-exact
-    # banding), asymmetric shingle containment, integer-exact EWMA
-    "multimodal_phash_neardup",
-    "dedup_containment",
-    "events_ewma_smooth",
-    # round-8 additions, second batch: the trainer-feeds-index ANN
-    # composition, the Count-Min frequency sketch, and the epoch shard
-    # balance audit
-    "simsearch_ivf_kmeans",
-    "approx_countmin_tokens",
-    "training_epoch_shard",
-    # round-8, third batch: the encodings axis of the ORC metadata ladder
-    # and the lexical+vector RRF retrieval composition
-    "orc_encoding_stats",
-    "simsearch_hybrid_rrf",
+    # round-9 addition (judge r08 task 3): the 100 TB near-dup CLUSTERING
+    # path end-to-end — minhash-LSH edges feeding min-label propagation
+    "dedup_connected_components_lsh",
 ]
 
 
@@ -123,6 +110,28 @@ def _driver_ledger() -> set[str]:
                 hard.add(name)
     permanently_weak = {n for n in seen - hard if n not in ORACLES}
     return hard | permanently_weak
+
+
+def _zero_row_stamps() -> set[str]:
+    """Names whose LATEST hash-matched driver record certified an EMPTY
+    result (spark_rows == 0) — the weakest certificate in the ledger (a
+    0-row hash match proves only that both engines returned nothing).
+    Used to front such queries within the stale re-certification tier;
+    mechanical like everything else here (reads only committed artifacts)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest_rows: dict[str, object] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, rec in rows.items():
+            if isinstance(rec, dict) and rec.get("hash_match") is True:
+                latest_rows[name] = rec.get("spark_rows")
+    return {n for n, r in latest_rows.items() if r == 0}
 
 
 def _git_blob_sha(path: str) -> str | None:
@@ -195,8 +204,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered += [n for n in fresh if n not in ordered]
     # stamped-but-materially-changed queries re-front BEHIND the
     # never-stamped pool: first stamps always outrank re-certification.
-    # Within the stale tier, oldest stamp evidence first (judge r07 task 1:
-    # drain the oldest 50) — sort by the sidecar's recorded stamp round,
+    # Within the stale tier: 0-row certificates first (the weakest stamps
+    # in the ledger — judge r08 task 5), then oldest stamp evidence first
+    # (judge r07 task 1) — sort by the sidecar's recorded stamp round,
     # ties broken by registration order; names missing a recorded round
     # sort first (no evidence is the oldest evidence).
     here = os.path.dirname(os.path.abspath(__file__))
@@ -206,9 +216,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     except (OSError, ValueError):
         _sidecar = {}
     reg_pos = {n: i for i, n in enumerate(names)}
+    zero_rows = _zero_row_stamps()
     ordered += sorted(
         (n for n in names if n in stale),
         key=lambda n: (
+            0 if n in zero_rows else 1,
             _sidecar.get(n, {}).get("round", 0)
             if isinstance(_sidecar.get(n), dict)
             else 0,
