@@ -72,6 +72,14 @@ _ROUND_PRIORITY: list[str] = [
     # round-9 addition (judge r08 task 3): the 100 TB near-dup CLUSTERING
     # path end-to-end — minhash-LSH edges feeding min-label propagation
     "dedup_connected_components_lsh",
+    # round-9 additions, second batch: SemDeDup (trained clusters bound the
+    # exact-cosine pair scan, keep-lowest drop manifest), the split-leakage
+    # audit (near-dup pairs crossing the deterministic 80/10/10 split), and
+    # curriculum quartile bucketing (exact quantile cutpoints, no global
+    # sort)
+    "embedding_semantic_dedup",
+    "training_split_leakage",
+    "training_curriculum_quantiles",
 ]
 
 

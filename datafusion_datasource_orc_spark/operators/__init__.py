@@ -5,6 +5,7 @@ line-by-line coverage map)."""
 from datafusion_datasource_orc_spark.operators import (  # noqa: F401
     containment,
     countmin,
+    curriculum,
     dedup,
     events,
     ewma,
@@ -18,6 +19,8 @@ from datafusion_datasource_orc_spark.operators import (  # noqa: F401
     pipeline_e2e,
     relational,
     scan,
+    semdedup,
+    split_leakage,
     sharding,
     simsearch,
     textstats,

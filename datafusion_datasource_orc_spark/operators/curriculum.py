@@ -1,0 +1,99 @@
+"""Curriculum phase assignment over the documents corpus — the
+quality-quantile bucketing a staged training run consumes (easy→hard
+ordering à la curriculum learning; phases are corpus quartiles of a
+deterministic quality score, so the schedule is stable across reruns
+and cluster layouts).
+
+Score: lexical diversity on an exact integer grid —
+``floor(n_distinct_words * 1e6 / n_words)`` (integer division, both
+engines identical). Cutpoints: exact linear-interpolated quartiles via
+Spark ``percentile`` / DuckDB ``quantile_cont`` (the proven
+percentile_prices pair), ROUNDed to 4 dp on BOTH sides before the
+comparison so the phase boundaries are the identical doubles in both
+engines. Phase = 1 + (score > p25) + (score > p50) + (score > p75).
+
+Scale shape: one aggregate produces the 1-row cutpoint table (broadcast
+cross join), one row-local pass assigns phases, one groupBy(phase) emits
+the 4-row manifest — no global sort, no window (an ntile() over a global
+ORDER BY would be the partition-less-window trap the plan lint bans;
+exact quantile cutpoints + integer comparison give the same buckets with
+one map-side-combinable aggregate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_datasource_orc_spark.operators.registry import query
+from datafusion_datasource_orc_spark.sources.tables import load_table
+
+_SQL_SCORE = """CAST(len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS BIGINT)
+    * 1000000 // len(string_split_regex(lower(text), '\\s+'))"""
+
+
+@query(
+    "training_curriculum_quantiles",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, n_chars // 4 AS toks, {_SQL_SCORE} AS score
+      FROM documents WHERE text IS NOT NULL
+    ),
+    cuts AS (
+      SELECT ROUND(quantile_cont(score, 0.25), 4) AS p25,
+             ROUND(quantile_cont(score, 0.50), 4) AS p50,
+             ROUND(quantile_cont(score, 0.75), 4) AS p75
+      FROM scored
+    )
+    SELECT phase,
+           COUNT(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           CAST(MIN(score) AS BIGINT) AS min_score,
+           CAST(MAX(score) AS BIGINT) AS max_score,
+           CAST((SUM(toks) + 2047) // 2048 AS BIGINT) AS n_packs
+    FROM (
+      SELECT s.*,
+             1 + CAST(s.score > c.p25 AS INT) + CAST(s.score > c.p50 AS INT)
+               + CAST(s.score > c.p75 AS INT) AS phase
+      FROM scored s CROSS JOIN cuts c
+    )
+    GROUP BY phase
+    """,
+)
+def training_curriculum_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module docstring — the 4-phase curriculum manifest:
+    (phase, n_docs, n_tokens, min_score, max_score, n_packs)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = F.split(F.lower(F.col("text")), r"\s+")
+    score = (
+        F.size(F.array_distinct(w)).cast("long")
+        * F.lit(1_000_000)
+        / F.size(w)
+    ).cast("long")  # int division: bigint * 1e6 // n_words on both engines
+    scored = docs.select(
+        "doc_id",
+        F.expr("n_chars div 4").alias("toks"),
+        score.alias("score"),
+    )
+    cuts = scored.agg(
+        F.round(F.percentile("score", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("score", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("score", F.lit(0.75)), 4).alias("p75"),
+    )
+    phase = (
+        F.lit(1)
+        + (F.col("score") > F.col("p25")).cast("int")
+        + (F.col("score") > F.col("p50")).cast("int")
+        + (F.col("score") > F.col("p75")).cast("int")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select("toks", "score", phase.alias("phase"))
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+            F.expr("(sum(toks) + 2047) div 2048").alias("n_packs"),
+        )
+    )

@@ -1,0 +1,122 @@
+"""Semantic deduplication over the embedding corpus — SemDeDup (Abbas et
+al., 2023, arXiv:2303.09540) instantiated deterministically: k-means
+clusters bound the pair search, exact cosine within each cluster finds
+semantic duplicates, and a keep-lowest rule emits the DROP manifest a
+training-data pipeline consumes.
+
+Composition story (trainer feeds dedup, the way simsearch_ivf_kmeans is
+trainer-feeds-index): the clusters come from the SAME ``kmeans_train``
+Lloyd loop as embedding_kmeans, so the oracle replays the identical
+centroid trajectory through the shared unrolled-Lloyd CTE and the entire
+pipeline — training, assignment, within-cluster pairs, keep rule — is
+hash-checked end to end.
+
+Scale shape: the within-cluster pair scan is THE SemDeDup algorithm — the
+paper's production runs keep it tractable by scaling k with the corpus so
+cluster width stays bounded (their k is in the tens of thousands at
+billions of points). The quadratic-audit lesson (SCALE.md: a fixed
+block count is a quadratic in disguise) applies verbatim: at a FIXED
+k = KM_K = 8 the within-cluster pair term is O(n²/k) and the measured
+sf0.1→sf1 curve shows it (SCALE.md round 9). The registered query is the
+gate-scale instantiation sharing embedding_kmeans' trained codebook; at
+corpus scale k grows ∝ n/target_width (the codebook stays a broadcast
+k×d table, the pair scan stays one shuffle on cid), or candidates come
+from the banded twin (simsearch_lsh's hyperplane buckets) with the same
+exact verify. The keep rule is connectivity-free by design — drop b iff
+some LOWER-id a in the same cluster has cos(a,b) ≥ τ — so no label
+propagation is needed and the manifest is one window over the pair set.
+
+Cross-engine exactness: cosine is ROUND(dot/(|a|·|b|), 6) with both
+engines reading the same float32 embeddings as doubles (the
+dedup_embedding_cosine discipline); the threshold compares the ROUNDED
+value so no boundary pair can split the engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datafusion_datasource_orc_spark.functions.vectors import dot_product, l2_norm
+from datafusion_datasource_orc_spark.operators.registry import query
+from datafusion_datasource_orc_spark.operators.simsearch import (
+    _SQL_COSINE,
+    _kmeans_cte_prefix,
+    kmeans_train,
+)
+
+SEMDEDUP_THRESHOLD = 0.4  # same grid as dedup_embedding_cosine: the corpus
+# max pairwise cosine is ~0.6, so 0.4 marks the planted "semantically
+# close" tail without sweeping in the bulk
+
+
+def _semdedup_oracle() -> str:
+    body, _cl, a = _kmeans_cte_prefix()
+    cos = _SQL_COSINE.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+    WITH {body},
+    pairs AS (
+      SELECT aa.cid AS cluster_id, aa.vec_id AS vec_a, ab.vec_id AS vec_b,
+             ROUND({cos}, 6) AS cosine
+      FROM {a} aa JOIN {a} ab ON aa.cid = ab.cid AND aa.vec_id < ab.vec_id
+      JOIN emb ea ON ea.vec_id = aa.vec_id
+      JOIN emb eb ON eb.vec_id = ab.vec_id
+      WHERE ROUND({cos}, 6) >= {SEMDEDUP_THRESHOLD}
+    )
+    SELECT cluster_id, vec_b AS drop_vec_id, vec_a AS kept_vec_id, cosine
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_b ORDER BY vec_a) AS rk
+      FROM pairs
+    ) WHERE rk = 1
+    """
+
+
+@query("embedding_semantic_dedup", oracle=_semdedup_oracle())
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module docstring — SemDeDup's drop manifest: for every vector
+    with a LOWER-id same-cluster neighbor at cosine ≥ τ, one row
+    (cluster_id, drop_vec_id, kept_vec_id, cosine) naming its lowest-id
+    such neighbor as the kept representative."""
+    emb, _centroids, assigned = kmeans_train(spark, sf_dir)
+    # emb is hash-partitioned by vec_id and checkpointed (kmeans_train);
+    # assigned carries (vec_id, cid). One join keys on vec_id (no corpus
+    # shuffle thanks to the retained partitioning), then the pair join
+    # shuffles (cid, vec_id, embedding) ONCE on cid — cluster width bounds
+    # the in-partition pair work, which is the SemDeDup contract (k scales
+    # with the corpus; module docstring).
+    m = emb.join(assigned.select("vec_id", "cid"), "vec_id").select(
+        "cid", "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    a = m.select(
+        F.col("cid").alias("cluster_id"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = m.select(
+        F.col("cid").alias("cluster_id"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(
+        dot_product(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    pairs = (
+        a.join(b, ["cluster_id"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("cluster_id", "vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= SEMDEDUP_THRESHOLD)
+    )
+    w = Window.partitionBy("vec_b").orderBy("vec_a")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("vec_b").alias("drop_vec_id"),
+            F.col("vec_a").alias("kept_vec_id"),
+            "cosine",
+        )
+    )

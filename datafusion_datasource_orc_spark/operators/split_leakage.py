@@ -1,0 +1,114 @@
+"""Train/val/test split assignment + near-duplicate LEAKAGE audit — the
+check every training-data pipeline must run before a split ships: a
+held-out document whose near-duplicate sits in train is contamination the
+eval can't see (the split boundary version of contamination_eval_overlap,
+which screens against an external benchmark rather than the split itself).
+
+Composition: the split is a row-local deterministic multiplicative hash
+(the training_mix_sample discipline — no RNG state, identical on any
+cluster layout: Knuth's 2654435761 fixed-point hash on doc_id, 80/10/10
+on the 2^32 grid); the near-dup pair set comes from the SAME
+minhash-LSH edge generator as dedup_minhash_lsh (banding shuffle +
+broadcast exact verify, never all-pairs). The audit emits one row per
+near-dup pair that CROSSES splits, labeled with both endpoints' splits —
+the actionable manifest (move/drop these docs) rather than a bare count.
+
+Oracle: exact-Jaccard pair set (the dedup_minhash_lsh precedent —
+precision 1.0 by construction, 100% banding recall at gate scales) with
+the identical integer split arithmetic, so the full composition is
+hash-checked.
+
+Scale shape: split assignment is row-local; the pair generator is the
+measured near-linear LSH path (SCALE.md); the final split join moves only
+(doc_id, split) pairs against the tiny verified pair set (broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_datasource_orc_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    _SQL_SHINGLES,
+    minhash_lsh_pairs,
+    shingle_docs,
+)
+from datafusion_datasource_orc_spark.operators.registry import query
+from datafusion_datasource_orc_spark.sources.tables import load_table
+
+# 80/10/10 on the 2^32 multiplicative-hash grid; integer cutpoints so both
+# engines compare exactly (42949672 = floor(2^32 / 100))
+_SPLIT_HASH = "(doc_id * 2654435761) % 4294967296"
+_TRAIN_CUT = 80 * 42949672
+_VAL_CUT = 90 * 42949672
+
+
+def split_of(doc_id: Column) -> Column:
+    h = (doc_id * F.lit(2654435761)) % F.lit(4294967296)
+    return (
+        F.when(h < _TRAIN_CUT, F.lit("train"))
+        .when(h < _VAL_CUT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+_SQL_SPLIT = f"""CASE WHEN {_SPLIT_HASH} < {_TRAIN_CUT} THEN 'train'
+                      WHEN {_SPLIT_HASH} < {_VAL_CUT} THEN 'val'
+                      ELSE 'test' END"""
+
+
+@query(
+    "training_split_leakage",
+    oracle=f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= {JACCARD_THRESHOLD}
+    ),
+    sp AS (SELECT doc_id, {_SQL_SPLIT.replace('doc_id', 'doc_id')} AS split
+           FROM documents)
+    SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b,
+           p.jaccard
+    FROM pairs p
+    JOIN sp sa ON sa.doc_id = p.doc_a
+    JOIN sp sb ON sb.doc_id = p.doc_b
+    WHERE sa.split <> sb.split
+    """,
+)
+def training_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module docstring — near-dup pairs that cross the deterministic
+    80/10/10 split: (doc_a, doc_b, split_a, split_b, jaccard)."""
+    docs = load_table(spark, sf_dir, "documents")
+    parallelism = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism // 2:
+        docs = docs.repartition(parallelism // 2)
+    sh = (
+        shingle_docs(docs, hashed=True)
+        .filter(F.size("s") > 0)
+        .select("doc_id", F.size("s").alias("n"), "s")
+        .localCheckpoint(eager=False)
+    )
+    pairs = minhash_lsh_pairs(sh)
+    sp = docs.select("doc_id", split_of(F.col("doc_id")).alias("split"))
+    return (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+    )

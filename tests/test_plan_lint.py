@@ -40,6 +40,10 @@ ALLOWED_NESTED_LOOP = {
     "the W-row (16) per-shard result for the exact balance ratio",
     "dedup_minhash_lsh": "1-row over-cap-shingle (boilerplate) array aggregate "
     "crossJoin'd onto the verify stream — the df-cap guard's broadcast form",
+    "training_split_leakage": "inherits dedup_minhash_lsh's 1-row over-cap "
+    "array crossJoin (the shared minhash_lsh_pairs verify stage)",
+    "training_curriculum_quantiles": "1-row quantile-cutpoint aggregate "
+    "crossJoin'd onto the corpus stream — the embedding_whitening shape",
     "text_vocab_coverage": "1-row total-token aggregate crossJoin'd onto the "
     "(count -> frequency) histogram, itself at most |distinct counts| rows",
     "tpch_q11": "1-row scalar-subquery threshold joined below the HAVING",
