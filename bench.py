@@ -106,7 +106,6 @@ def _calibrate_shuffle(spark) -> float:
 HEADLINE = [
     "orc_groupby_count",
     "orc_filter_range",
-    "orc_count_star",
     "tpch_q1",
     "tpch_q3",
     "tpch_q5",
@@ -117,7 +116,6 @@ HEADLINE = [
     "tpch_q21",
     "tpcds_q1",
     "tpcds_q7",
-    "tpcds_q12",
     "tpcds_q36",
     "tpcds_q59",
     "tpcds_q65",
@@ -136,12 +134,10 @@ HEADLINE = [
     "pipeline_filter_funnel",
     "training_mix_sample",
     "text_char_entropy",
-    "events_tumbling_window",
     "events_session_window",
     "events_zscore_anomaly",
     "asof_join_last_order",
     "basket_part_pairs",
-    "multimodal_batch_packing",
     # round 5 additions
     "multimodal_decode",
     "simsearch_pq",
@@ -168,6 +164,12 @@ HEADLINE = [
     "simsearch_ivf_kmeans",
     "approx_countmin_tokens",
     "simsearch_hybrid_rrf",
+    # round 9 additions: the LSH clustering path, SemDeDup, the
+    # split-leakage audit, and curriculum quantile bucketing
+    "dedup_connected_components_lsh",
+    "embedding_semantic_dedup",
+    "training_split_leakage",
+    "training_curriculum_quantiles",
 ]
 
 
@@ -441,7 +443,6 @@ def main() -> None:
             "queries": results,
             "calibration": {"sec": cal_sec, "shuf_sec": shuf_sec, "drift": cal_drift},
             "regression_vs_prev": regression_compact,
-            "detail": "bench_detail.json",
             "sf": sf_val,
         }
     )
