@@ -80,6 +80,9 @@ _ROUND_PRIORITY: list[str] = [
     "embedding_semantic_dedup",
     "training_split_leakage",
     "training_curriculum_quantiles",
+    # round-9, third batch: exact MIPS top-k (the raw-dot-product retrieval
+    # rung; scale path = norm-augmentation onto the banded rungs)
+    "simsearch_mips",
 ]
 
 

@@ -13,6 +13,7 @@ from datafusion_datasource_orc_spark.operators import (  # noqa: F401
     hybrid,
     ingest,
     ivf_kmeans,
+    mips,
     multimodal,
     orc_encodings,
     phash,

@@ -23,6 +23,8 @@ _INVENTORY_BUILD = (
 ALLOWED_NESTED_LOOP = {
     "simsearch_bruteforce": "query set (5 vectors) broadcast x corpus — the exact-scan ANN baseline",
     "simsearch_knn_join": "query set broadcast x corpus, same baseline shape",
+    "simsearch_mips": "query set (5 vectors) broadcast x corpus — the exact "
+    "MIPS baseline (scale path: norm-augmentation onto the banded rungs)",
     "simsearch_ivf": "probed-centroid set (tiny) broadcast to the corpus stream",
     "simsearch_ivfpq": "same coarse-centroid broadcast as simsearch_ivf (the "
     "composite's level-1 assignment crossJoins the tiny codebook)",
