@@ -338,15 +338,20 @@ def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "except_keys",
+    # key domains, not nation keys (round 9): suppliers cover all 25 nations
+    # from sf0.01 up, so the old nationkey EXCEPT certified a permanently
+    # EMPTY result — the weak 0-row certificate the non-triviality audit
+    # bans. Customer keys outnumber supplier keys ~15:1 at every TPC-H
+    # scale, so this EXCEPT is non-empty BY CONSTRUCTION at any sf.
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT c_custkey AS key FROM customer
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT s_suppkey AS key FROM supplier
     """,
 )
 def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("key"))
     return c.subtract(s)  # subtract == SQL EXCEPT (set semantics); exceptAll is bag
 
 
@@ -420,9 +425,13 @@ def exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 # B16 — scalar subquery
 @query(
     "scalar_subquery",
+    # 1.5x, not 2x (round 9): o_totalprice is uniform-bounded with max just
+    # under 2x its mean at EVERY scale, so the 2x cut certified a
+    # permanently empty result (weak 0-row certificate); 1.5x keeps the
+    # scalar-subquery capability and selects ~7% of orders at any sf.
     oracle="""
     SELECT o_orderkey, o_totalprice FROM orders
-    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
     """,
 )
 def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -430,7 +439,7 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderkey, o_totalprice FROM orders
-        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
         """
     )
 

@@ -223,3 +223,32 @@ def test_stamp_hashes_sidecar_is_current():
     assert sidecar == build(max_round=max_round), (
         "stamp_hashes.json is stale; run python tools/stamp_ledger.py"
     )
+
+
+def test_every_registered_query_is_nontrivial_at_some_scale():
+    """Judge r08 task 5: a 0-row hash match is a weak certificate. Every
+    registered query must return >0 rows at at least one committed scale,
+    as recorded in sweep_rows.json (written by
+    `tools/check_oracles.py --rows-out <sf_dir>` during the per-round
+    sweeps — table-driven off the sweep ledger, so the assertion tracks
+    exactly what the sweeps measured, not a hand-maintained list)."""
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(here, "sweep_rows.json")) as f:
+        ledger = json.load(f)
+    names = set(entrymod.queries())
+    missing = sorted(names - set(ledger))
+    assert not missing, (
+        f"{len(missing)} queries have no recorded sweep row count "
+        f"(e.g. {missing[:5]}); run tools/check_oracles.py --rows-out"
+    )
+    trivial = sorted(
+        n for n in names if not any(v > 0 for v in ledger[n].values())
+    )
+    assert not trivial, (
+        f"{len(trivial)} queries return 0 rows at every recorded scale: "
+        f"{trivial} — extend the fixture (the multimodal_phash_neardup twin "
+        "precedent) or tighten the query"
+    )
