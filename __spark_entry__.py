@@ -81,8 +81,11 @@ _ROUND_PRIORITY: list[str] = [
     "training_split_leakage",
     "training_curriculum_quantiles",
     # round-9, third batch: exact MIPS top-k (the raw-dot-product retrieval
-    # rung; scale path = norm-augmentation onto the banded rungs)
+    # rung; scale path = norm-augmentation onto the banded rungs) and the
+    # incremental-ingest triage (new / exact_dup / near_dup per incoming
+    # doc against the existing corpus)
     "simsearch_mips",
+    "ingest_triage",
 ]
 
 

@@ -56,11 +56,15 @@ _SHUF_KEYS = 1_000_000
 # session-to-session noise, hence best-of-5 where the CPU leg uses 3)
 SHUF_REFERENCE = 1.80
 
-# Judge-adjudicated drift for baselines recorded BEFORE the calibration probe
-# existed: BENCH_r07's driver box ran ~1.33x uniformly loaded (VERDICT r07,
-# Performance: judge idle re-run geomean 1.05 with 0 flags vs the recorded
-# 1.332 with 4) — its times are deflated by this factor before comparison.
-_KNOWN_BASELINE_DRIFT = {"BENCH_r07.json": 1.332}
+# Judge-adjudicated drift for baselines whose recording the probes missed:
+# BENCH_r07's driver box ran ~1.33x uniformly loaded BEFORE any probe
+# existed (VERDICT r07: judge idle re-run geomean 1.05 with 0 flags vs the
+# recorded 1.332 with 4); BENCH_r08's ran ~1.29x loaded on axes the
+# then-CPU-only probe was blind to (VERDICT r08: judge idle re-run geomean
+# 1.113 vs the recorded 1.441 — ratio 1.295; probe read 0.931). Listing a
+# baseline here makes its committed `<stem>_clean.json` idle-box sidecar
+# substitute per-query (preferred), else divides by the factor.
+_KNOWN_BASELINE_DRIFT = {"BENCH_r07.json": 1.332, "BENCH_r08.json": 1.295}
 
 
 def _calibrate(spark) -> float:
@@ -170,6 +174,8 @@ HEADLINE = [
     "embedding_semantic_dedup",
     "training_split_leakage",
     "training_curriculum_quantiles",
+    "simsearch_mips",
+    "ingest_triage",
 ]
 
 
@@ -214,11 +220,18 @@ def main() -> None:
 
     cal_end = _calibrate(spark)
     shuf_end = _calibrate_shuffle(spark)
-    # geometric mean of the start/end probes: load that ramps mid-run is
-    # captured half-way rather than by whichever endpoint it missed
-    cal_sec = round(statistics.geometric_mean([cal_start, cal_end]), 4)
+    # MIN of the start/end probes per leg (round 9; was geomean): sustained
+    # host load — the only kind that uniformly inflates query times, the
+    # r07/r08 episodes — inflates BOTH endpoints, so min still reads it.
+    # What min ignores is single-endpoint pollution, and that's correct on
+    # both ends: end-only elevation is dominated by post-run JVM state
+    # (measured: the shuffle end-probe reads ~2.7 s after the 59-query run
+    # vs the 1.66-2.12 s idle floor — heap fragmentation/GC, not host
+    # load), and load arriving only after the last query never affected
+    # the queries at all. Geomean over-normalized a clean run to 0.80.
+    cal_sec = round(min(cal_start, cal_end), 4)
     cpu_drift = round(cal_sec / CAL_REFERENCE, 3)
-    shuf_sec = round(statistics.geometric_mean([shuf_start, shuf_end]), 4)
+    shuf_sec = round(min(shuf_start, shuf_end), 4)
     shuf_drift = round(shuf_sec / SHUF_REFERENCE, 3)
     # max of the legs: load can only slow a probe down, so the contended
     # axis is whichever leg reads higher (BENCH_r08: cpu leg 0.93 while the

@@ -12,6 +12,7 @@ from datafusion_datasource_orc_spark.operators import (  # noqa: F401
     extras,
     hybrid,
     ingest,
+    ingest_triage,
     ivf_kmeans,
     mips,
     multimodal,

@@ -1,0 +1,159 @@
+"""Incremental-ingest TRIAGE: classify every incoming document against the
+existing corpus as ``new`` / ``exact_dup`` / ``near_dup`` and name the
+matched existing document — the decision a rolling crawl pipeline makes
+per batch (dedup_bloom_ingest answers "probably seen?"; this answers
+"seen HOW, and against which doc?" so the batch can be routed:
+drop exact dups, cluster near-dups, admit the new).
+
+Split convention matches dedup_bloom_ingest: incoming = doc_id % 10 == 0,
+existing = the other 90%.
+
+Composition / scale shape:
+- exact tier: md5(content) equi-join, 16-byte keys only;
+- near tier: MinHash signatures on BOTH sides (one linear pass each),
+  candidates from an ASYMMETRIC band-bucket join (existing x incoming on
+  (band, band_hash) — never a self-join, never all-pairs), exact-verified
+  Jaccard >= threshold, best match = max jaccard with min existing-id
+  tie-break (one window over the tiny verified pair set);
+- the status column folds the tiers with exact-tier precedence.
+At 100 TB the existing side's band table is a materialized index updated
+per batch; the incoming batch (orders of magnitude smaller) streams
+against it — the join's build side is the batch, not the corpus.
+
+Oracle: exact md5 join + exact all-pairs Jaccard between the two sides
+(fine at gate scale) — legitimate for the dedup_minhash_lsh reason:
+candidates are exact-verified (precision 1.0) and 16x4 banding recall is
+100% at the gate scales, so a recall regression reds the gate.
+Sentinel convention: match_doc_id = -1 and jaccard = 0 for ``new`` rows
+(NULL-free output keeps the comparator's type handling trivial);
+exact_dup rows report jaccard = 1 against the minimum matching existing
+doc even when shingle sets differ by normalization — the md5 tier is
+definitionally jaccard 1 on content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datafusion_datasource_orc_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+    _SQL_SHINGLES,
+    minhash_lsh_pairs,
+    shingle_docs,
+)
+from datafusion_datasource_orc_spark.operators.registry import query
+from datafusion_datasource_orc_spark.sources.tables import load_table
+
+
+@query(
+    "ingest_triage",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    inc AS (SELECT doc_id, md5(text) AS h FROM d WHERE doc_id % 10 = 0),
+    ex  AS (SELECT doc_id, md5(text) AS h FROM d WHERE doc_id % 10 != 0),
+    exact AS (
+      SELECT i.doc_id, MIN(e.doc_id) AS match_doc_id
+      FROM inc i JOIN ex e ON i.h = e.h GROUP BY i.doc_id
+    ),
+    sh AS ({_SQL_SHINGLES}),
+    shn AS (SELECT doc_id, s FROM sh
+            WHERE len(s) > 0 AND doc_id IN (SELECT doc_id FROM d)),
+    near AS (
+      SELECT doc_id, match_doc_id, jaccard FROM (
+        SELECT i.doc_id, e.doc_id AS match_doc_id,
+               CAST(len(list_intersect(i.s, e.s)) AS DOUBLE)
+                 / (len(i.s) + len(e.s) - len(list_intersect(i.s, e.s)))
+                   AS jaccard,
+               ROW_NUMBER() OVER (
+                 PARTITION BY i.doc_id
+                 ORDER BY CAST(len(list_intersect(i.s, e.s)) AS DOUBLE)
+                   / (len(i.s) + len(e.s) - len(list_intersect(i.s, e.s)))
+                   DESC, e.doc_id
+               ) AS rk
+        FROM shn i JOIN shn e
+          ON i.doc_id % 10 = 0 AND e.doc_id % 10 != 0
+        WHERE CAST(len(list_intersect(i.s, e.s)) AS DOUBLE)
+                / (len(i.s) + len(e.s) - len(list_intersect(i.s, e.s)))
+              >= {JACCARD_THRESHOLD}
+      ) WHERE rk = 1
+    )
+    SELECT i.doc_id,
+           CASE WHEN x.match_doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.match_doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS status,
+           COALESCE(x.match_doc_id, n.match_doc_id, -1) AS match_doc_id,
+           CASE WHEN x.match_doc_id IS NOT NULL THEN 1.0
+                ELSE COALESCE(n.jaccard, 0.0) END AS jaccard
+    FROM inc i
+    LEFT JOIN exact x ON x.doc_id = i.doc_id
+    LEFT JOIN near n ON n.doc_id = i.doc_id
+    """,
+)
+def ingest_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module docstring — one row per incoming doc:
+    (doc_id, status, match_doc_id, jaccard)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    inc_pred = F.col("doc_id") % 10 == 0
+
+    h = F.md5(F.col("text"))
+    inc = docs.filter(inc_pred).select("doc_id", h.alias("h"))
+    ex = docs.filter(~inc_pred).select(F.col("doc_id").alias("e_id"), h.alias("h"))
+    exact = (
+        inc.join(ex, "h")
+        .groupBy("doc_id")
+        .agg(F.min("e_id").alias("x_match"))
+    )
+
+    parallelism = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism // 2:
+        docs = docs.repartition(parallelism // 2)
+    sh = (
+        shingle_docs(docs, hashed=True)
+        .filter(F.size("s") > 0)
+        .select("doc_id", F.size("s").alias("n"), "s")
+        .localCheckpoint(eager=False)
+    )
+    # asymmetric candidates via the shared generator: the verified pair set
+    # is tiny, so filtering the symmetric pairs to (incoming, existing) in
+    # either orientation costs nothing at any scale — the banding shuffle
+    # (the real cost) is identical, and sharing minhash_lsh_pairs keeps one
+    # certified signature/verify implementation instead of two.
+    pairs = minhash_lsh_pairs(sh)
+    cross = pairs.filter(
+        (F.col("doc_a") % 10 == 0) != (F.col("doc_b") % 10 == 0)
+    )
+    oriented = cross.select(
+        F.when(F.col("doc_a") % 10 == 0, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("doc_id"),
+        F.when(F.col("doc_a") % 10 == 0, F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("n_match"),
+        "jaccard",
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("jaccard").desc(), "n_match")
+    near = (
+        oriented.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "n_match", F.col("jaccard").alias("n_jaccard"))
+    )
+
+    return (
+        docs.filter(inc_pred)
+        .select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("x_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("n_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce("x_match", "n_match", F.lit(-1)).alias("match_doc_id"),
+            F.when(F.col("x_match").isNotNull(), F.lit(1.0))
+            .otherwise(F.coalesce("n_jaccard", F.lit(0.0)))
+            .alias("jaccard"),
+        )
+    )

@@ -44,6 +44,8 @@ ALLOWED_NESTED_LOOP = {
     "crossJoin'd onto the verify stream — the df-cap guard's broadcast form",
     "training_split_leakage": "inherits dedup_minhash_lsh's 1-row over-cap "
     "array crossJoin (the shared minhash_lsh_pairs verify stage)",
+    "ingest_triage": "inherits dedup_minhash_lsh's 1-row over-cap array "
+    "crossJoin (the shared minhash_lsh_pairs verify stage)",
     "training_curriculum_quantiles": "1-row quantile-cutpoint aggregate "
     "crossJoin'd onto the corpus stream — the embedding_whitening shape",
     "text_vocab_coverage": "1-row total-token aggregate crossJoin'd onto the "

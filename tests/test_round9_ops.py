@@ -126,3 +126,50 @@ class TestCurriculumQuantiles:
             r.n_packs == (r.n_tokens + 2047) // 2048 and r.min_score <= r.max_score
             for r in rows
         )
+
+
+class TestIngestTriage:
+    def test_statuses_and_matches_are_consistent(self, spark, sf_dir):
+        """Every incoming doc appears exactly once; exact_dup rows share an
+        md5 with their matched existing doc (and name the minimum such);
+        near_dup rows correspond to a cross-boundary minhash pair; new rows
+        carry the sentinel match."""
+        from datafusion_datasource_orc_spark.operators.dedup import (
+            dedup_minhash_lsh,
+        )
+        from datafusion_datasource_orc_spark.operators.ingest_triage import (
+            ingest_triage,
+        )
+
+        rows = ingest_triage(spark, sf_dir).collect()
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        incoming = {
+            r.doc_id for r in docs.filter(F.col("doc_id") % 10 == 0).collect()
+        }
+        assert {r.doc_id for r in rows} == incoming and len(rows) == len(incoming)
+        md5s = {
+            r.doc_id: r.h
+            for r in docs.select("doc_id", F.md5("text").alias("h")).collect()
+        }
+        pairs = {
+            frozenset((r.doc_a, r.doc_b))
+            for r in dedup_minhash_lsh(spark, sf_dir).collect()
+        }
+        for r in rows:
+            if r.status == "new":
+                assert r.match_doc_id == -1 and r.jaccard == 0.0
+            elif r.status == "exact_dup":
+                assert md5s[r.match_doc_id] == md5s[r.doc_id]
+                assert r.match_doc_id % 10 != 0 and r.jaccard == 1.0
+                better = [
+                    d
+                    for d, h in md5s.items()
+                    if h == md5s[r.doc_id] and d % 10 != 0
+                ]
+                assert r.match_doc_id == min(better)
+            else:
+                assert r.status == "near_dup"
+                assert r.match_doc_id % 10 != 0
+                assert frozenset((r.doc_id, r.match_doc_id)) in pairs
