@@ -86,6 +86,11 @@ _ROUND_PRIORITY: list[str] = [
     # doc against the existing corpus)
     "simsearch_mips",
     "ingest_triage",
+    # round-9, fourth batch: the masking/filter passes a curation run
+    # performs — PII scrub (synthetic-contact fixture, counts + redaction
+    # deltas hash-checked) and per-source blocklist screening
+    "text_pii_scrub",
+    "text_blocklist_screen",
 ]
 
 

@@ -18,6 +18,7 @@ from datafusion_datasource_orc_spark.operators import (  # noqa: F401
     multimodal,
     orc_encodings,
     phash,
+    pii,
     pipeline_e2e,
     relational,
     scan,

@@ -1,0 +1,132 @@
+"""PII scrubbing and blocklist screening over the documents corpus — the
+masking/filter passes every production training-data pipeline runs before
+training (emails/phones masked, blocklisted-term documents dropped or
+down-weighted).
+
+Fixture note (the phash twin-fixture precedent): the synthetic corpus is
+plain lowercase words with NO natural PII, so the scrub would certify
+all-zero counts — the weak certificate the non-triviality audit bans.
+Docs at ``doc_id % 7 == 0`` therefore get a deterministic synthetic
+contact line appended IN THE QUERY (replicated exactly in the oracle):
+``" contact user<doc_id>@example.com or 555-<doc_id%10000 zero-padded>"``
+— the scrub then has real work at every scale, and the counts/redaction
+arithmetic is fully hash-checked.
+
+Engine parity: patterns use only char classes / ``\\d`` / quantifiers
+(no lookaround), which Java regex (Spark) and RE2 (DuckDB) evaluate
+identically; counts come from regexp_extract_all lengths and redaction
+deltas from length() after regexp_replace — all integers.
+
+Scale shape: both queries are row-local single scans (regex over the
+projected text column; the blocklist is a query-literal array, at 100 TB
+a broadcast side input) followed by one map-side-combinable aggregate —
+no shuffle of document bodies anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_datasource_orc_spark.operators.registry import query
+from datafusion_datasource_orc_spark.sources.tables import load_table
+
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"555-\d{4}"
+
+# terms from the synthetic corpus's actual vocabulary, so the screen is
+# non-trivial; a real pipeline broadcasts a list of thousands
+BLOCKLIST = ("spill", "skew", "deadlock")
+
+
+def _augmented_sql() -> str:
+    return (
+        "text || CASE WHEN doc_id % 7 = 0 THEN "
+        "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-' "
+        "|| lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, {_augmented_sql()} AS t
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INT) AS n_phones,
+           CAST(length(t) AS BIGINT) AS raw_len,
+           CAST(length(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                      '{_PHONE_RE}', '<PHONE>', 'g')) AS BIGINT)
+               AS redacted_len
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module docstring — per-doc PII counts and redaction lengths:
+    (doc_id, n_emails, n_phones, raw_len, redacted_len)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", aug.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.length("t").cast("long").alias("raw_len"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+def _blocklist_sql() -> str:
+    hits = " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\\\b{w}\\\\b'))" for w in BLOCKLIST
+    )
+    return f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN {hits} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           CAST(SUM({hits}) AS BIGINT) AS n_hits
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY source
+    """
+
+
+@query("text_blocklist_screen", oracle=_blocklist_sql())
+def text_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist screening dashboard: per source, how many documents match
+    any blocklisted term (word-boundary regex — substring matches inside
+    other words don't count) and the total hit count. The per-source
+    grain is what a curation run reviews before dropping a crawl."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    hit_counts = [
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(rf"\b{w}\b"), 0)
+        )
+        for w in BLOCKLIST
+    ]
+    total = hit_counts[0]
+    for h in hit_counts[1:]:
+        total = total + h
+    d = docs.select("source", total.alias("hits"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("hits") > 0).cast("int")).cast("long").alias("n_flagged"),
+        F.sum("hits").cast("long").alias("n_hits"),
+    )
