@@ -38,14 +38,34 @@ from datafusion_datasource_orc_spark.operators.registry import query
 from datafusion_datasource_orc_spark.sources.tables import load_table
 
 # 80/10/10 on the 2^32 multiplicative-hash grid; integer cutpoints so both
-# engines compare exactly (42949672 = floor(2^32 / 100))
-_SPLIT_HASH = "(doc_id * 2654435761) % 4294967296"
+# engines compare exactly (42949672 = floor(2^32 / 100)).
+#
+# OVERFLOW-SAFE form (caught by the round-9 hypothesis test): the naive
+# `doc_id * 2654435761` overflows INT64 at doc_id > ~3.47e9 — and a 100 TB
+# corpus holds ~50e9 documents, so both engines (Spark ANSI, DuckDB) would
+# ERROR at target scale. Since only the value mod 2^32 matters, reduce
+# doc_id mod 2^32 and split it into 16-bit limbs:
+#   h = (lo16·K + hi16·(K·2^16 mod 2^32)) mod 2^32,  K = 2654435761
+# with K·2^16 mod 2^32 = 2041708544. Every product stays < 2^48 —
+# ANSI-safe for the full non-negative int64 doc_id domain, and
+# bit-identical to the naive form wherever it didn't overflow (pure
+# modular-arithmetic identity, pinned by the hypothesis replica).
+_KNUTH = 2654435761
+_KNUTH_HI = (_KNUTH * 65536) % 4294967296  # 2041708544
+_SPLIT_HASH = (
+    f"(((doc_id % 4294967296) % 65536) * {_KNUTH} "
+    f"+ ((doc_id % 4294967296) // 65536) * {_KNUTH_HI}) % 4294967296"
+)
 _TRAIN_CUT = 80 * 42949672
 _VAL_CUT = 90 * 42949672
 
 
 def split_of(doc_id: Column) -> Column:
-    h = (doc_id * F.lit(2654435761)) % F.lit(4294967296)
+    d32 = doc_id % F.lit(4294967296)
+    h = (
+        (d32 % F.lit(65536)) * F.lit(_KNUTH)
+        + F.shiftright(d32, 16) * F.lit(_KNUTH_HI)
+    ) % F.lit(4294967296)
     return (
         F.when(h < _TRAIN_CUT, F.lit("train"))
         .when(h < _VAL_CUT, F.lit("val"))

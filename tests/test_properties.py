@@ -308,3 +308,143 @@ def test_lz4_block_decoder_inverts_pyarrow_for_any_bytes(data):
 
     comp = pa.Codec("lz4_raw").compress(data, asbytes=True)
     assert _lz4_block_decompress(comp) == data
+
+
+# ---- round 9: pure-Python third-engine replicas ------------------------------
+
+
+def _phash_py(payload: bytes, blocks: int = 60) -> int:
+    """Independent pure-Python reimplementation of the phash kernel's
+    documented arithmetic (block mean vs global mean, cross-multiplied) —
+    no numpy, so a vectorization bug in the kernel can't hide."""
+    n = len(payload)
+    if n == 0:
+        return 0
+    sums = [0] * blocks
+    cnts = [0] * blocks
+    for j, b in enumerate(payload):
+        blk = (blocks * j) // n
+        sums[blk] += b
+        cnts[blk] += 1
+    s = sum(payload)
+    return sum(
+        1 << k for k in range(blocks) if sums[k] * n > s * cnts[k]
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=400))
+def test_phash_kernel_matches_pure_python_replica(payload):
+    import pandas as pd
+
+    from datafusion_datasource_orc_spark.operators.phash import _phash_kernel
+
+    pdf = pd.DataFrame({"doc_id": [0], "payload": [payload]})
+    out = list(_phash_kernel(iter([pdf])))[0]
+    assert int(out["phash"][0]) == _phash_py(payload)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.binary(min_size=1, max_size=200),
+    st.lists(st.integers(min_value=0, max_value=59), min_size=0, max_size=3),
+)
+def test_phash_banding_pigeonhole_on_fuzzed_flips(payload, flip_bits):
+    """For ANY payload hash and <= PHASH_HAMMING bit flips, at least one
+    15-bit band survives untouched — the pigeonhole guarantee the banded
+    candidate generation relies on, checked on the raw integers."""
+    from datafusion_datasource_orc_spark.operators.phash import (
+        PHASH_BAND_BITS,
+        PHASH_BANDS,
+        PHASH_HAMMING,
+    )
+
+    assert len(flip_bits) <= PHASH_HAMMING
+    h = _phash_py(payload)
+    h2 = h
+    for b in set(flip_bits):
+        h2 ^= 1 << b
+    mask = (1 << PHASH_BAND_BITS) - 1
+    shared = any(
+        ((h >> (PHASH_BAND_BITS * i)) & mask) == ((h2 >> (PHASH_BAND_BITS * i)) & mask)
+        for i in range(PHASH_BANDS)
+    )
+    assert shared
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=2**62))
+def test_split_of_matches_integer_replica_and_is_total(doc_id):
+    """The 80/10/10 split arithmetic replicated in pure (unbounded) Python
+    ints over the FULL int64 doc_id domain — this test originally caught
+    the naive `doc_id * 2654435761` overflowing INT64 at doc_id > ~3.47e9
+    (a 100 TB corpus holds ~50e9 docs), which forced the 16-bit limb
+    decomposition now embedded in _SQL_SPLIT; the limb form must equal the
+    mathematical value everywhere."""
+    h = (doc_id * KNUTH) % MOD  # Python ints don't overflow: ground truth
+    expected = (
+        "train" if h < 80 * 42949672 else ("val" if h < 90 * 42949672 else "test")
+    )
+    from datafusion_datasource_orc_spark.operators.split_leakage import (
+        _SQL_SPLIT,
+        _TRAIN_CUT,
+        _VAL_CUT,
+    )
+
+    assert _TRAIN_CUT == 80 * 42949672 and _VAL_CUT == 90 * 42949672
+    # duckdb evaluates the embedded SQL CASE in INT64 — the limb form must
+    # neither overflow nor diverge anywhere in the domain
+    import duckdb
+
+    got = duckdb.sql(
+        f"SELECT {_SQL_SPLIT.replace('doc_id', str(doc_id))}"
+    ).fetchone()[0]
+    assert got == expected
+
+
+def test_min_label_propagation_matches_union_find_on_random_graphs(spark):
+    """Third-engine replica for the clustering core: on 25 random graphs,
+    the distributed min-label propagation must produce exactly the
+    components a pure-Python union-find computes."""
+    import random
+
+    from datafusion_datasource_orc_spark.operators.dedup import (
+        min_label_propagation,
+    )
+
+    rng = random.Random(909)
+    for trial in range(25):
+        n = rng.randint(2, 24)
+        nodes = list(range(n))
+        m = rng.randint(0, n * 2)
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+                )
+                if a != b
+            }
+        )
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        expected = {x: min(y for y in nodes if find(y) == find(x)) for x in nodes}
+
+        docs = spark.createDataFrame([(x,) for x in nodes], "doc_id long")
+        pairs = spark.createDataFrame(
+            edges or [(None, None)], "doc_a long, doc_b long"
+        )
+        if not edges:
+            pairs = pairs.filter("doc_a IS NOT NULL")
+        labels, converged = min_label_propagation(docs, pairs.localCheckpoint())
+        got = {r.doc_id: r.lbl for r in labels.collect()}
+        assert converged, f"trial {trial} did not converge"
+        assert got == expected, f"trial {trial}: {got} != {expected}"
