@@ -64,3 +64,37 @@ def money_avg_sql(expr: str, scale: int = 4) -> str:
         f"(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
         f" / CAST(COUNT({expr}) AS DOUBLE))"
     )
+
+
+# ---- overflow-safe deterministic sampling hash --------------------------------
+# Knuth multiplicative hash mod 2^32, the repo's engine-portable sampling /
+# split primitive. The naive `key * 2654435761` overflows INT64 at
+# key > ~3.47e9 (Spark ANSI and DuckDB both ERROR) — a 100 TB corpus holds
+# ~50e9 documents and TPC-H orderkeys reach 6e12 at warehouse scale, so the
+# naive form is a latent scale bug (caught by the round-9 hypothesis sweep
+# over the full int64 domain). Since only the value mod 2^32 matters,
+# reduce mod 2^32 and split into 16-bit limbs:
+#     h = (lo16*K + hi16*(K*2^16 mod 2^32)) mod 2^32
+# Every product stays < 2^48; bit-identical to the naive form wherever it
+# didn't overflow (modular-arithmetic identity, pinned in
+# tests/test_properties.py against unbounded Python ints and DuckDB).
+KNUTH32 = 2654435761
+_KNUTH32_HI = (KNUTH32 * 65536) % 4294967296  # 2041643008
+
+
+def knuth_hash32(key: Column) -> Column:
+    """h(key) = (key * 2654435761) mod 2^32, ANSI-safe for all int64 keys."""
+    d32 = key % F.lit(4294967296)
+    return (
+        (d32 % F.lit(65536)) * F.lit(KNUTH32)
+        + F.shiftright(d32, 16) * F.lit(_KNUTH32_HI)
+    ) % F.lit(4294967296)
+
+
+def knuth_hash32_sql(expr: str) -> str:
+    """DuckDB twin of knuth_hash32 over an integer SQL expression."""
+    d32 = f"(({expr}) % 4294967296)"
+    return (
+        f"(({d32} % 65536) * {KNUTH32} + ({d32} // 65536) * {_KNUTH32_HI})"
+        " % 4294967296"
+    )

@@ -47,6 +47,7 @@ from datafusion_datasource_orc_spark.operators.dedup import (
     minhash_lsh_pairs,
     shingle_docs,
 )
+from datafusion_datasource_orc_spark.functions.portable import knuth_hash32
 from datafusion_datasource_orc_spark.operators.registry import query
 from datafusion_datasource_orc_spark.operators.textstats import (
     EVAL_MOD,
@@ -62,7 +63,7 @@ WITH base AS (
          {{bigrams}} AS bg,
          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
          (doc_id % {EVAL_MOD} = 0) AS is_eval,
-         (doc_id * 2654435761) % 4294967296 <
+         ((((doc_id) % 4294967296) % 65536) * 2654435761 + (((doc_id) % 4294967296) // 65536) * 2041643008) % 4294967296 <
            (10 + 4 * (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 10))
            * 42949672 AS sampled
   FROM (SELECT *, string_split_regex(lower(text), '\\s+') AS w FROM documents)
@@ -186,7 +187,8 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content_hash"),
         (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"),
         (
-            (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+            # overflow-safe Knuth hash (functions.portable.knuth_hash32)
+            knuth_hash32(F.col("doc_id"))
             < (
                 F.lit(10)
                 + F.lit(4)

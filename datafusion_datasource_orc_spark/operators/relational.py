@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from datafusion_datasource_orc_spark.functions.portable import (
+    knuth_hash32,
     money_avg,
     money_avg_sql,
     money_sum,
@@ -926,12 +927,14 @@ def window_frame_values(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT l_orderkey) AS n_orders,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
     FROM lineitem
-    WHERE (l_orderkey * 2654435761) % 4294967296 < 214748364
+    WHERE ((((l_orderkey) % 4294967296) % 65536) * 2654435761 + (((l_orderkey) % 4294967296) // 65536) * 2041643008) % 4294967296 < 214748364
     """,
 )
 def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    h = (F.col("l_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
+    # overflow-safe Knuth hash: TPC-H orderkeys reach 6e12 at warehouse
+    # scale, where the naive product overflows INT64 (functions.portable)
+    h = knuth_hash32(F.col("l_orderkey"))
     return li.filter(h < 214748364).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"),

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datafusion_datasource_orc_spark.functions.portable import knuth_hash32
 from datafusion_datasource_orc_spark.operators.registry import query
 from datafusion_datasource_orc_spark.sources.tables import load_table
 
@@ -50,7 +51,7 @@ def _shard_oracle() -> str:
       SELECT doc_id, n_chars // 4 AS toks,
              (({val}) % {SHARD_WORKERS}) AS shard_id
       FROM documents
-      WHERE (doc_id * 2654435761) % 4294967296 < {_SAMPLE_RATE_SQL} * 42949672
+      WHERE ((((doc_id) % 4294967296) % 65536) * 2654435761 + (((doc_id) % 4294967296) // 65536) * 2041643008) % 4294967296 < {_SAMPLE_RATE_SQL} * 42949672
     ),
     per AS (
       SELECT shard_id, COUNT(*) AS n_docs,
@@ -73,9 +74,8 @@ def training_epoch_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tier = F.regexp_extract("source", r"([0-9]+)$", 1).cast("long") % 10
     rate_pct = F.lit(10) + F.lit(4) * tier
-    sampled_f = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) < (
-        rate_pct * F.lit(42949672)
-    )
+    # overflow-safe Knuth hash (functions.portable.knuth_hash32)
+    sampled_f = knuth_hash32(F.col("doc_id")) < (rate_pct * F.lit(42949672))
     shard = (
         F.conv(
             F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10

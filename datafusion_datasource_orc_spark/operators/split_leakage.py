@@ -46,12 +46,12 @@ from datafusion_datasource_orc_spark.sources.tables import load_table
 # ERROR at target scale. Since only the value mod 2^32 matters, reduce
 # doc_id mod 2^32 and split it into 16-bit limbs:
 #   h = (lo16·K + hi16·(K·2^16 mod 2^32)) mod 2^32,  K = 2654435761
-# with K·2^16 mod 2^32 = 2041708544. Every product stays < 2^48 —
+# with K·2^16 mod 2^32 = 2041643008. Every product stays < 2^48 —
 # ANSI-safe for the full non-negative int64 doc_id domain, and
 # bit-identical to the naive form wherever it didn't overflow (pure
 # modular-arithmetic identity, pinned by the hypothesis replica).
 _KNUTH = 2654435761
-_KNUTH_HI = (_KNUTH * 65536) % 4294967296  # 2041708544
+_KNUTH_HI = (_KNUTH * 65536) % 4294967296  # 2041643008
 _SPLIT_HASH = (
     f"(((doc_id % 4294967296) % 65536) * {_KNUTH} "
     f"+ ((doc_id % 4294967296) // 65536) * {_KNUTH_HI}) % 4294967296"

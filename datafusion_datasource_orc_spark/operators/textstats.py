@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datafusion_datasource_orc_spark.functions.portable import knuth_hash32
 from datafusion_datasource_orc_spark.operators.registry import query
 from datafusion_datasource_orc_spark.sources.tables import load_table
 
@@ -525,7 +526,7 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS est_packs
     FROM (
       SELECT source, n_chars,
-             (doc_id * 2654435761) % 4294967296 <
+             ((((doc_id) % 4294967296) % 65536) * 2654435761 + (((doc_id) % 4294967296) // 65536) * 2041643008) % 4294967296 <
                (10 + 4 * (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 10))
                * 42949672 AS sampled
       FROM documents
@@ -548,9 +549,9 @@ def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     tier = F.regexp_extract("source", r"([0-9]+)$", 1).cast("long") % 10
     rate_pct = F.lit(10) + F.lit(4) * tier
-    sampled = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) < (
-        rate_pct * F.lit(42949672)
-    )
+    # overflow-safe Knuth hash (see functions.portable.knuth_hash32: the
+    # naive product errors past doc_id ~3.47e9 — a 100 TB-scale id domain)
+    sampled = knuth_hash32(F.col("doc_id")) < (rate_pct * F.lit(42949672))
     toks = F.expr("n_chars div 4")
     d = docs.select(
         "source",
