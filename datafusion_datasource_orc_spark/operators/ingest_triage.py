@@ -95,17 +95,39 @@ def ingest_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See module docstring — one row per incoming doc:
     (doc_id, status, match_doc_id, jaccard)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    inc_pred = F.col("doc_id") % 10 == 0
+    return triage_against(spark, sf_dir, docs.filter(F.col("doc_id") % 10 == 0))
+
+
+def triage_against(spark: SparkSession, sf_dir: str, incoming: DataFrame) -> DataFrame:
+    """Classify ``incoming`` documents (doc_id, text; a subset of the
+    held-out doc_id % 10 == 0 split — the parity IS the side marker in the
+    near tier) against the EXISTING corpus of ``sf_dir``. Shared by the
+    batch query above and the streaming twin
+    (tests/test_streaming.py::test_incremental_triage_*), which feeds each
+    discovered staging chunk through here per micro-batch: per-batch
+    results union to exactly the whole-batch answer because every tier
+    classifies an incoming doc against the EXISTING side only (incoming x
+    incoming pairs are filtered out), so batch boundaries can't change any
+    row."""
+    existing_docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .filter(F.col("doc_id") % 10 != 0)
+    )
+    incoming = incoming.filter(F.col("text").isNotNull())
 
     h = F.md5(F.col("text"))
-    inc = docs.filter(inc_pred).select("doc_id", h.alias("h"))
-    ex = docs.filter(~inc_pred).select(F.col("doc_id").alias("e_id"), h.alias("h"))
+    inc = incoming.select("doc_id", h.alias("h"))
+    ex = existing_docs.select(F.col("doc_id").alias("e_id"), h.alias("h"))
     exact = (
         inc.join(ex, "h")
         .groupBy("doc_id")
         .agg(F.min("e_id").alias("x_match"))
     )
 
+    docs = existing_docs.select("doc_id", "text").unionByName(
+        incoming.select("doc_id", "text")
+    )
     parallelism = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < parallelism // 2:
         docs = docs.repartition(parallelism // 2)
@@ -141,8 +163,7 @@ def ingest_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return (
-        docs.filter(inc_pred)
-        .select("doc_id")
+        incoming.select("doc_id")
         .join(exact, "doc_id", "left")
         .join(near, "doc_id", "left")
         .select(

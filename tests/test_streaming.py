@@ -379,3 +379,66 @@ def test_stream_session_windows_equal_batch(spark, sf_dir, stream_dir):
         for r in events_session_window(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_incremental_triage_streaming_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Streaming twin of ingest_triage: orcmeta streaming DISCOVERY over a
+    growing staging dir drives foreachBatch cycles that TRIAGE each newly
+    discovered chunk's docs against the existing corpus (triage_against —
+    the same helper the batch query uses). Per-batch manifests union to
+    EXACTLY the batch query's answer (every tier classifies against the
+    existing side only, so batch boundaries cannot change any row), and a
+    checkpoint restart with no new files appends nothing."""
+    from datafusion_datasource_orc_spark.operators.ingest import stage_ingest_dir
+    from datafusion_datasource_orc_spark.operators.ingest_triage import (
+        ingest_triage,
+        triage_against,
+    )
+    from datafusion_datasource_orc_spark.sources import orcmeta
+
+    orcmeta.register(spark)
+    staging = stage_ingest_dir(sf_dir)
+    base = tmp_path_factory.mktemp("incremental_triage")
+    grow, out, ckpt = base / "staging", str(base / "manifests"), str(base / "ckpt")
+    grow.mkdir()
+    shutil.copy(os.path.join(staging, "chunk-0.orc"), grow / "chunk-0.orc")
+
+    def triage_batch(batch_df, batch_id):
+        paths = [str(grow / r.file_name) for r in batch_df.collect()]
+        if paths:
+            inc = spark.read.format("orc").load(paths).select("doc_id", "text")
+            # idempotent per-batch sink (the incremental-ingest twin's
+            # overwrite-by-batch-id discipline)
+            triage_against(spark, sf_dir, inc).write.mode("overwrite").orc(
+                f"{out}/triage_batch={batch_id}"
+            )
+
+    def start():
+        return (
+            spark.readStream.format("orcmeta")
+            .load(str(grow))
+            .writeStream.foreachBatch(triage_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    start().awaitTermination()
+    for k in (1, 2, 3):
+        shutil.copy(os.path.join(staging, f"chunk-{k}.orc"), grow / f"chunk-{k}.orc")
+    start().awaitTermination()
+
+    got = {
+        (r.doc_id, r.status, r.match_doc_id, r.jaccard)
+        for r in spark.read.orc(out).collect()
+    }
+    want = {
+        (r.doc_id, r.status, r.match_doc_id, r.jaccard)
+        for r in ingest_triage(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+    # restart with no new files: discovery replays nothing, output unchanged
+    n_before = spark.read.orc(out).count()
+    start().awaitTermination()
+    assert spark.read.orc(out).count() == n_before
