@@ -10,15 +10,18 @@ existing = the other 90%.
 
 Composition / scale shape:
 - exact tier: md5(content) equi-join, 16-byte keys only;
-- near tier: MinHash signatures on BOTH sides (one linear pass each),
-  candidates from an ASYMMETRIC band-bucket join (existing x incoming on
-  (band, band_hash) — never a self-join, never all-pairs), exact-verified
-  Jaccard >= threshold, best match = max jaccard with min existing-id
-  tie-break (one window over the tiny verified pair set);
+- near tier: MinHash signatures over both sides in one pass via the
+  SHARED certified generator (minhash_lsh_pairs), then the symmetric
+  pair set filtered to (incoming, existing) orientation — the verified
+  pair set is tiny, so the filter costs nothing, and one certified
+  signature/verify implementation beats two. Best match = max jaccard
+  with min existing-id tie-break (one window over the verified pairs);
 - the status column folds the tiers with exact-tier precedence.
-At 100 TB the existing side's band table is a materialized index updated
-per batch; the incoming batch (orders of magnitude smaller) streams
-against it — the join's build side is the batch, not the corpus.
+At 100 TB the same banding becomes genuinely asymmetric: the existing
+side's (band, band_hash) table is a materialized index updated per
+batch, and the incoming batch (orders of magnitude smaller) joins
+against it as the build side — identical semantics, the shuffle moves
+only the batch.
 
 Oracle: exact md5 join + exact all-pairs Jaccard between the two sides
 (fine at gate scale) — legitimate for the dedup_minhash_lsh reason:
