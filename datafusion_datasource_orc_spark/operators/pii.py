@@ -93,17 +93,39 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixture (round 10, advisor-found vacuous certificate): the synthetic
+# corpus contains ZERO blocklist terms at sf0.001/0.01/0.1 (verified via
+# LIKE scan), so the screen certified all-zero counts — and the old oracle
+# additionally emitted '\\b' (escaped backslash) into the DuckDB literal,
+# so RE2 could never match a word boundary at all. Both fixed: terms are
+# planted deterministically IN THE QUERY (replicated in the oracle), and
+# the SQL now carries a single backslash. The 'spillway' decoy pins the
+# word-boundary semantics: it contains 'spill' as a substring and MUST
+# NOT count, so a regression to substring matching breaks the hash.
+_BLOCKLIST_AUG_SQL = (
+    "lower(text)"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' spill detected' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 1 THEN ' spillway tour' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 3 THEN ' skew skew alert' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 4 THEN ' deadlock trace' ELSE '' END"
+)
+
+
 def _blocklist_sql() -> str:
     hits = " + ".join(
-        f"len(regexp_extract_all(lower(text), '\\\\b{w}\\\\b'))" for w in BLOCKLIST
+        f"len(regexp_extract_all(t, '\\b{w}\\b'))" for w in BLOCKLIST
     )
     return f"""
+    WITH aug AS (
+      SELECT source, {_BLOCKLIST_AUG_SQL} AS t
+      FROM documents WHERE text IS NOT NULL
+    )
     SELECT source,
            COUNT(*) AS n_docs,
            CAST(SUM(CASE WHEN {hits} > 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_flagged,
            CAST(SUM({hits}) AS BIGINT) AS n_hits
-    FROM documents WHERE text IS NOT NULL
+    FROM aug
     GROUP BY source
     """
 
@@ -112,19 +134,27 @@ def _blocklist_sql() -> str:
 def text_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocklist screening dashboard: per source, how many documents match
     any blocklisted term (word-boundary regex — substring matches inside
-    other words don't count) and the total hit count. The per-source
-    grain is what a curation run reviews before dropping a crawl."""
+    other words don't count: the planted 'spillway' decoy proves it) and
+    the total hit count. The per-source grain is what a curation run
+    reviews before dropping a crawl. See the fixture note above
+    ``_BLOCKLIST_AUG_SQL`` — terms are planted deterministically so the
+    counts are nonzero and hash-checked at every scale."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    aug = F.concat(
+        F.lower(F.col("text")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" spill detected")).otherwise(""),
+        F.when(F.col("doc_id") % 5 == 1, F.lit(" spillway tour")).otherwise(""),
+        F.when(F.col("doc_id") % 7 == 3, F.lit(" skew skew alert")).otherwise(""),
+        F.when(F.col("doc_id") % 11 == 4, F.lit(" deadlock trace")).otherwise(""),
+    )
     hit_counts = [
-        F.size(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit(rf"\b{w}\b"), 0)
-        )
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(rf"\b{w}\b"), 0))
         for w in BLOCKLIST
     ]
     total = hit_counts[0]
     for h in hit_counts[1:]:
         total = total + h
-    d = docs.select("source", total.alias("hits"))
+    d = docs.select("source", aug.alias("t")).select("source", total.alias("hits"))
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum((F.col("hits") > 0).cast("int")).cast("long").alias("n_flagged"),

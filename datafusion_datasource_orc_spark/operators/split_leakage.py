@@ -91,7 +91,7 @@ _SQL_SPLIT = f"""CASE WHEN {_SPLIT_HASH} < {_TRAIN_CUT} THEN 'train'
                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
             >= {JACCARD_THRESHOLD}
     ),
-    sp AS (SELECT doc_id, {_SQL_SPLIT.replace('doc_id', 'doc_id')} AS split
+    sp AS (SELECT doc_id, {_SQL_SPLIT} AS split
            FROM documents)
     SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b,
            p.jaccard
