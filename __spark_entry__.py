@@ -69,6 +69,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # mechanical as the rest of the policy (reads only the committed
 # artifacts' recorded spark_rows).
 _ROUND_PRIORITY: list[str] = [
+    # round-10 additions (judge r09 tasks 2/4): incremental ingest triage
+    # over the materialized LSH band index (same oracle as ingest_triage —
+    # the gate certifies the index path end-to-end), and the MIPS scale
+    # rung via the norm-augmentation reduction onto the banded machinery
+    "ingest_triage_incremental",
+    "simsearch_mips_banded",
     # round-9 addition (judge r08 task 3): the 100 TB near-dup CLUSTERING
     # path end-to-end — minhash-LSH edges feeding min-label propagation
     "dedup_connected_components_lsh",

@@ -28,6 +28,7 @@ from datafusion_datasource_orc_spark.operators import (  # noqa: F401
     simsearch,
     textstats,
     tpcds,
+    triage_index,
     tpch,
     tpch_more,
 )

@@ -46,6 +46,9 @@ ALLOWED_NESTED_LOOP = {
     "array crossJoin (the shared minhash_lsh_pairs verify stage)",
     "ingest_triage": "inherits dedup_minhash_lsh's 1-row over-cap array "
     "crossJoin (the shared minhash_lsh_pairs verify stage)",
+    "ingest_triage_incremental": "1-row ubiquity-guard array (recomposed "
+    "stored+batch df) crossJoin'd onto the candidate verify stream — the "
+    "index-path form of minhash_lsh_pairs' over-cap broadcast",
     "training_curriculum_quantiles": "1-row quantile-cutpoint aggregate "
     "crossJoin'd onto the corpus stream — the embedding_whitening shape",
     "text_vocab_coverage": "1-row total-token aggregate crossJoin'd onto the "

@@ -1,0 +1,163 @@
+"""Round-10 operators: the materialized triage band index (incremental
+ingest triage), its append/idempotence contract, and the MIPS banded rung.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_datasource_orc_spark.operators.ingest_triage import (
+    ingest_triage,
+)
+from datafusion_datasource_orc_spark.operators.triage_index import (
+    append_to_index,
+    build_triage_index,
+    index_dir_for,
+    ingest_triage_incremental,
+    triage_incremental,
+)
+from datafusion_datasource_orc_spark.sources.tables import load_table
+
+
+def _incoming(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+
+
+def _rows(df):
+    return {(r.doc_id, r.status, r.match_doc_id, round(r.jaccard, 12)) for r in df.collect()}
+
+
+class TestTriageIndex:
+    def test_incremental_equals_batch(self, spark, sf_dir):
+        """The equality contract: classification over the materialized
+        index is bit-identical to the re-shingling batch form."""
+        got = _rows(ingest_triage_incremental(spark, sf_dir))
+        want = _rows(ingest_triage(spark, sf_dir))
+        assert got == want and len(got) > 0
+        # non-trivial at the pytest scale: the near tier actually fires
+        # (exact dups only appear from sf0.01 up — covered by the gate)
+        assert {"new", "near_dup"} <= {s for (_, s, _, _) in got}
+
+    def test_index_layout_and_dpp(self, spark, sf_dir):
+        """The docs/exact fetch joins run under dynamic partition pruning:
+        the batch's candidates, not the corpus, bound the directories read."""
+        idx = index_dir_for(spark, sf_dir)
+        for sub in ("exact", "bands", "docs", "df"):
+            assert os.path.isdir(os.path.join(idx, sub, "seg=base"))
+        plan = (
+            triage_incremental(spark, _incoming(spark, sf_dir), idx)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "dynamicpruning" in plan.lower()
+
+    def test_append_is_idempotent_under_replay(self, spark, sf_dir, tmp_path):
+        """Task 6 (judge r09): replaying a segment write after a mid-batch
+        failure must not double-insert postings. Overwrite-by-segment makes
+        the double-apply a bit-exact rewrite: row counts identical."""
+        idx = build_triage_index(spark, sf_dir, str(tmp_path / "idx"))
+        admitted = _incoming(spark, sf_dir).limit(20)
+
+        def counts():
+            return {
+                sub: spark.read.orc(os.path.join(idx, sub)).count()
+                for sub in ("exact", "bands", "docs", "df")
+            }
+
+        base = counts()
+        append_to_index(spark, idx, admitted, seg="batch0")
+        once = counts()
+        assert all(once[s] > base[s] for s in ("exact", "docs"))
+        append_to_index(spark, idx, admitted, seg="batch0")  # the replay
+        assert counts() == once
+
+    def test_appended_docs_become_matchable(self, spark, sf_dir, tmp_path):
+        """The growing-corpus semantics: a doc admitted in batch N is found
+        as an exact_dup by batch N+1 — the index actually accumulates."""
+        idx = build_triage_index(spark, sf_dir, str(tmp_path / "idx"))
+        inc = _incoming(spark, sf_dir)
+        first = inc.limit(5)
+        # before the append: a copy of `first` classifies however the base
+        # corpus says; after appending `first` itself, every copy must be an
+        # exact_dup matching the appended doc_ids.
+        append_to_index(spark, idx, first, seg="batch0")
+        replay = first.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        got = {
+            r.doc_id: (r.status, r.match_doc_id)
+            for r in triage_incremental(spark, replay, idx).collect()
+        }
+        for r in first.collect():
+            status, match = got[r.doc_id + 1_000_000]
+            assert status == "exact_dup"
+            # matched against the appended doc or an even-smaller existing
+            # exact duplicate — either way a real corpus member
+            assert match <= r.doc_id
+
+    def test_star_collapse_keeps_precision(self, spark, sf_dir, tmp_path):
+        """Force the bucket cap to bind (cap=1 collapses every multi-member
+        bucket to its minimum): recall may drop, precision may not — every
+        reported near_dup must still be a true >= threshold pair, and exact
+        dups are untouched (different tier)."""
+        from datafusion_datasource_orc_spark.operators.dedup import (
+            JACCARD_THRESHOLD,
+            shingle_docs,
+        )
+
+        idx = build_triage_index(
+            spark, sf_dir, str(tmp_path / "idx"), bucket_cap=1
+        )
+        inc = _incoming(spark, sf_dir)
+        res = triage_incremental(spark, inc, idx)
+        full = _rows(ingest_triage(spark, sf_dir))
+        exact_want = {t for t in full if t[1] == "exact_dup"}
+        got = _rows(res)
+        assert {t for t in got if t[1] == "exact_dup"} == exact_want
+        # verify reported near pairs exactly
+        near = [(d, m) for (d, s, m, _) in got if s == "near_dup"]
+        if near:
+            sh = {
+                r.doc_id: set(r.s)
+                for r in shingle_docs(
+                    load_table(spark, sf_dir, "documents").filter(
+                        F.col("text").isNotNull()
+                    ),
+                    hashed=True,
+                ).collect()
+            }
+            for d, m in near:
+                inter = len(sh[d] & sh[m])
+                j = inter / (len(sh[d]) + len(sh[m]) - inter)
+                assert j >= JACCARD_THRESHOLD
+
+
+class TestMipsBanded:
+    def test_recall_vs_exact(self, spark, sf_dir):
+        """The banded MIPS rung must recover most of the exact top-k (the
+        norm-augmentation reduction preserves inner-product order, so any
+        miss is banding recall, bounded like simsearch_lsh's)."""
+        pytest.importorskip("datafusion_datasource_orc_spark.operators.mips")
+        from datafusion_datasource_orc_spark.operators.mips import (
+            simsearch_mips,
+            simsearch_mips_banded,
+        )
+
+        exact = {
+            (r.query_id, r.doc_id) for r in simsearch_mips(spark, sf_dir).collect()
+        }
+        banded = {
+            (r.query_id, r.doc_id)
+            for r in simsearch_mips_banded(spark, sf_dir).collect()
+        }
+        # pinned floor: at the test scales hyperplane banding over the
+        # augmented vectors recovers the large majority of exact MIPS top-k
+        assert len(banded & exact) / len(exact) >= 0.6
