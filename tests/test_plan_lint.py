@@ -25,6 +25,9 @@ ALLOWED_NESTED_LOOP = {
     "simsearch_knn_join": "query set broadcast x corpus, same baseline shape",
     "simsearch_mips": "query set (5 vectors) broadcast x corpus — the exact "
     "MIPS baseline (scale path: norm-augmentation onto the banded rungs)",
+    "simsearch_mips_banded": "1-row max-norm² aggregate crossJoin'd onto "
+    "the corpus stream for the augmentation dim (the embedding_whitening "
+    "shape); the probe join itself is an equi hash join",
     "simsearch_ivf": "probed-centroid set (tiny) broadcast to the corpus stream",
     "simsearch_ivfpq": "same coarse-centroid broadcast as simsearch_ivf (the "
     "composite's level-1 assignment crossJoins the tiny codebook)",

@@ -152,10 +152,10 @@ class TestMipsBanded:
         )
 
         exact = {
-            (r.query_id, r.doc_id) for r in simsearch_mips(spark, sf_dir).collect()
+            (r.q_vec_id, r.vec_id) for r in simsearch_mips(spark, sf_dir).collect()
         }
         banded = {
-            (r.query_id, r.doc_id)
+            (r.q_vec_id, r.vec_id)
             for r in simsearch_mips_banded(spark, sf_dir).collect()
         }
         # pinned floor: at the test scales hyperplane banding over the
