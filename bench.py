@@ -176,6 +176,11 @@ HEADLINE = [
     "training_curriculum_quantiles",
     "simsearch_mips",
     "ingest_triage",
+    # round 10 additions: the materialized-index triage path (one-time
+    # index build amortized across iterations, like the tpcds star
+    # materialization) and the MIPS banded rung
+    "ingest_triage_incremental",
+    "simsearch_mips_banded",
 ]
 
 
