@@ -410,6 +410,7 @@ def main() -> None:
             {
                 "sf": sf_val,
                 "iterations": iterations,
+                "queries_best": results,  # full precision (stdout line is 2dp)
                 "queries_cold": cold,
                 "queries_warm_median": warm,
                 "cold_total": round(sum(cold.values()), 4),
@@ -453,12 +454,14 @@ def main() -> None:
     }
     if "flagged" in regression:
         regression_compact["n_flagged"] = len(regression["flagged"])
+    # stdout keeps 2dp per query (the 1900-char budget below bit at 63
+    # headliners x 3dp); bench_detail.json carries the full-precision times
     line = json.dumps(
         {
             "metric": "headline_queries_total_best_of_%d" % ITERATIONS,
             "value": round(sum(results.values()), 4),
             "unit": "sec",
-            "queries": results,
+            "queries": {n: round(v, 2) for n, v in results.items()},
             "calibration": {"sec": cal_sec, "shuf_sec": shuf_sec, "drift": cal_drift},
             "regression_vs_prev": regression_compact,
             "sf": sf_val,
