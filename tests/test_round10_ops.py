@@ -140,6 +140,43 @@ class TestTriageIndex:
                 assert j >= JACCARD_THRESHOLD
 
 
+class TestSemdedupKn:
+    def test_k_formula_agrees_across_engines_and_scales(self, spark):
+        """The k(n) scalar both engines derive from the corpus must equal
+        the closed form max(KM_K, floor(sqrt(n/8))) — checked for Spark's
+        aggregate Column, DuckDB's kparam CTE, and unbounded-Python math
+        at every available corpus size (the computed-constants
+        discipline, pinned)."""
+        import math
+
+        import duckdb
+
+        from datafusion_datasource_orc_spark.operators.semdedup import (
+            _K_SQL,
+            SEMDEDUP_KDIV,
+        )
+        from datafusion_datasource_orc_spark.operators.simsearch import KM_K
+
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.1"):
+            emb = load_table(spark, sf, "embeddings").filter(
+                F.col("embedding").isNotNull()
+            )
+            n = emb.count()
+            want = max(KM_K, math.floor(math.sqrt(n / SEMDEDUP_KDIV)))
+            k_expr = F.greatest(
+                F.lit(KM_K),
+                F.floor(
+                    F.sqrt(F.count(F.lit(1)).cast("double") / F.lit(SEMDEDUP_KDIV))
+                ).cast("int"),
+            )
+            got_spark = emb.agg(k_expr.alias("k")).collect()[0]["k"]
+            got_duck = duckdb.sql(
+                f"WITH emb AS (SELECT * FROM read_parquet('{sf}/embeddings.parquet') "
+                f"WHERE embedding IS NOT NULL) {_K_SQL}"
+            ).fetchone()[0]
+            assert got_spark == got_duck == want, (sf, n)
+
+
 class TestMipsBanded:
     def test_recall_vs_exact(self, spark, sf_dir):
         """The banded MIPS rung must recover most of the exact top-k (the
