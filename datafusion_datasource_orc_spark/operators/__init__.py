@@ -16,6 +16,7 @@ from datafusion_datasource_orc_spark.operators import (  # noqa: F401
     ivf_kmeans,
     mips,
     multimodal,
+    nbayes,
     orc_encodings,
     phash,
     pii,

@@ -54,6 +54,10 @@ ALLOWED_NESTED_LOOP = {
     "index-path form of minhash_lsh_pairs' over-cap broadcast",
     "training_curriculum_quantiles": "1-row quantile-cutpoint aggregate "
     "crossJoin'd onto the corpus stream — the embedding_whitening shape",
+    "text_quality_nb": "two bounded broadcast crossJoins: the 1-row "
+    "smoothed-total aggregate onto the 32-row bucket table (model build) "
+    "and the 1-row prior onto the held-out scoring stream — the "
+    "embedding_whitening shape; the feature joins are equi hash joins",
     "text_vocab_coverage": "1-row total-token aggregate crossJoin'd onto the "
     "(count -> frequency) histogram, itself at most |distinct counts| rows",
     "tpch_q11": "1-row scalar-subquery threshold joined below the HAVING",
