@@ -26,6 +26,7 @@ from datafusion_datasource_orc_spark.operators import (  # noqa: F401
     semdedup,
     split_leakage,
     sharding,
+    substring,
     simsearch,
     textstats,
     tpcds,

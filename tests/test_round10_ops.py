@@ -251,3 +251,50 @@ class TestNaiveBayes:
         for marker in NB_POS + NB_NEG:
             owners = [t for t, b in buckets.items() if b == buckets[marker]]
             assert owners == [marker], (marker, owners)
+
+
+class TestSubstringSpans:
+    def test_exact_dup_docs_have_full_coverage(self, spark, sf_dir):
+        """Semantic cross-check against the exact-dedup family: a document
+        with an exact lowercase-text twin has EVERY span duplicated, so its
+        duplicated-token coverage must be total (dup_ppm == 1_000_000).
+        Whole-corpus exact twins only exist at sf0.1 (verified: sf0.001 and
+        sf0.01 plant near-dups only), so this check pins that scale
+        regardless of the fixture default."""
+        from datafusion_datasource_orc_spark.operators.substring import (
+            SPAN_W,
+            dedup_substring_spans,
+        )
+
+        sf_dir = "/root/testdata/sf0.1"
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        twins = (
+            docs.groupBy(F.lower("text").alias("t"))
+            .agg(F.count(F.lit(1)).alias("n"), F.collect_list("doc_id").alias("ids"))
+            .filter(F.col("n") > 1)
+            .select(F.explode("ids").alias("doc_id"))
+        )
+        twin_ids = {r.doc_id for r in twins.collect()}
+        assert twin_ids, "fixture must contain exact duplicates"
+
+        out = {r.doc_id: r for r in dedup_substring_spans(spark, sf_dir).collect()}
+        for did in twin_ids:
+            r = out[did]
+            if r.n_tokens >= SPAN_W:
+                assert r.dup_ppm == 1_000_000 and r.flagged, r
+
+    def test_manifest_invariants(self, spark, sf_dir):
+        """Coverage never exceeds the doc, spans never exceed positions,
+        and the flag gradient is non-degenerate (some docs with duplicated
+        spans, some clean)."""
+        from datafusion_datasource_orc_spark.operators.substring import (
+            dedup_substring_spans,
+        )
+
+        rows = dedup_substring_spans(spark, sf_dir).collect()
+        assert all(r.n_dup_tokens <= r.n_tokens for r in rows)
+        assert all(r.n_dup_spans <= r.n_spans for r in rows)
+        flagged = sum(r.flagged for r in rows)
+        assert 0 < flagged < len(rows)
