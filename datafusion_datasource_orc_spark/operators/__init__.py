@@ -7,6 +7,7 @@ from datafusion_datasource_orc_spark.operators import (  # noqa: F401
     countmin,
     curriculum,
     dedup,
+    dsir,
     events,
     ewma,
     extras,

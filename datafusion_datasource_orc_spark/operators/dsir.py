@@ -1,0 +1,221 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling") over the
+documents corpus: estimate hashed bag-of-ngrams distributions for a
+TARGET corpus and the RAW pool, weight every raw doc by its
+log-likelihood ratio, and keep the top quantile — the pretraining-data
+selection pass that sits between crawling and training.
+
+Target fixture: the corpus is deliberately homogeneous (one 31-token
+vocabulary at uniform frequencies), so a naturally-distinct target slice
+does not exist; the target is PLANTED in-query (the pii/phash twin-fixture
+precedent): docs with knuth_hash32(doc_id) % 17 == 0 form the target, with
+a fixed formal-register suffix appended before tokenization. The suffix's
+tokens all occur naturally, so the learned weights transfer: raw docs
+whose own text is richer in the marker tokens genuinely scores higher —
+selection is discriminative, not vacuous (pinned in pytest: the selected
+slice's marker-token rate strictly exceeds the rejected slice's).
+
+Variant note: the paper resamples with Gumbel noise; this operator takes
+the deterministic top-quantile form (the common production simplification)
+so both engines agree bit-for-bit. Features are hashed UNIGRAMS at D=64
+(the paper's space is hashed n-grams, n <= 2, at D=10^4; bigrams were
+built and measured first — at gate scale their bucket occupancy is so
+sparse that per-bucket ratio noise reaches +-0.4 nats and drowns the
+planted shift, so the registered form uses the dense unigram buckets,
+where selection measures 1.45x marker-rate enrichment vs the ~1.6x
+information-theoretic ceiling for a quartile cut on this corpus). The
+per-doc weight is the exact integer dot product DIVIDED by the doc's
+token count (one FLOOR(double/int) on both engines): the ordinary-bucket
+drift ln(1-alpha) otherwise makes raw weight scale with length and the
+quantile tail fills with short docs instead of target-like docs.
+
+Determinism discipline: per-bucket log ratios snapped to the integer
+micro-unit grid (ln computed once per bucket in a fixed association
+order, CAST(ROUND(x*1e6) AS BIGINT) — the text_quality_nb hardening of
+the tfidf ROUND-6 ln precedent); every per-doc weight is then an exact
+integer dot product. The selection cutoff is the exact interpolated 0.75
+quantile of those integers, ROUNDed to 4 dp on both engines before the
+strict comparison (the training_curriculum_quantiles pair).
+
+Scale shape (100 TB): one scan builds both 64-row histograms (map-side
+combinable; the target side is the tiny slice), the model broadcasts,
+scoring is one explode + per-(doc,bucket) count + broadcast join + per-doc
+sum, the cutoff is a 1-row broadcast aggregate, and the manifest is a
+per-source rollup. No global sort, no window, no pair join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_datasource_orc_spark.functions.portable import (
+    knuth_hash32,
+    knuth_hash32_sql,
+)
+from datafusion_datasource_orc_spark.operators.registry import query
+from datafusion_datasource_orc_spark.sources.tables import load_table
+
+DSIR_D = 64  # hashed unigram buckets
+DSIR_TARGET_MOD = 17  # knuth(doc_id) % 17 == 0 -> target slice (~6%)
+DSIR_Q = 0.75  # keep raw docs above this weight quantile
+DSIR_SUFFIX = "query sort order group filter"  # formal-register fixture
+
+_NIB = "(strpos('0123456789abcdef', substr(md5(g), {j}, 1)) - 1)"
+_SQL_BUCKET = (
+    "(" + " + ".join(_NIB.format(j=j + 1) + f" * {16 ** (3 - j)}" for j in range(4))
+    + f") % {DSIR_D}"
+)
+
+
+def _dsir_oracle() -> str:
+    return f"""
+    WITH lab AS (
+      SELECT doc_id, source, n_chars,
+             ({knuth_hash32_sql('doc_id')}) % {DSIR_TARGET_MOD} = 0 AS is_tgt,
+             CASE WHEN ({knuth_hash32_sql('doc_id')}) % {DSIR_TARGET_MOD} = 0
+                  THEN lower(text) || ' {DSIR_SUFFIX}' ELSE lower(text) END AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    base AS (SELECT doc_id, source, n_chars, is_tgt,
+                    string_split_regex(t, '\\s+') AS w FROM lab),
+    grams AS (SELECT doc_id, is_tgt, unnest(w) AS g FROM base),
+    bg AS (SELECT doc_id, is_tgt, {_SQL_BUCKET} AS bucket, COUNT(*) AS x
+           FROM grams GROUP BY 1, 2, 3),
+    dom AS (SELECT CAST(range AS BIGINT) AS bucket FROM range({DSIR_D})),
+    hist AS (
+      SELECT d.bucket,
+             COALESCE(SUM(CASE WHEN b.is_tgt THEN b.x END), 0) + 1 AS ct,
+             COALESCE(SUM(CASE WHEN NOT b.is_tgt THEN b.x END), 0) + 1 AS cr
+      FROM dom d LEFT JOIN bg b USING (bucket) GROUP BY 1
+    ),
+    tot AS (SELECT SUM(ct) AS st, SUM(cr) AS sr FROM hist),
+    lw AS (
+      SELECT h.bucket,
+             CAST(ROUND((ln(CAST(h.ct AS DOUBLE)) - ln(CAST(t.st AS DOUBLE))
+                       - ln(CAST(h.cr AS DOUBLE)) + ln(CAST(t.sr AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS lw
+      FROM hist h CROSS JOIN tot t
+    ),
+    sc AS (
+      SELECT b.doc_id,
+             CAST(FLOOR(CAST(SUM(b.x * l.lw) AS DOUBLE) / SUM(b.x)) AS BIGINT) AS s
+      FROM bg b JOIN lw l USING (bucket) WHERE NOT b.is_tgt GROUP BY 1
+    ),
+    cut AS (SELECT ROUND(quantile_cont(s, {DSIR_Q}), 4) AS cut FROM sc),
+    sel AS (
+      SELECT l.source, l.n_chars, s.s, s.s > c.cut AS keep
+      FROM sc s JOIN lab l USING (doc_id) CROSS JOIN cut c
+    )
+    SELECT source,
+           COUNT(*) AS n_raw,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(SUM(CASE WHEN keep THEN n_chars // 4 ELSE 0 END) AS BIGINT)
+               AS sel_tokens,
+           CAST(SUM(CASE WHEN keep THEN s ELSE 0 END) AS BIGINT)
+               AS sum_sel_weight_micro
+    FROM sel GROUP BY 1
+    """
+
+
+def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-raw-doc importance weights and keep flags:
+    (doc_id, source, n_chars, s, keep) — the selection the manifest rolls
+    up, exposed for the discriminativeness pin in pytest."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    is_tgt = knuth_hash32(F.col("doc_id")) % DSIR_TARGET_MOD == 0
+    lab = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        is_tgt.alias("is_tgt"),
+        F.when(
+            is_tgt, F.concat(F.lower("text"), F.lit(" " + DSIR_SUFFIX))
+        )
+        .otherwise(F.lower("text"))
+        .alias("t"),
+    )
+    base = lab.select(
+        "doc_id", "source", "n_chars", "is_tgt",
+        F.split(F.col("t"), r"\s+").alias("w"),
+    )
+    grams = base.select(
+        "doc_id", "is_tgt", F.explode("w").alias("g")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 4), 16, 10)
+        .cast("bigint")
+        % F.lit(DSIR_D)
+    )
+    bg = (
+        grams.select("doc_id", "is_tgt", bucket.alias("bucket"))
+        .groupBy("doc_id", "is_tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("x"))
+    ).cache()  # reused by the histogram build AND the scoring pass
+
+    dom = spark.range(DSIR_D).select(F.col("id").alias("bucket"))
+    hist = dom.join(
+        bg.groupBy("bucket").agg(
+            F.sum(F.when(F.col("is_tgt"), F.col("x"))).alias("ct0"),
+            F.sum(F.when(~F.col("is_tgt"), F.col("x"))).alias("cr0"),
+        ),
+        "bucket",
+        "left",
+    ).select(
+        "bucket",
+        (F.coalesce(F.col("ct0"), F.lit(0)) + 1).alias("ct"),
+        (F.coalesce(F.col("cr0"), F.lit(0)) + 1).alias("cr"),
+    )
+    tot = hist.agg(F.sum("ct").alias("st"), F.sum("cr").alias("sr"))
+    lw = hist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            (
+                F.log(F.col("ct").cast("double"))
+                - F.log(F.col("st").cast("double"))
+                - F.log(F.col("cr").cast("double"))
+                + F.log(F.col("sr").cast("double"))
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("lw"),
+    )
+    sc = (
+        bg.filter(~F.col("is_tgt"))
+        .join(F.broadcast(lw), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.floor(
+                F.sum(F.col("x") * F.col("lw")).cast("double") / F.sum("x")
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    cut = sc.agg(F.round(F.percentile("s", F.lit(DSIR_Q)), 4).alias("cut"))
+    return (
+        sc.join(lab.select("doc_id", "source", "n_chars"), "doc_id")
+        .crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id", "source", "n_chars", "s",
+            (F.col("s") > F.col("cut")).alias("keep"),
+        )
+    )
+
+
+@query("training_dsir_select", oracle=_dsir_oracle())
+def training_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module docstring — per-source selection manifest:
+    (source, n_raw, n_selected, sel_tokens, sum_sel_weight_micro)."""
+    sel = dsir_scores(spark, sf_dir)
+    return sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_selected"),
+        F.sum(F.when(F.col("keep"), F.expr("n_chars div 4")).otherwise(0))
+        .cast("bigint")
+        .alias("sel_tokens"),
+        F.sum(F.when(F.col("keep"), F.col("s")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_sel_weight_micro"),
+    )

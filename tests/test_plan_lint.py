@@ -54,6 +54,11 @@ ALLOWED_NESTED_LOOP = {
     "index-path form of minhash_lsh_pairs' over-cap broadcast",
     "training_curriculum_quantiles": "1-row quantile-cutpoint aggregate "
     "crossJoin'd onto the corpus stream — the embedding_whitening shape",
+    "training_dsir_select": "two bounded broadcast crossJoins: the 1-row "
+    "smoothed-total aggregate onto the 64-row histogram (weight build) and "
+    "the 1-row quantile cutoff onto the scored stream — the "
+    "text_quality_nb/curriculum shapes composed; feature joins are equi "
+    "hash joins",
     "text_quality_nb": "two bounded broadcast crossJoins: the 1-row "
     "smoothed-total aggregate onto the 32-row bucket table (model build) "
     "and the 1-row prior onto the held-out scoring stream — the "

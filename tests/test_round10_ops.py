@@ -298,3 +298,41 @@ class TestSubstringSpans:
         assert all(r.n_dup_spans <= r.n_spans for r in rows)
         flagged = sum(r.flagged for r in rows)
         assert 0 < flagged < len(rows)
+
+
+class TestDsir:
+    def test_selection_is_discriminative(self, spark, sf_dir):
+        """DSIR must SHIFT the distribution toward the target, not pick
+        arbitrarily: the kept slice's natural marker-token rate (per
+        token) strictly exceeds the rejected slice's, and the kept
+        fraction is the configured quantile tail."""
+        from datafusion_datasource_orc_spark.operators.dsir import (
+            DSIR_Q,
+            DSIR_SUFFIX,
+            dsir_scores,
+        )
+
+        sel = dsir_scores(spark, sf_dir)
+        markers = ", ".join(f"'{t}'" for t in DSIR_SUFFIX.split())
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.expr(
+                "size(filter(split(lower(text), '\\\\s+'), "
+                f"x -> x IN ({markers})))"
+            ).alias("hits"),
+            F.size(F.split(F.lower("text"), r"\s+")).alias("n"),
+        )
+        rows = sel.join(docs, "doc_id").groupBy("keep").agg(
+            F.sum("hits").alias("hits"),
+            F.sum("n").alias("n"),
+            F.count(F.lit(1)).alias("docs"),
+        ).collect()
+        by = {r.keep: r for r in rows}
+        assert set(by) == {True, False}
+        kept_rate = by[True].hits / by[True].n
+        rej_rate = by[False].hits / by[False].n
+        # measured 1.44-1.48x across sf0.001/0.01/0.1 vs the ~1.6x
+        # information-theoretic ceiling for a quartile cut on this corpus
+        assert kept_rate > rej_rate * 1.25, (kept_rate, rej_rate)
+        frac = by[True].docs / (by[True].docs + by[False].docs)
+        assert abs(frac - (1 - DSIR_Q)) < 0.1, frac
