@@ -181,6 +181,11 @@ HEADLINE = [
     # materialization) and the MIPS banded rung
     "ingest_triage_incremental",
     "simsearch_mips_banded",
+    # round 10 additions, second batch: the NB quality classifier, the
+    # Lee-et-al duplicated-span coverage, and DSIR data selection
+    "text_quality_nb",
+    "dedup_substring_spans",
+    "training_dsir_select",
 ]
 
 
