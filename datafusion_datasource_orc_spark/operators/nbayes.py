@@ -30,9 +30,11 @@ accumulation anywhere (the tfidf ROUND-6 ln precedent, hardened to the
 integer grid so even the SUM is exact).
 
 Scale shape (100 TB): tokenize+bucket is one scan; per-(doc,bucket) counts
-is one map-side-combinable shuffle REUSED by both the train aggregate and
-the test scoring (cached here; at warehouse scale it persists as the
-feature table). The model is 32 rows + 1 prior row — broadcast. Scoring is
+is one map-side-combinable shuffle. Train (`nb_train`) and score
+(`nb_score`) are separate passes over it — the production split: the model
+trains offline once and the scorer runs over any batch or stream (the
+streaming twin in tests/test_streaming.py scores micro-batches against the
+frozen broadcast model). The model is 32 rows + 1 prior row. Scoring is
 a broadcast join + per-doc agg; the confusion rollup is a 4-row groupBy.
 Two passes over the corpus total, both whole-stage-codegen; no iteration,
 no driver-side loop, no UDF.
@@ -137,39 +139,77 @@ def _nbayes_oracle() -> str:
     """
 
 
-@query("text_quality_nb", oracle=_nbayes_oracle())
-def text_quality_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """See module docstring — held-out confusion matrix of the trained
-    classifier: (y_true, y_pred, n_docs, sum_score_micro, n_train_pos,
-    n_train_neg); scores are exact integer micro-units."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    base = docs.select(
+def _base(docs: DataFrame) -> DataFrame:
+    return docs.select(
         "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("w")
     )
+
+
+def _labels(base: DataFrame) -> DataFrame:
+    """Row-local weak labels + knuth 80/20 split flags for any doc batch."""
 
     def cnt(t: str):
         return F.expr(f"size(filter(w, t -> t = '{t}'))")
 
     pos = sum((cnt(t) for t in NB_POS[1:]), cnt(NB_POS[0]))
     neg = sum((cnt(t) for t in NB_NEG[1:]), cnt(NB_NEG[0]))
-    lab = base.select(
+    return base.select(
         "doc_id",
         F.when(pos > neg, F.lit(1)).otherwise(F.lit(-1)).alias("y"),
         (knuth_hash32(F.col("doc_id")) % 10 < 8).alias("is_train"),
     )
 
+
+def _features(base: DataFrame) -> DataFrame:
+    """Hashed bag-of-words counts per (doc_id, bucket) for any doc batch."""
     bucket = (
         F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("bigint")
         % F.lit(NB_D)
     )
-    feat = (
+    return (
         base.select("doc_id", F.explode("w").alias("tok"))
         .select("doc_id", bucket.alias("bucket"))
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("x"))
-    ).cache()  # reused by the train aggregate AND the test scoring pass
+    )
 
-    labeled = feat.join(lab, "doc_id")
+
+def nb_score(docs: DataFrame, llr: DataFrame, pri: DataFrame) -> DataFrame:
+    """Score an arbitrary doc batch (doc_id, text) against a trained model
+    — the production/streaming shape: the 32-row llr table and the 1-row
+    prior broadcast onto the batch; returns one row per held-out doc:
+    (doc_id, y_true, y_pred, total, ntp, ntn) in exact integer
+    micro-units. Batch boundaries cannot change any row (the model is
+    frozen and scoring is per-doc), which is what the streaming twin
+    pins."""
+    base = _base(docs.filter(F.col("text").isNotNull()))
+    lab = _labels(base)
+    feat = _features(base)
+    sc = (
+        feat.join(lab.filter(~F.col("is_train")), "doc_id")
+        .join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id", "y")
+        .agg(F.sum(F.col("x") * F.col("llr")).alias("s"))
+    )
+    return sc.crossJoin(F.broadcast(pri)).select(
+        "doc_id",
+        F.col("y").alias("y_true"),
+        F.when(F.col("s") + F.col("prior") > 0, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("y_pred"),
+        (F.col("s") + F.col("prior")).alias("total"),
+        "ntp",
+        "ntn",
+    )
+
+
+def nb_train(spark: SparkSession, docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Train the model over a corpus (doc_id, text): returns (llr, pri) —
+    the 32-row integer-LLR table and the 1-row prior/count row. One
+    map-side-combinable aggregate over the tokenized train split."""
+    base = _base(docs.filter(F.col("text").isNotNull()))
+    lab = _labels(base)
+    labeled = _features(base).join(lab, "doc_id")
     cnts = (
         labeled.filter("is_train")
         .groupBy("bucket")
@@ -214,21 +254,17 @@ def text_quality_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("y") == -1, 1).otherwise(0)).alias("ntn"),
     )
 
-    sc = (
-        labeled.filter(~F.col("is_train"))
-        .join(F.broadcast(llr), "bucket")
-        .groupBy("doc_id", "y")
-        .agg(F.sum(F.col("x") * F.col("llr")).alias("s"))
-    )
-    ev = sc.crossJoin(F.broadcast(pri)).select(
-        F.col("y").alias("y_true"),
-        F.when(F.col("s") + F.col("prior") > 0, F.lit(1))
-        .otherwise(F.lit(-1))
-        .alias("y_pred"),
-        (F.col("s") + F.col("prior")).alias("total"),
-        "ntp",
-        "ntn",
-    )
+    return llr, pri
+
+
+@query("text_quality_nb", oracle=_nbayes_oracle())
+def text_quality_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module docstring — held-out confusion matrix of the trained
+    classifier: (y_true, y_pred, n_docs, sum_score_micro, n_train_pos,
+    n_train_neg); scores are exact integer micro-units."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    llr, pri = nb_train(spark, docs)
+    ev = nb_score(docs, llr, pri)
     return ev.groupBy("y_true", "y_pred").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("total").cast("bigint").alias("sum_score_micro"),

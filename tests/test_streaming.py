@@ -505,3 +505,83 @@ def test_index_append_stream_replay_is_exactly_once(
         sub: spark.read.orc(os.path.join(idx, sub)).count()
         for sub in ("exact", "bands", "docs", "df")
     } == counts
+
+
+def test_nb_scoring_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Streaming twin of text_quality_nb's SCORING pass — the production
+    split the module docstring names: the model (32-row llr + 1-row prior)
+    trains ONCE offline, then orcmeta streaming discovery drives
+    foreachBatch cycles that score each newly discovered chunk against the
+    frozen broadcast model. Scoring is per-doc against a frozen model, so
+    batch boundaries cannot change any row: the per-batch manifests union
+    to EXACTLY the batch scorer's held-out rows, and a checkpoint restart
+    with no new files appends nothing."""
+    import pyarrow as pa
+    import pyarrow.orc as porc
+
+    from datafusion_datasource_orc_spark.operators.nbayes import (
+        nb_score,
+        nb_train,
+    )
+    from datafusion_datasource_orc_spark.sources import orcmeta
+    from datafusion_datasource_orc_spark.sources.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    orcmeta.register(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    llr, pri = nb_train(spark, docs)
+    llr = llr.cache()  # freeze the model once; every micro-batch reuses it
+    pri = pri.cache()
+
+    base = tmp_path_factory.mktemp("nb_stream")
+    grow, out, ckpt = base / "staging", str(base / "scores"), str(base / "ckpt")
+    grow.mkdir()
+    pdf = docs.select("doc_id", "text").toPandas()
+    for k in range(4):
+        chunk = pdf[pdf.doc_id % 4 == k].reset_index(drop=True)
+        porc.write_table(pa.Table.from_pandas(chunk), str(grow / f"chunk-{k}.orc"))
+
+    def score_batch(batch_df, batch_id):
+        paths = [str(grow / r.file_name) for r in batch_df.collect()]
+        if paths:
+            inc = spark.read.format("orc").load(paths).select("doc_id", "text")
+            nb_score(inc, llr, pri).write.mode("overwrite").orc(
+                f"{out}/score_batch={batch_id}"
+            )
+
+    def start():
+        return (
+            spark.readStream.format("orcmeta")
+            .load(str(grow))
+            .writeStream.foreachBatch(score_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # chunks 0-1 first, then 2-3 arrive: two discovery cycles
+    for f in list(grow.iterdir()):
+        if f.name not in ("chunk-0.orc", "chunk-1.orc"):
+            f.rename(base / f.name)
+    start().awaitTermination()
+    for k in (2, 3):
+        (base / f"chunk-{k}.orc").rename(grow / f"chunk-{k}.orc")
+    start().awaitTermination()
+
+    cols = ("doc_id", "y_true", "y_pred", "total", "ntp", "ntn")
+    got = {tuple(r[c] for c in cols) for r in spark.read.orc(out).collect()}
+    want = {
+        tuple(r[c] for c in cols)
+        for r in nb_score(docs, llr, pri).collect()
+    }
+    assert got == want and len(got) > 0
+    # both predicted classes occur in the streamed output too
+    assert {t[2] for t in got} == {1, -1}
+
+    # restart with no new files: discovery replays nothing, output unchanged
+    n_before = spark.read.orc(out).count()
+    start().awaitTermination()
+    assert spark.read.orc(out).count() == n_before
