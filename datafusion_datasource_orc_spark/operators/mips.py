@@ -35,9 +35,12 @@ from pyspark.sql.window import Window
 from datafusion_datasource_orc_spark.functions.vectors import dot_product
 from datafusion_datasource_orc_spark.operators.registry import query
 from datafusion_datasource_orc_spark.operators.simsearch import (
+    _MIX_A,
+    _MIX_B,
+    _MIX_M,
+    _PLANE_RANGE,
     N_HYPERPLANES,
-    _hyperplane_sig,
-    _plane_component_sql,
+    PI_DIMS,
 )
 from datafusion_datasource_orc_spark.sources.tables import load_table
 
@@ -93,7 +96,65 @@ def simsearch_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMB_DIM = 64  # embeddings table dimensionality (array<float>, 64-dim)
+EMB_DIM = PI_DIMS  # embeddings dimensionality — single-sourced from simsearch
+
+# Augmented-space hyperplanes: simsearch's certified integer-mix component
+# stream, but with the seed STRIDE widened 64 -> 128. The 64 stride was
+# sized for 64-dim vectors; over the 65-dim AUGMENTED vectors plane p's
+# dim-64 seed (p*64+1 + 64) would equal plane p+1's dim-0 seed, making
+# adjacent "independent" planes share a component (code-review round 10).
+# simsearch's own planes keep their stride (stamped rungs, 64 dims — no
+# overlap there); these are mips-local twins over the same mix constants.
+_AUG_STRIDE = 128
+
+
+def _aug_plane_component(p: int):
+    """Spark-side h(p, i) factory over the augmented dims (single-arg:
+    pyspark treats 2-param lambdas as (element, index))."""
+
+    def fn(i):
+        k = (i + F.lit(p * _AUG_STRIDE + 1)).cast("long")
+        a = (k * F.lit(_MIX_A)) % F.lit(_MIX_M)
+        b = a.bitwiseXOR(F.shiftright(a, 13))
+        c = (b * F.lit(_MIX_B)) % F.lit(_MIX_M)
+        d = c.bitwiseXOR(F.shiftright(c, 7))
+        return (d % F.lit(_PLANE_RANGE) - F.lit(_PLANE_RANGE // 2)).cast("double")
+
+    return fn
+
+
+def _aug_plane_component_sql(p: int, idx: str) -> str:
+    """DuckDB twin of _aug_plane_component; idx is a 0-based dim expr."""
+    k = f"(CAST({idx} AS BIGINT) + {p * _AUG_STRIDE + 1})"
+    a = f"(({k} * {_MIX_A}) % {_MIX_M})"
+    b = f"xor({a}, {a} >> 13)"
+    c = f"(({b} * {_MIX_B}) % {_MIX_M})"
+    d = f"xor({c}, {c} >> 7)"
+    return f"CAST(({d} % {_PLANE_RANGE}) - {_PLANE_RANGE // 2} AS DOUBLE)"
+
+
+def _aug_sig(vec):
+    """Random-hyperplane signature over the augmented vector — the
+    simsearch._hyperplane_sig shape with the widened-stride planes."""
+    bits = []
+    for p in range(N_HYPERPLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    _aug_plane_component(p),
+                ),
+                lambda x, h: x.cast("double") * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
 
 # Multi-probe radius (Lv et al., VLDB 2007): probe every bucket within
 # Hamming distance R of the query's signature. The fixture's embeddings are
@@ -121,7 +182,7 @@ def _aug_sig_sql(col: str) -> str:
     for p in range(N_HYPERPLANES):
         proj = (
             f"list_sum(list_transform(range(0, {EMB_DIM + 1}), i -> "
-            f"CAST({col}[i + 1] AS DOUBLE) * {_plane_component_sql(p, 'i')}))"
+            f"CAST({col}[i + 1] AS DOUBLE) * {_aug_plane_component_sql(p, 'i')}))"
         )
         terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << p} ELSE 0 END)")
     return " + ".join(terms)
@@ -190,14 +251,14 @@ def simsearch_mips_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(dvec, F.array(F.sqrt(F.col("m2") - norm2))).alias("av"),
     )
     corpus = aug.select(
-        "vec_id", "embedding", _hyperplane_sig(F.col("av")).alias("sig")
+        "vec_id", "embedding", _aug_sig(F.col("av")).alias("sig")
     )
     q = (
         emb.filter(F.col("vec_id") < MIPS_QUERIES)
         .select(
             F.col("vec_id").alias("q_vec_id"),
             F.col("embedding").alias("qe"),
-            _hyperplane_sig(F.concat(dvec, F.array(F.lit(0.0)))).alias("q_sig"),
+            _aug_sig(F.concat(dvec, F.array(F.lit(0.0)))).alias("q_sig"),
         )
         .select(
             "q_vec_id",

@@ -236,23 +236,33 @@ def triage_incremental(
     )
 
     # ubiquity guard, recomposed exactly: df over (existing UNION batch) =
-    # stored df + batch df. Shingles over the cap from storage alone are a
-    # stats-pruned filter; shingles pushed over by the batch are a
-    # broadcast probe of the batch's own (tiny) df.
+    # SUM of stored per-segment dfs + batch df (appends write one df row
+    # per shingle PER SEGMENT — testing rows individually under-counts the
+    # union after the first append; pinned by the patched-cap append test).
+    # The guard restricts to the batch's own shingles: ub is consumed via
+    # array_except inside an intersection with batch arrays and the
+    # Jaccard denominator uses the ORIGINAL n/na counts, so a shingle
+    # absent from every batch doc cannot change any output row. That keeps
+    # the plan batch-dominated too — the corpus-scale stored df table is
+    # filtered scan-side by a broadcast inner probe (build side = the
+    # batch's tiny shingle set; the previous right-outer broadcast hint on
+    # the preserved side was unplannable and silently shuffled the stored
+    # table), summed, and the tiny result broadcast back onto the batch df.
     df_inc = (
         sh_inc.select(F.explode("s").alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("dfi"))
     )
     df_stored = _read(spark, index_dir, "df", ["shingle", "df"])
-    ubiq_a = df_stored.filter(F.col("df") > SHINGLE_DF_CAP).select("shingle")
-    ubiq_b = (
-        df_stored.join(F.broadcast(df_inc), "shingle", "right")
-        .filter(F.col("dfi") + F.coalesce(F.col("df"), F.lit(0)) > SHINGLE_DF_CAP)
-        .select("shingle")
+    stored_sum = (
+        df_stored.join(F.broadcast(df_inc.select("shingle")), "shingle")
+        .groupBy("shingle")
+        .agg(F.sum("df").alias("dfs"))
     )
-    ubiq = ubiq_a.unionByName(ubiq_b).distinct().agg(
-        F.collect_list("shingle").alias("ub")
+    ubiq = (
+        df_inc.join(F.broadcast(stored_sum), "shingle", "left")
+        .filter(F.col("dfi") + F.coalesce(F.col("dfs"), F.lit(0)) > SHINGLE_DF_CAP)
+        .agg(F.collect_list("shingle").alias("ub"))
     )
 
     # fetch + verify: candidates are tiny (broadcast); the docs fetch joins
@@ -306,12 +316,18 @@ def index_dir_for(spark: SparkSession, sf_dir: str) -> str:
     split and return its directory — the tpcds-materialization precedent:
     amortized across every incremental query/batch in the process, exactly
     as the production index amortizes across crawl batches."""
+    import hashlib
+
     key = os.path.abspath(sf_dir)
     path = _INDEX_CACHE.get(key)
     if path and os.path.isdir(path):
         return path
+    # abspath hash in the directory name (the stage_ingest_dir precedent):
+    # two corpora sharing a basename must never build into — and silently
+    # clobber — the same index directory
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(_index_root(), sf_tag)
+    tag = hashlib.md5(key.encode()).hexdigest()[:8]
+    path = os.path.join(_index_root(), f"{sf_tag}_{tag}")
     build_triage_index(spark, sf_dir, path)
     _INDEX_CACHE[key] = path
     return path

@@ -336,3 +336,70 @@ class TestDsir:
         assert kept_rate > rej_rate * 1.25, (kept_rate, rej_rate)
         frac = by[True].docs / (by[True].docs + by[False].docs)
         assert abs(frac - (1 - DSIR_Q)) < 0.1, frac
+
+
+class TestTriageIndexGuardAcrossSegments:
+    def test_union_df_sums_across_segments(self, spark, tmp_path, monkeypatch):
+        """The ubiquity guard must see df(existing UNION batch) = SUM of
+        the per-segment stored dfs + the batch df — appends write one df
+        row per shingle PER SEGMENT, and testing rows individually
+        under-counts the union (code-review round 10). Synthetic corpus:
+        a boilerplate span occurs twice in seg=base and twice in seg=b0;
+        with the cap patched to 3 the union (4 stored + 1 batch = 5) is
+        over the cap, so a probe doc sharing ONLY boilerplate must come
+        out `new` — under the per-row bug each stored row reads 2,
+        2 + 1 = 3 is not > 3, and the doc is misclassified near_dup. A
+        second probe sharing a genuinely rare span (union df 3, at the
+        cap but not over) must still match its appended twin."""
+        import pytest as _pytest
+
+        from datafusion_datasource_orc_spark.operators import (
+            triage_index as ti,
+        )
+        from datafusion_datasource_orc_spark.operators.dedup import (
+            LSH_BUCKET_PAIR_CAP,
+        )
+
+        boiler = " ".join(f"b{k}" for k in range(12))
+        rare = " ".join(f"u{k}" for k in range(12))
+        mk = lambda i, t: (i, t)
+        existing = spark.createDataFrame(
+            [
+                mk(1, f"{boiler} ea1 ea2 ea3"),
+                mk(2, f"{boiler} eb1 eb2 eb3"),
+            ],
+            "doc_id long, text string",
+        )
+        appended = spark.createDataFrame(
+            [
+                mk(101, f"{boiler} fa1 fa2 fa3"),
+                mk(102, f"{boiler} fb1 fb2 fb3"),
+                mk(103, f"{rare} ha1 ha2 ha3"),
+            ],
+            "doc_id long, text string",
+        )
+        probes = spark.createDataFrame(
+            [
+                mk(1000, f"{boiler} ga1 ga2 ga3"),
+                mk(1001, f"{rare} hb1 hb2 hb3"),
+            ],
+            "doc_id long, text string",
+        )
+
+        idx = str(tmp_path / "idx")
+        ti._write_segment(
+            idx, "base", *ti._index_parts(existing, LSH_BUCKET_PAIR_CAP)
+        )
+        ti.append_to_index(spark, idx, appended, seg="b0")
+
+        monkeypatch.setattr(ti, "SHINGLE_DF_CAP", 3)
+        got = {
+            r.doc_id: (r.status, r.match_doc_id)
+            for r in ti.triage_incremental(spark, probes, idx).collect()
+        }
+        # boilerplate-only probe: every shared shingle is over the UNION
+        # cap -> nothing survives the verify -> new
+        assert got[1000] == ("new", -1), got
+        # rare-span probe: union df 3 == cap (not over) -> shingles kept,
+        # matches its appended twin
+        assert got[1001][0] == "near_dup" and got[1001][1] == 103, got
