@@ -490,3 +490,53 @@ def test_min_label_propagation_matches_union_find_on_random_graphs(spark):
         got = {r.doc_id: r.lbl for r in labels.collect()}
         assert converged, f"trial {trial} did not converge"
         assert got == expected, f"trial {trial}: {got} != {expected}"
+
+
+# --- md5 feature-bucket idiom (nbayes/dsir/substring, round 10) -------------
+# The three round-10 operators key hashed features on the first 4 md5 hex
+# digits of a token/span string. The cross-engine contract is pinned
+# end-to-end by the oracle gate over the ASCII corpus; this fuzz extends the
+# Spark-side identity to arbitrary unicode tokens against hashlib (both
+# engines hash the UTF-8 bytes, so hashlib is the neutral referee).
+
+
+@pytest.mark.usefixtures("spark")
+def test_md5_bucket_matches_hashlib_over_unicode(spark):
+    import hashlib
+
+    import duckdb
+
+    tokens = [
+        "hash", "group", "",  # corpus markers + empty string
+        "héllo", "大熊和奏", "🤔", "a b", "x" * 300, "ß", "\t",
+        " query sort",  # a dsir bigram-shaped string
+    ]
+    want = {
+        t: int(hashlib.md5(t.encode("utf-8")).hexdigest()[:4], 16) % 32
+        for t in tokens
+    }
+    df = spark.createDataFrame([(t,) for t in tokens], "tok string")
+    got_spark = {
+        r.tok: r.b
+        for r in df.select(
+            "tok",
+            (
+                F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 4), 16, 10)
+                .cast("bigint")
+                % 32
+            ).alias("b"),
+        ).collect()
+    }
+    assert got_spark == want
+    nib = "(strpos('0123456789abcdef', substr(md5(tok), {j}, 1)) - 1)"
+    expr = (
+        "("
+        + " + ".join(nib.format(j=j + 1) + f" * {16 ** (3 - j)}" for j in range(4))
+        + ") % 32"
+    )
+    con = duckdb.connect()
+    got_duck = {
+        t: con.execute(f"SELECT {expr} FROM (SELECT ? AS tok)", [t]).fetchone()[0]
+        for t in tokens
+    }
+    assert got_duck == want
