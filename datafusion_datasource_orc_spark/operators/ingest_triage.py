@@ -111,7 +111,15 @@ def triage_against(spark: SparkSession, sf_dir: str, incoming: DataFrame) -> Dat
     results union to exactly the whole-batch answer because every tier
     classifies an incoming doc against the EXISTING side only (incoming x
     incoming pairs are filtered out), so batch boundaries can't change any
-    row."""
+    row — PROVIDED the skew guards don't bind (round-10 review): the
+    shingle df cap and the LSH bucket star-collapse inside
+    minhash_lsh_pairs are computed over existing UNION batch, so a
+    boilerplate shingle or bucket pushed over its cap only by a LARGE
+    batch would be guarded in one chunking and not another. Below the
+    caps (always at the test scales — asserted in tests/test_pipeline.py)
+    the invariance is exact; at cap-binding scale the incremental index
+    path (triage_incremental) is the production form, and its guard
+    recomposes stored + batch dfs the same way per batch."""
     existing_docs = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull())

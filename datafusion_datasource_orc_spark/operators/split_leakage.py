@@ -34,6 +34,10 @@ from datafusion_datasource_orc_spark.operators.dedup import (
     minhash_lsh_pairs,
     shingle_docs,
 )
+from datafusion_datasource_orc_spark.functions.portable import (
+    knuth_hash32,
+    knuth_hash32_sql,
+)
 from datafusion_datasource_orc_spark.operators.registry import query
 from datafusion_datasource_orc_spark.sources.tables import load_table
 
@@ -50,22 +54,20 @@ from datafusion_datasource_orc_spark.sources.tables import load_table
 # ANSI-safe for the full non-negative int64 doc_id domain, and
 # bit-identical to the naive form wherever it didn't overflow (pure
 # modular-arithmetic identity, pinned by the hypothesis replica).
-_KNUTH = 2654435761
-_KNUTH_HI = (_KNUTH * 65536) % 4294967296  # 2041643008
-_SPLIT_HASH = (
-    f"(((doc_id % 4294967296) % 65536) * {_KNUTH} "
-    f"+ ((doc_id % 4294967296) // 65536) * {_KNUTH_HI}) % 4294967296"
-)
+# Single-sourced from functions/portable.py since the round-10 review:
+# this module originated the limb-split form (round 9) and the e655c9c
+# propagation migrated every OTHER call site onto knuth_hash32 but left
+# this origin copy behind — without the pmod normalization, so Spark
+# shiftright (floor) and DuckDB // (truncate toward zero) diverged on
+# negative doc_id. Identical for all non-negative ids (gate hashes
+# unchanged); the full-int64 property tests now cover this site too.
+_SPLIT_HASH = knuth_hash32_sql("doc_id")
 _TRAIN_CUT = 80 * 42949672
 _VAL_CUT = 90 * 42949672
 
 
 def split_of(doc_id: Column) -> Column:
-    d32 = doc_id % F.lit(4294967296)
-    h = (
-        (d32 % F.lit(65536)) * F.lit(_KNUTH)
-        + F.shiftright(d32, 16) * F.lit(_KNUTH_HI)
-    ) % F.lit(4294967296)
+    h = knuth_hash32(doc_id)
     return (
         F.when(h < _TRAIN_CUT, F.lit("train"))
         .when(h < _VAL_CUT, F.lit("val"))

@@ -540,3 +540,30 @@ def test_md5_bucket_matches_hashlib_over_unicode(spark):
         for t in tokens
     }
     assert got_duck == want
+
+
+def test_split_of_matches_oracle_over_negative_ids(spark):
+    """training_split_leakage's split assignment must agree across engines
+    over the FULL int64 doc_id domain — this site re-implemented the limb
+    hash without pmod until the round-10 review re-pointed it at
+    knuth_hash32 (Spark shiftright floors, DuckDB // truncates, so the
+    old form diverged on negative ids)."""
+    import duckdb
+
+    from datafusion_datasource_orc_spark.operators.split_leakage import (
+        _SQL_SPLIT,
+        split_of,
+    )
+
+    ids = [-1, -65536, -(2**40), -(2**62), -(2**63), 0, 1, 2**40, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.s
+        for r in df.select("doc_id", split_of(F.col("doc_id")).alias("s")).collect()
+    }
+    con = duckdb.connect()
+    for i in ids:
+        want = con.execute(
+            f"SELECT {_SQL_SPLIT} FROM (SELECT CAST(? AS BIGINT) AS doc_id)", [i]
+        ).fetchone()[0]
+        assert got[i] == want, (i, got[i], want)
