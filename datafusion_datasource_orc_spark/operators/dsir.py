@@ -118,13 +118,12 @@ def _dsir_oracle() -> str:
     """
 
 
-def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-raw-doc importance weights and keep flags:
-    (doc_id, source, n_chars, s, keep) — the selection the manifest rolls
-    up, exposed for the discriminativeness pin in pytest."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+def _labeled(docs: DataFrame) -> DataFrame:
+    """(doc_id, text, source, n_chars) → labels + fixture-augmented text
+    for any doc batch (row-local; the knuth slice marker travels with the
+    doc, so batches label identically to the whole corpus)."""
     is_tgt = knuth_hash32(F.col("doc_id")) % DSIR_TARGET_MOD == 0
-    lab = docs.select(
+    return docs.select(
         "doc_id",
         "source",
         "n_chars",
@@ -135,24 +134,29 @@ def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lower("text"))
         .alias("t"),
     )
-    base = lab.select(
-        "doc_id", "source", "n_chars", "is_tgt",
-        F.split(F.col("t"), r"\s+").alias("w"),
-    )
-    grams = base.select(
-        "doc_id", "is_tgt", F.explode("w").alias("g")
+
+
+def _bucket_counts(lab: DataFrame) -> DataFrame:
+    """Hashed unigram counts per (doc_id, is_tgt, bucket)."""
+    grams = lab.select(
+        "doc_id", "is_tgt",
+        F.explode(F.split(F.col("t"), r"\s+")).alias("g"),
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("g").cast("binary")), 1, 4), 16, 10)
         .cast("bigint")
         % F.lit(DSIR_D)
     )
-    bg = (
+    return (
         grams.select("doc_id", "is_tgt", bucket.alias("bucket"))
         .groupBy("doc_id", "is_tgt", "bucket")
         .agg(F.count(F.lit(1)).alias("x"))
-    ).cache()  # reused by the histogram build AND the scoring pass
+    )
 
+
+def _weights(spark: SparkSession, bg: DataFrame) -> DataFrame:
+    """The 64-row integer micro-unit log-ratio table from the two
+    histograms (add-1 smoothed over the full bucket domain)."""
     dom = spark.range(DSIR_D).select(F.col("id").alias("bucket"))
     hist = dom.join(
         bg.groupBy("bucket").agg(
@@ -167,7 +171,7 @@ def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("cr0"), F.lit(0)) + 1).alias("cr"),
     )
     tot = hist.agg(F.sum("ct").alias("st"), F.sum("cr").alias("sr"))
-    lw = hist.crossJoin(F.broadcast(tot)).select(
+    return hist.crossJoin(F.broadcast(tot)).select(
         "bucket",
         F.round(
             (
@@ -181,7 +185,11 @@ def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("lw"),
     )
-    sc = (
+
+
+def _raw_scores(bg: DataFrame, lw: DataFrame) -> DataFrame:
+    """Length-normalized integer importance per raw doc."""
+    return (
         bg.filter(~F.col("is_tgt"))
         .join(F.broadcast(lw), "bucket")
         .groupBy("doc_id")
@@ -193,6 +201,51 @@ def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s")
         )
     )
+
+
+def dsir_model(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Train the selection model over the corpus: returns (lw, cut) — the
+    64-row weight table and the 1-row frozen quantile cutoff. The
+    production/streaming shape: the model and cut are computed once on a
+    calibration pass, then applied to any batch or stream (the twin in
+    tests/test_streaming.py pins stream == batch under the frozen pair)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    bg = _bucket_counts(_labeled(docs))
+    lw = _weights(spark, bg)
+    cut = _raw_scores(bg, lw).agg(
+        F.round(F.percentile("s", F.lit(DSIR_Q)), 4).alias("cut")
+    )
+    return lw, cut
+
+
+def dsir_score_batch(docs: DataFrame, lw: DataFrame, cut: DataFrame) -> DataFrame:
+    """Score an arbitrary doc batch against a frozen (lw, cut) pair — one
+    row per RAW doc in the batch: (doc_id, source, n_chars, s, keep).
+    Scoring is per-doc against frozen broadcasts, so batch boundaries
+    cannot change any row."""
+    lab = _labeled(docs.filter(F.col("text").isNotNull()))
+    sc = _raw_scores(_bucket_counts(lab), lw)
+    return (
+        sc.join(lab.select("doc_id", "source", "n_chars"), "doc_id")
+        .crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id", "source", "n_chars", "s",
+            (F.col("s") > F.col("cut")).alias("keep"),
+        )
+    )
+
+
+def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-raw-doc importance weights and keep flags:
+    (doc_id, source, n_chars, s, keep) — the selection the manifest rolls
+    up, exposed for the discriminativeness pin in pytest. Single lineage:
+    bg is cached and reused by the histogram build, the cutoff pass, and
+    the scoring pass (no recomputation in the registered query)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    lab = _labeled(docs)
+    bg = _bucket_counts(lab).cache()
+    lw = _weights(spark, bg)
+    sc = _raw_scores(bg, lw)
     cut = sc.agg(F.round(F.percentile("s", F.lit(DSIR_Q)), 4).alias("cut"))
     return (
         sc.join(lab.select("doc_id", "source", "n_chars"), "doc_id")

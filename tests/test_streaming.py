@@ -585,3 +585,75 @@ def test_nb_scoring_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     n_before = spark.read.orc(out).count()
     start().awaitTermination()
     assert spark.read.orc(out).count() == n_before
+
+
+def test_dsir_selection_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Streaming twin of training_dsir_select's SELECTION pass: the weight
+    table and the quantile cutoff freeze on a calibration pass (dsir_model),
+    then orcmeta streaming discovery drives foreachBatch cycles that score
+    each newly discovered chunk against the frozen (lw, cut) pair —
+    selection at ingest time. Scoring is per-doc against frozen broadcasts,
+    so the per-batch manifests union to EXACTLY the batch scorer's rows,
+    and a checkpoint restart with no new files appends nothing."""
+    import pyarrow as pa
+    import pyarrow.orc as porc
+    from pyspark.sql import functions as F
+
+    from datafusion_datasource_orc_spark.operators.dsir import (
+        dsir_model,
+        dsir_score_batch,
+        dsir_scores,
+    )
+    from datafusion_datasource_orc_spark.sources import orcmeta
+    from datafusion_datasource_orc_spark.sources.tables import load_table
+
+    orcmeta.register(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    lw, cut = dsir_model(spark, sf_dir)
+    lw = lw.cache()
+    cut = cut.cache()
+
+    base = tmp_path_factory.mktemp("dsir_stream")
+    grow, out, ckpt = base / "staging", str(base / "sel"), str(base / "ckpt")
+    grow.mkdir()
+    pdf = docs.select("doc_id", "text", "source", "n_chars").toPandas()
+    for k in range(3):
+        chunk = pdf[pdf.doc_id % 3 == k].reset_index(drop=True)
+        porc.write_table(pa.Table.from_pandas(chunk), str(grow / f"chunk-{k}.orc"))
+
+    def select_batch(batch_df, batch_id):
+        paths = [str(grow / r.file_name) for r in batch_df.collect()]
+        if paths:
+            inc = spark.read.format("orc").load(paths)
+            dsir_score_batch(inc, lw, cut).write.mode("overwrite").orc(
+                f"{out}/sel_batch={batch_id}"
+            )
+
+    def start():
+        return (
+            spark.readStream.format("orcmeta")
+            .load(str(grow))
+            .writeStream.foreachBatch(select_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    (grow / "chunk-2.orc").rename(base / "chunk-2.orc")
+    start().awaitTermination()
+    (base / "chunk-2.orc").rename(grow / "chunk-2.orc")
+    start().awaitTermination()
+
+    cols = ("doc_id", "source", "n_chars", "s", "keep")
+    got = {tuple(r[c] for c in cols) for r in spark.read.orc(out).collect()}
+    want = {
+        tuple(r[c] for c in cols) for r in dsir_scores(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+    assert {t[4] for t in got} == {True, False}
+
+    n_before = spark.read.orc(out).count()
+    start().awaitTermination()
+    assert spark.read.orc(out).count() == n_before
