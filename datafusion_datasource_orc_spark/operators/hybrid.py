@@ -111,6 +111,14 @@ def _hybrid_oracle() -> str:
 def simsearch_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See module docstring."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # NO materialization barrier here, deliberately (round-10 review
+    # candidate, measured and rejected): tf's and qt's exchanges do share
+    # this explode child and recompute it per branch, but the recompute is
+    # one scan-bound split+explode — a localCheckpoint would write/read
+    # the exploded token stream, which is LARGER than the corpus, so the
+    # barrier loses at scale and measured a wash at sf0.1 (1.56 s vs
+    # 1.61 s best-of-3). The shingle_postings precedent materializes
+    # because md5-per-shingle is CPU-expensive; lowercasing is not.
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")

@@ -84,18 +84,29 @@ def stage_ingest_dir(sf_dir: str) -> str:
     return path
 
 
-def probe_and_admit(spark: SparkSession, sf_dir: str, staged: DataFrame) -> DataFrame:
-    """The ADMIT half as a reusable transform: rows of ``staged`` (documents
-    schema) that survive the Bloom probe against the existing corpus.
-    NULL-text rows pass through (nothing to be a duplicate of). Used by the
-    batch accounting query above and the streaming ingest twin
-    (tests/test_streaming.py): probe side joins a 16 KB broadcast filter,
-    flagged ids come back as a broadcast anti-join — the staged data itself
-    never shuffles."""
+def _existing_bloom(spark: SparkSession, sf_dir: str):
+    """The existing-corpus (doc_id % 10 != 0, text not null) Bloom filter —
+    the ONE construction shared by the batch accounting query and
+    probe_and_admit/the streaming twin, so a change to the split predicate
+    or the filter build cannot desynchronize them."""
     existing = load_table(spark, sf_dir, "documents").filter(
         (F.col("doc_id") % 10 != 0) & F.col("text").isNotNull()
     )
-    bloom = bloom_filter_words(existing)
+    return bloom_filter_words(existing)
+
+
+def probe_and_admit(spark: SparkSession, sf_dir: str, staged: DataFrame) -> DataFrame:
+    """The ADMIT half as a reusable transform: rows of ``staged`` (documents
+    schema) that survive the Bloom probe against the existing corpus.
+    NULL-text rows pass through (nothing to be a duplicate of). Consumed
+    by the streaming ingest twin (tests/test_streaming.py); the batch
+    accounting query builds its probe from the SAME _existing_bloom
+    helper, which is what keeps the two in sync (round-10 review: the
+    construction was previously duplicated and the docstring claimed a
+    call relationship that did not exist). Probe side joins a 16 KB
+    broadcast filter, flagged ids come back as a broadcast anti-join —
+    the staged data itself never shuffles."""
+    bloom = _existing_bloom(spark, sf_dir)
     flagged_ids = (
         bloom_flagged(staged, bloom, ["doc_id"])
         .filter(F.col("flagged"))
@@ -175,10 +186,7 @@ def ingest_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("file_name", F.col("num_rows").alias("n_staged"))
     )
 
-    existing = load_table(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") % 10 != 0) & F.col("text").isNotNull()
-    )
-    bloom = bloom_filter_words(existing)
+    bloom = _existing_bloom(spark, sf_dir)
 
     staged = spark.read.orc(staging).withColumn(
         "file_name", F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)

@@ -54,7 +54,10 @@ from datafusion_datasource_orc_spark.operators.textstats import (
     _ngrams_linear,
     _words,
 )
+from datafusion_datasource_orc_spark.functions.portable import knuth_hash32_sql
 from datafusion_datasource_orc_spark.sources.tables import load_table
+
+_KH = knuth_hash32_sql("doc_id")
 
 _ORACLE = f"""
 WITH base AS (
@@ -63,7 +66,7 @@ WITH base AS (
          {{bigrams}} AS bg,
          md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
          (doc_id % {EVAL_MOD} = 0) AS is_eval,
-         ((((doc_id) % 4294967296) % 65536) * 2654435761 + (((doc_id) % 4294967296) // 65536) * 2041643008) % 4294967296 <
+         {_KH} <
            (10 + 4 * (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 10))
            * 42949672 AS sampled
   FROM (SELECT *, string_split_regex(lower(text), '\\s+') AS w FROM documents)
@@ -164,6 +167,15 @@ FROM unioned
     # (precision 1.0) and banding recall is 100% at the gate scales (a
     # full-corpus property that carries to any subset: co-bucketing is
     # per-pair). A recall regression reds the gate rather than hiding.
+    # Cap caveat (round-10 review): the LSH_BUCKET_PAIR_CAP star-collapse
+    # preserves CONNECTED COMPONENTS, not the pairwise doc_b removal set
+    # this stage consumes — a bucket wider than the cap whose star center
+    # fails the verify could drop a true (doc_a, doc_b) removal the
+    # oracle's all-pairs dupb contains, redding the gate. Below the cap
+    # (always at the test scales; force-bind behavior pinned in
+    # tests/test_round8_ops.py) removals are exact; at cap-binding scale
+    # the clustering form (dedup_connected_components_lsh) is the
+    # keep-one-per-component production path.
     oracle=_ORACLE.format(
         bigrams="list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])"
     ),
@@ -249,11 +261,13 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(sh4)
     dup_b = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
 
+    # inner-join membership probe (no 'hit' marker column — that idiom
+    # belongs to contamination_eval_overlap's LEFT join, where null-ness
+    # is tested; here only doc_id survives the join)
     eval_grams = (
         sh_all.filter(F.col("doc_id") % EVAL_MOD == 0)
         .select(F.explode("s").alias("g"))
         .distinct()
-        .withColumn("hit", F.lit(1))
     )
     s5_ids = s4_ids.join(dup_b, "doc_id", "left_anti")
     cont_ids = (

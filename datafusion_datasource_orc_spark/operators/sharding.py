@@ -30,7 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_datasource_orc_spark.functions.portable import knuth_hash32
+from datafusion_datasource_orc_spark.functions.portable import (
+    knuth_hash32,
+    knuth_hash32_sql,
+)
 from datafusion_datasource_orc_spark.operators.registry import query
 from datafusion_datasource_orc_spark.sources.tables import load_table
 
@@ -42,6 +45,9 @@ _SAMPLE_RATE_SQL = (
 )
 
 
+_KH = knuth_hash32_sql("doc_id")
+
+
 def _shard_oracle() -> str:
     # md5 of the DECIMAL doc_id string: 4 hex chars -> 16-bit value mod W
     nib = "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {j}, 1)) - 1)"
@@ -51,7 +57,7 @@ def _shard_oracle() -> str:
       SELECT doc_id, n_chars // 4 AS toks,
              (({val}) % {SHARD_WORKERS}) AS shard_id
       FROM documents
-      WHERE ((((doc_id) % 4294967296) % 65536) * 2654435761 + (((doc_id) % 4294967296) // 65536) * 2041643008) % 4294967296 < {_SAMPLE_RATE_SQL} * 42949672
+      WHERE {_KH} < {_SAMPLE_RATE_SQL} * 42949672
     ),
     per AS (
       SELECT shard_id, COUNT(*) AS n_docs,
@@ -60,8 +66,8 @@ def _shard_oracle() -> str:
     ),
     tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS total_tokens FROM sampled)
     SELECT shard_id, n_docs, shard_tokens,
-           (shard_tokens * {SHARD_WORKERS} * 1000000) // total_tokens
-               AS balance_ppm
+           CAST((CAST(shard_tokens AS HUGEINT) * {SHARD_WORKERS} * 1000000)
+               // total_tokens AS BIGINT) AS balance_ppm
     FROM per, tot
     """
 
@@ -94,7 +100,13 @@ def training_epoch_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_id",
         "n_docs",
         "shard_tokens",
+        # DECIMAL(38) widening (DuckDB: HUGEINT): shard_tokens*16e6
+        # overflows INT64 at ~5.8e11 tokens/shard — i.e. exactly at the
+        # module's 100 TB story. Exact-floor parity across Spark's decimal
+        # IntegralDivide, DuckDB HUGEINT //, and unbounded Python ints is
+        # pinned in tests/test_properties.py at 100 TB magnitudes.
         F.expr(
-            f"(shard_tokens * {SHARD_WORKERS} * 1000000) div total_tokens"
+            f"cast(shard_tokens as decimal(38,0)) * {SHARD_WORKERS} * 1000000"
+            " div total_tokens"
         ).alias("balance_ppm"),
     )

@@ -567,3 +567,47 @@ def test_split_of_matches_oracle_over_negative_ids(spark):
             f"SELECT {_SQL_SPLIT} FROM (SELECT CAST(? AS BIGINT) AS doc_id)", [i]
         ).fetchone()[0]
         assert got[i] == want, (i, got[i], want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=3 * 10**13),
+    st.integers(min_value=1, max_value=3 * 10**13),
+)
+def test_balance_ppm_widening_matches_python(shard_tokens, total_tokens):
+    """training_epoch_shard's balance_ppm at 100 TB magnitudes:
+    shard_tokens * 16e6 overflows INT64 at ~5.8e11 tokens/shard, so both
+    engines widen (Spark DECIMAL(38) IntegralDivide, DuckDB HUGEINT //).
+    Pin exact-floor parity against unbounded Python ints over the full
+    magnitude range (DuckDB side; the Spark expression is checked on a
+    sampled grid in the same file's session test below)."""
+    import duckdb
+
+    want = shard_tokens * 16 * 1_000_000 // total_tokens
+    got = duckdb.sql(
+        f"SELECT (CAST({shard_tokens} AS HUGEINT) * 16 * 1000000) "
+        f"// {total_tokens}"
+    ).fetchone()[0]
+    assert got == want
+
+
+def test_balance_ppm_spark_decimal_div_matches_python(spark):
+    """Spark side of the widening: DECIMAL(38) `div` floors exactly at the
+    same 100 TB magnitudes (sampled grid incl. the INT64-overflow zone)."""
+    cases = [
+        (0, 1),
+        (7, 9),
+        (1_600_000_000_000, 25_000_000_000_000),
+        (999_999_999_999_999, 1_000_000_000_000_000),
+        (3 * 10**13, 3 * 10**13),
+        (10**12 + 7, 16 * 10**12 + 1),
+    ]
+    df = spark.createDataFrame(cases, "a long, b long")
+    got = {
+        (r.a, r.b): r.p
+        for r in df.selectExpr(
+            "a", "b", "cast(a as decimal(38,0)) * 16 * 1000000 div b as p"
+        ).collect()
+    }
+    for a, b in cases:
+        assert got[(a, b)] == a * 16 * 1_000_000 // b, (a, b)
