@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_datasource_orc_spark.functions.portable import knuth_hash32
+from datafusion_datasource_orc_spark.functions.portable import knuth_hash32_sql
 from datafusion_datasource_orc_spark.operators.registry import query
 from datafusion_datasource_orc_spark.sources.tables import load_table
 
@@ -514,7 +515,7 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (42949672 ~ 2^32/100) so both engines compare identical int64s.
 @query(
     "training_mix_sample",
-    oracle="""
+    oracle=f"""
     SELECT source,
            10 + 4 * (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 10)
                AS rate_pct,
@@ -526,7 +527,7 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS est_packs
     FROM (
       SELECT source, n_chars,
-             ((((doc_id) % 4294967296) % 65536) * 2654435761 + (((doc_id) % 4294967296) // 65536) * 2041643008) % 4294967296 <
+             {knuth_hash32_sql('doc_id')} <
                (10 + 4 * (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 10))
                * 42949672 AS sampled
       FROM documents
