@@ -50,8 +50,19 @@ def _orc_files(path: str) -> list[str]:
     out = []
     for root, _dirs, files in os.walk(path):
         for f in files:
-            if f.endswith(".orc") or (not f.startswith(("_", ".")) and "." not in f):
-                out.append(os.path.join(root, f))
+            full = os.path.join(root, f)
+            if f.endswith(".orc"):
+                out.append(full)
+            elif not f.startswith(("_", ".")) and "." not in f:
+                # extensionless part files are common in lakes, but so are
+                # LICENSE/Makefile/README — check the 3-byte ORC magic
+                # before admitting one (round-10 review)
+                try:
+                    with open(full, "rb") as fh:
+                        if fh.read(3) == b"ORC":
+                            out.append(full)
+                except OSError:
+                    pass
     return sorted(out)
 
 
@@ -69,7 +80,10 @@ def read_orc_statistics(path: str) -> OrcFileStatistics:
         total_byte_size=os.path.getsize(path),
         num_stripes=f.nstripes,
         compression=str(f.compression),
-        writer_version=str(getattr(f, "writer_version", None)),
+        writer_version=(
+            str(wv) if (wv := getattr(f, "writer_version", None)) is not None
+            else None
+        ),
     )
 
 

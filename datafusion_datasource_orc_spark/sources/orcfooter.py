@@ -247,11 +247,20 @@ def _parse_column_statistics(buf: bytes) -> dict[str, Any]:
             for f2, _w2, v2 in _fields(v):
                 if f2 in (1, 2):
                     st[("min", "max")[f2 - 1]] = _zigzag(v2)
-        elif fno == 9:  # TimestampStatistics {minimumUtc=3,maximumUtc=4} ms
+        elif fno == 9:  # TimestampStatistics: minimumUtc=3/maximumUtc=4 ms;
+            # pre-utc Java/Hive writers emit ONLY the legacy writer-zone
+            # minimum=1/maximum=2 — fall back so old-lake files still
+            # surface a range instead of silent NULLs (round-10 review)
             st["kind"] = "timestamp"
+            legacy: dict[str, int] = {}
             for f2, _w2, v2 in _fields(v):
                 if f2 in (3, 4):
                     st[("min", "max")[f2 - 3]] = _zigzag(v2)
+                elif f2 in (1, 2):
+                    legacy[("min", "max")[f2 - 1]] = _zigzag(v2)
+            for k2, v2 in legacy.items():
+                if st.get(k2) is None:
+                    st[k2] = v2
     return st
 
 
@@ -563,7 +572,10 @@ def bloom_might_contain(bf: dict[str, Any], hash64: int) -> bool:
     the Hive/ORC addHash contract."""
     nbits = bf["num_bits"]
     if not nbits:
-        return False
+        # a filter carrying no bits carries no information: the safe
+        # answer is "maybe" — False would claim definite absence and a
+        # pruner would skip data it must read (round-10 review)
+        return True
     words = bf["words"]
     h1 = hash64 & 0xFFFFFFFF
     h2 = (hash64 >> 32) & 0xFFFFFFFF

@@ -76,7 +76,10 @@ def _bloom_options(options: dict) -> tuple[str, list, str]:
             f"orcmeta bloom_hash must be 'long' or 'utf8', got {hash_kind!r}"
         )
     raw = options.get("bloom_probes", "")
-    parts = [x for x in str(raw).split(",") if x.strip()]
+    # strip each probe: utf8 mode hashes the raw bytes, so 'a, b' must
+    # probe b'b', not b' b' (a false non-membership verdict otherwise —
+    # round-10 review); long mode tolerated whitespace only via int()
+    parts = [x.strip() for x in str(raw).split(",") if x.strip()]
     if hash_kind == "long":
         try:
             probes: list = [int(x) for x in parts]
@@ -150,7 +153,13 @@ class OrcMetadataReader(DataSourceReader):
         files = sorted(
             f
             for f in os.listdir(self.path)
-            if not f.startswith(("_", ".")) and not f.endswith(".crc")
+            # same name heuristic as metadata._orc_files: *.orc or
+            # extensionless part files; a stray notes.txt in the directory
+            # must not become a partition whose tail bytes get walked as
+            # footer protobuf (round-10 review)
+            if not f.startswith(("_", "."))
+            and not f.endswith(".crc")
+            and (f.endswith(".orc") or "." not in f)
         )
         return [
             OrcFilePartition(i, os.path.join(self.path, f))
@@ -213,7 +222,12 @@ def _typed_slots(st: dict) -> tuple:
         min_d, max_d, sum_d = st["min"], st["max"], st["sum"]
     elif kind in ("string", "decimal"):
         min_s, max_s = st["min"], st["max"]
-        sum_l = st["sum"]  # total string length for string stats
+        if kind == "string":
+            sum_l = st["sum"]  # total string length for string stats
+        # decimal sum (orc_proto DecimalStatistics.sum, a decimal STRING)
+        # is deliberately unexposed: no BIGINT slot can carry it, and
+        # routing it into sum_l would fail schema conversion the day the
+        # parser learns the field (round-10 review)
     return (kind, min_l, max_l, sum_l, min_d, max_d, sum_d, min_s, max_s)
 
 

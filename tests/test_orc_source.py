@@ -941,3 +941,113 @@ class TestOrcMetaDataSource:
         assert rows_small == list(r2.read(next(iter(r2.partitions()))))
         with _pytest.raises(ValueError, match="positive"):
             _size_hint({"metadata_size_hint": "0"})
+
+
+class TestRound10SourceFixes:
+    """Pins for the round-10 sources-layer review fixes."""
+
+    @staticmethod
+    def _enc_varint(n: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    @classmethod
+    def _enc_zigzag(cls, n: int) -> bytes:
+        return cls._enc_varint((n << 1) ^ (n >> 63) if n < 0 else n << 1)
+
+    def test_timestamp_stats_legacy_fields_fallback(self):
+        """Pre-utc writers emit ONLY TimestampStatistics minimum=1/
+        maximum=2; the parser must fall back to them — and still prefer
+        minimumUtc=3/maximumUtc=4 when both are present."""
+        from datafusion_datasource_orc_spark.sources.orcfooter import (
+            _parse_column_statistics,
+        )
+
+        def ts_msg(fields: dict[int, int]) -> bytes:
+            inner = b"".join(
+                self._enc_varint((f << 3) | 0) + self._enc_zigzag(v)
+                for f, v in fields.items()
+            )
+            return self._enc_varint((9 << 3) | 2) + self._enc_varint(len(inner)) + inner
+
+        legacy_only = _parse_column_statistics(ts_msg({1: 1000, 2: 2000}))
+        assert legacy_only["kind"] == "timestamp"
+        assert (legacy_only["min"], legacy_only["max"]) == (1000, 2000)
+
+        both = _parse_column_statistics(ts_msg({1: 1, 2: 2, 3: 300, 4: 400}))
+        assert (both["min"], both["max"]) == (300, 400)
+
+    def test_zero_bit_bloom_answers_maybe(self):
+        """A filter with no bits carries no information: the safe verdict
+        is 'maybe' (True), never definite absence."""
+        from datafusion_datasource_orc_spark.sources.orcfooter import (
+            bloom_might_contain,
+        )
+
+        empty = {"num_bits": 0, "num_hashes": 3, "words": []}
+        assert bloom_might_contain(empty, 12345) is True
+
+    def test_bloom_probe_whitespace_is_stripped(self):
+        """utf8 probes hash raw bytes, so 'alice, bob' must probe b'bob'."""
+        from datafusion_datasource_orc_spark.sources.orcmeta import (
+            _bloom_options,
+        )
+
+        col, probes, kind = _bloom_options(
+            {"bloom_column": "c", "bloom_probes": "alice, bob", "bloom_hash": "utf8"}
+        )
+        assert probes == ["alice", "bob"]
+
+    def test_orc_file_discovery_checks_magic_for_extensionless(self, tmp_path):
+        """LICENSE/Makefile-style extensionless files must not be admitted
+        as ORC; extensionless files that ARE ORC (magic bytes) must be."""
+        import shutil
+
+        from datafusion_datasource_orc_spark.sources.metadata import _orc_files
+
+        src = None
+        for root, _dirs, files in __import__("os").walk("/root/reference"):
+            for f in files:
+                if f.endswith(".orc"):
+                    src = __import__("os").path.join(root, f)
+                    break
+            if src:
+                break
+        (tmp_path / "LICENSE").write_text("not orc\n")
+        if src:
+            shutil.copy(src, tmp_path / "partfile")  # extensionless real ORC
+        got = _orc_files(str(tmp_path))
+        names = {__import__("os").path.basename(p) for p in got}
+        assert "LICENSE" not in names
+        if src:
+            assert "partfile" in names
+
+    def test_partitions_skip_non_orc_names(self, spark, tmp_path):
+        """A stray notes.txt in the loaded directory must not become an
+        orcmeta partition."""
+        from datafusion_datasource_orc_spark.sources import orcmeta
+        from datafusion_datasource_orc_spark.sources.tables import orc_dir_for
+
+        orcmeta.register(spark)
+        src = orc_dir_for(spark, "/root/testdata/sf0.001", "region")
+        import os as _os
+        import shutil
+
+        d = tmp_path / "mixed"
+        d.mkdir()
+        for f in _os.listdir(src):
+            if f.endswith(".orc"):
+                shutil.copy(_os.path.join(src, f), d / f)
+        (d / "notes.txt").write_text("hello")
+        rows = (
+            spark.read.format("orcmeta").load(str(d)).select("file_name").collect()
+        )
+        names = {r.file_name for r in rows}
+        assert "notes.txt" not in names and len(names) >= 1
