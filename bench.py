@@ -323,10 +323,18 @@ def main() -> None:
                     # r08 carry one); pre-calibration artifacts fall back to
                     # the judge-adjudicated table, else assumed idle
                     prev_cal = parsed.get("calibration") or {}
+                    # explicit None checks, not `or`-chaining: a recorded
+                    # drift of exactly 0.0 is data, not absence
                     prev_drift = float(
-                        prev_cal.get("drift")
-                        or parsed.get("drift")  # r10+ slim stdout shape
-                        or _KNOWN_BASELINE_DRIFT.get(baseline_name, 1.0)
+                        next(
+                            v
+                            for v in (
+                                prev_cal.get("drift"),
+                                parsed.get("drift"),  # r10+ slim stdout shape
+                                _KNOWN_BASELINE_DRIFT.get(baseline_name, 1.0),
+                            )
+                            if v is not None
+                        )
                     )
                     # a committed `<stem>_clean.json` sidecar (an idle-box
                     # re-run of the same workload) overrides a known-drifted

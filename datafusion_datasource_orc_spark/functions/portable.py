@@ -105,3 +105,16 @@ def knuth_hash32_sql(expr: str) -> str:
         f"(({d32} % 65536) * {KNUTH32} + ({d32} // 65536) * {_KNUTH32_HI})"
         " % 4294967296"
     )
+
+
+def norm_fingerprint(text: Column) -> Column:
+    """md5 over whitespace-collapsed lowercase text — the normalized content
+    fingerprint shared by doc_fingerprint / dedup_keep_canonical (and the
+    join/partition handle for cross-corpus exact dedup). One definition so
+    the normalization rule cannot drift between query families."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ").cast("binary"))
+
+
+def norm_fingerprint_sql(expr: str) -> str:
+    """DuckDB twin of norm_fingerprint over a text SQL expression."""
+    return f"md5(regexp_replace(trim(lower({expr})), '\\s+', ' ', 'g'))"

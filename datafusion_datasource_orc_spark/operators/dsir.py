@@ -239,11 +239,14 @@ def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-raw-doc importance weights and keep flags:
     (doc_id, source, n_chars, s, keep) — the selection the manifest rolls
     up, exposed for the discriminativeness pin in pytest. Single lineage:
-    bg is cached and reused by the histogram build, the cutoff pass, and
-    the scoring pass (no recomputation in the registered query)."""
+    bg is materialized once behind a lazy localCheckpoint and reused by the
+    histogram build, the cutoff pass, and the scoring pass — checkpoint,
+    not cache(): a cache with no unpersist path accumulates a fresh plan
+    instance in executor storage per invocation (gate + bench iterations),
+    while checkpoint RDDs are released with the DataFrame reference."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     lab = _labeled(docs)
-    bg = _bucket_counts(lab).cache()
+    bg = _bucket_counts(lab).localCheckpoint(eager=False)
     lw = _weights(spark, bg)
     sc = _raw_scores(bg, lw)
     cut = sc.agg(F.round(F.percentile("s", F.lit(DSIR_Q)), 4).alias("cut"))

@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from datafusion_datasource_orc_spark.functions.portable import money_sum, money_sum_sql
+from datafusion_datasource_orc_spark.functions.portable import (
+    money_sum,
+    money_sum_sql,
+    norm_fingerprint,
+    norm_fingerprint_sql,
+)
 from datafusion_datasource_orc_spark.operators.registry import query
 from datafusion_datasource_orc_spark.sources.tables import load_table
 
@@ -354,10 +359,10 @@ def bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_keep_canonical",
-    oracle="""
+    oracle=f"""
     WITH clustered AS (
         SELECT doc_id, n_chars,
-               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+               {norm_fingerprint_sql("text")} AS h
         FROM documents
     )
     SELECT doc_id,
@@ -376,7 +381,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup method: the cluster key here is the exact-norm hash, but the same
     window works over minhash cluster ids. One shuffle on the cluster key."""
     docs = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ").cast("binary"))
+    h = norm_fingerprint(F.col("text"))
     w = Window.partitionBy("h").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
     return (
         docs.select("doc_id", "n_chars", h.alias("h"))
@@ -399,10 +404,11 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_locf",
     oracle="""
     SELECT event_id, user_id,
-           ROUND(last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END
+           FLOOR(last_value(CASE WHEN event_type = 'click' THEN NULL ELSE value END
                             IGNORE NULLS)
                  OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1000000) / 1000000.0 AS filled
     FROM events
     """,
 )
@@ -411,7 +417,9 @@ def events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     and fill each row with the user's most recent non-null value (IGNORE
     NULLS running last_value — the standard time-series forward fill). One
     shuffle on user_id; the frame is running, so state per partition is one
-    value."""
+    value. The carried double is floor-gridded at 1e-6 (repo convention for
+    raw double columns crossing the comparator — ROUND's half-up boundary is
+    engine-sensitive; see events_cdc_latest)."""
     ev = load_table(spark, sf_dir, "events")
     v = F.when(F.col("event_type") == "click", F.lit(None)).otherwise(F.col("value"))
     w = (
@@ -422,7 +430,7 @@ def events_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.last(v, ignorenulls=True).over(w), 4).alias("filled"),
+        (F.floor(F.last(v, ignorenulls=True).over(w) * 1e6) / 1e6).alias("filled"),
     )
 
 
@@ -839,9 +847,14 @@ def udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos: int, sentence: string")
     class SentenceSplit:
         def eval(self, text: str):
+            if text is None:
+                return
+            # strip(' ') not strip(): DuckDB trim() removes spaces only,
+            # while Python's bare strip() also eats tabs/newlines — the
+            # engines would diverge on whitespace-adjacent periods.
             for i, part in enumerate(text.split(".")):
-                if part.strip():
-                    yield i, part.strip()
+                if part.strip(" "):
+                    yield i, part.strip(" ")
 
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("udtf_docs_src")

@@ -44,7 +44,7 @@ from datafusion_datasource_orc_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     _SQL_SHINGLES,
     minhash_lsh_pairs,
-    shingle_docs,
+    checkpointed_shingles,
 )
 from datafusion_datasource_orc_spark.operators.registry import query
 from datafusion_datasource_orc_spark.sources.tables import load_table
@@ -139,15 +139,7 @@ def triage_against(spark: SparkSession, sf_dir: str, incoming: DataFrame) -> Dat
     docs = existing_docs.select("doc_id", "text").unionByName(
         incoming.select("doc_id", "text")
     )
-    parallelism = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism // 2:
-        docs = docs.repartition(parallelism // 2)
-    sh = (
-        shingle_docs(docs, hashed=True)
-        .filter(F.size("s") > 0)
-        .select("doc_id", F.size("s").alias("n"), "s")
-        .localCheckpoint(eager=False)
-    )
+    sh = checkpointed_shingles(docs)
     # asymmetric candidates via the shared generator: the verified pair set
     # is tiny, so filtering the symmetric pairs to (incoming, existing) in
     # either orientation costs nothing at any scale — the banding shuffle

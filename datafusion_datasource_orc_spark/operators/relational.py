@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from datafusion_datasource_orc_spark.functions.portable import (
     knuth_hash32,
+    knuth_hash32_sql,
     money_avg,
     money_avg_sql,
     money_sum,
@@ -922,12 +923,12 @@ def window_frame_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregates see an unbiased slice. Returned as a 1-row summary.
 @query(
     "sample_hash",
-    oracle="""
+    oracle=f"""
     SELECT COUNT(*) AS n_rows,
            COUNT(DISTINCT l_orderkey) AS n_orders,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
     FROM lineitem
-    WHERE ((((l_orderkey) % 4294967296) % 65536) * 2654435761 + (((l_orderkey) % 4294967296) // 65536) * 2041643008) % 4294967296 < 214748364
+    WHERE {knuth_hash32_sql("l_orderkey")} < 214748364
     """,
 )
 def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -31,8 +31,8 @@ from pyspark.sql import functions as F
 from datafusion_datasource_orc_spark.operators.dedup import (
     JACCARD_THRESHOLD,
     _SQL_SHINGLES,
+    checkpointed_shingles,
     minhash_lsh_pairs,
-    shingle_docs,
 )
 from datafusion_datasource_orc_spark.functions.portable import (
     knuth_hash32,
@@ -107,16 +107,7 @@ def training_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See module docstring — near-dup pairs that cross the deterministic
     80/10/10 split: (doc_a, doc_b, split_a, split_b, jaccard)."""
     docs = load_table(spark, sf_dir, "documents")
-    parallelism = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism // 2:
-        docs = docs.repartition(parallelism // 2)
-    sh = (
-        shingle_docs(docs, hashed=True)
-        .filter(F.size("s") > 0)
-        .select("doc_id", F.size("s").alias("n"), "s")
-        .localCheckpoint(eager=False)
-    )
-    pairs = minhash_lsh_pairs(sh)
+    pairs = minhash_lsh_pairs(checkpointed_shingles(docs))
     sp = docs.select("doc_id", split_of(F.col("doc_id")).alias("split"))
     return (
         pairs.join(

@@ -114,7 +114,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size("w").cast("bigint")
     covered = F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("bigint")
     ppm = F.expr(
-        f"coalesce(n_dup_tokens, 0) * 1000000 div size(w)"
+        "coalesce(n_dup_tokens, 0) * 1000000 div size(w)"
     ).cast("bigint")
     return (
         base.join(cov, "doc_id", "left")

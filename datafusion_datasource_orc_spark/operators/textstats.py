@@ -16,8 +16,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_datasource_orc_spark.functions.portable import knuth_hash32
-from datafusion_datasource_orc_spark.functions.portable import knuth_hash32_sql
+from datafusion_datasource_orc_spark.functions.portable import (
+    knuth_hash32,
+    knuth_hash32_sql,
+    norm_fingerprint,
+    norm_fingerprint_sql,
+)
 from datafusion_datasource_orc_spark.operators.registry import query
 from datafusion_datasource_orc_spark.sources.tables import load_table
 
@@ -160,10 +164,10 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- fingerprinting ---------------------------------------------------------
 @query(
     "doc_fingerprint",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
-           substr(md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')), 1, 8) AS shard_key
+           {norm_fingerprint_sql("text")} AS fingerprint,
+           substr({norm_fingerprint_sql("text")}, 1, 8) AS shard_key
     FROM documents
     """,
 )
@@ -172,8 +176,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowercase text) + an 8-hex shard key — the join/partition handle for
     cross-corpus dedup at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    fp = F.md5(norm.cast("binary"))
+    fp = norm_fingerprint(F.col("text"))
     return docs.select(
         "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("shard_key")
     )

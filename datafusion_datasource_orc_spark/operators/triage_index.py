@@ -69,7 +69,7 @@ from datafusion_datasource_orc_spark.operators.dedup import (
     LSH_BUCKET_PAIR_CAP,
     SHINGLE_DF_CAP,
     minhash_bands,
-    shingle_docs,
+    checkpointed_shingles,
 )
 from datafusion_datasource_orc_spark.operators.registry import ORACLES, query
 from datafusion_datasource_orc_spark.sources.tables import load_table
@@ -95,13 +95,8 @@ def _hb(h: Column) -> Column:
 
 def _shingled(docs: DataFrame) -> DataFrame:
     """(doc_id, text) → checkpointed (doc_id, n, s), the exact shape
-    minhash machinery consumes (same projection as triage_against)."""
-    return (
-        shingle_docs(docs, hashed=True)
-        .filter(F.size("s") > 0)
-        .select("doc_id", F.size("s").alias("n"), "s")
-        .localCheckpoint(eager=False)
-    )
+    minhash machinery consumes (the shared prelude in dedup.py)."""
+    return checkpointed_shingles(docs)
 
 
 def _index_parts(

@@ -150,22 +150,33 @@ class OrcMetadataReader(DataSourceReader):
         return True
 
     def partitions(self) -> Sequence[OrcFilePartition]:
+        # same admission rule as metadata._orc_files: *.orc by name, and
+        # extensionless part files only if the 3-byte ORC magic matches —
+        # a stray LICENSE/Makefile in the directory must not become a
+        # partition whose tail bytes get walked as footer protobuf
         files = sorted(
             f
             for f in os.listdir(self.path)
-            # same name heuristic as metadata._orc_files: *.orc or
-            # extensionless part files; a stray notes.txt in the directory
-            # must not become a partition whose tail bytes get walked as
-            # footer protobuf (round-10 review)
             if not f.startswith(("_", "."))
             and not f.endswith(".crc")
-            and (f.endswith(".orc") or "." not in f)
+            and (
+                f.endswith(".orc")
+                or ("." not in f and self._is_orc(os.path.join(self.path, f)))
+            )
         )
         return [
             OrcFilePartition(i, os.path.join(self.path, f))
             for i, f in enumerate(files)
             if self._keep(f)
         ]
+
+    @staticmethod
+    def _is_orc(full: str) -> bool:
+        try:
+            with open(full, "rb") as fh:
+                return fh.read(3) == b"ORC"
+        except OSError:
+            return False
 
     def read(self, partition: OrcFilePartition) -> Iterator[tuple]:
         # import inside read(): runs on the executor, keeps the reader object
