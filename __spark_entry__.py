@@ -69,6 +69,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # mechanical as the rest of the policy (reads only the committed
 # artifacts' recorded spark_rows).
 _ROUND_PRIORITY: list[str] = [
+    # round-11 addition (judge r10 task 2): incremental substring-span
+    # coverage over the materialized span-hash index (same manifest as
+    # dedup_substring_spans on the batch split; the oracle computes df
+    # corpus-wide, certifying the segment-df recomposition end-to-end)
+    "dedup_substring_spans_incremental",
+    # round-11 addition (judge r10 task 3): BM25 — the saturated,
+    # length-normalized lexical retrieval rung (Lucene k1/b defaults
+    # interpolated into both engines)
+    "simsearch_bm25",
     # round-10 additions (judge r09 tasks 2/4): incremental ingest triage
     # over the materialized LSH band index (same oracle as ingest_triage —
     # the gate certifies the index path end-to-end), and the MIPS scale

@@ -3,6 +3,7 @@
 line-by-line coverage map)."""
 
 from datafusion_datasource_orc_spark.operators import (  # noqa: F401
+    bm25,
     containment,
     countmin,
     curriculum,
@@ -28,6 +29,7 @@ from datafusion_datasource_orc_spark.operators import (  # noqa: F401
     split_leakage,
     sharding,
     substring,
+    substring_index,
     simsearch,
     textstats,
     tpcds,

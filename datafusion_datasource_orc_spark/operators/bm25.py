@@ -1,0 +1,169 @@
+"""BM25 lexical retrieval — the ranked keyword-search rung (judge r10
+task 3). ``simsearch_hybrid_rrf``'s lexical leg is raw tf-idf; BM25
+(Robertson et al., the Okapi formulation as shipped by Lucene/Elasticsearch)
+is what production RAG-curation stacks actually run for the lexical side:
+it saturates term frequency (k1) and normalizes by document length (b), so
+long boilerplate documents stop dominating rankings.
+
+Queries are the first {BM_QUERIES} documents' distinct token sets (the
+hybrid-retrieval convention: the whole composition is derivable from the
+tables, so the oracle replays it exactly). Per (query, doc):
+
+    score = Σ_t  idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))        (the Lucene variant —
+                                                       non-negative for all df)
+
+Determinism discipline (the hybrid-leg precedent, both engines identically):
+- every input to the per-term double is an exact integer (tf, df, N, dl)
+  or avgdl — ONE IEEE division of two exact integers, identical in both
+  engines; k1/b are interpolated as the same decimal literals into both
+  engines, and the formula is written in the same parse shape, so every
+  intermediate double is bit-identical;
+- per-term contribution = FLOOR(term · 1e6) AS BIGINT, SUMMED as integers —
+  the float work is per-term, the aggregation is order-free integer
+  addition, so cross-engine sum order cannot flip a rounding boundary;
+- ln is libm on both sides (the tfidf/hybrid accepted-risk note in
+  COVERAGE.md: a 1–2 ULP divergence could in principle flip a 1e-6 grid
+  cell; hash-green history across 5+ rounds bounds the exposure, and the
+  documented fallback is a count-based form).
+
+Scale shape (100 TB): the inverted-index pattern — tf/df/dl are map-side-
+combinable aggregates over one tokenize scan; the query-term set is a
+broadcast ({BM_QUERIES} docs' worth); corpus constants (N, total tokens)
+are a 1-row aggregate crossJoin (the tfidf_top_terms allowlisted shape).
+At 100 TB tf/df/dl are PERSISTED index tables (the postings-table pattern);
+the in-query build exists so the oracle can replay the whole composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datafusion_datasource_orc_spark.operators.registry import query
+from datafusion_datasource_orc_spark.sources.tables import load_table
+
+BM_QUERIES = 3  # doc_id < 3 are the queries (the hybrid convention)
+BM_TOPK = 10  # ranked results per query
+BM_K1 = 1.2  # term-frequency saturation (the Lucene default)
+BM_B = 0.75  # length-normalization strength (the Lucene default)
+_GRID = 1_000_000
+
+
+def _bm25_oracle() -> str:
+    k1, b = repr(BM_K1), repr(BM_B)
+    return f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+      FROM docs
+    ),
+    t2 AS (SELECT doc_id, tok FROM toks WHERE tok != ''),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t2 GROUP BY 1, 2),
+    dfr AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    dlr AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+    corp AS (
+      SELECT (SELECT COUNT(*) FROM docs) AS n,
+             (SELECT COUNT(*) FROM t2) AS toktotal
+    ),
+    qt AS (SELECT DISTINCT doc_id AS q, tok FROM t2 WHERE doc_id < {BM_QUERIES}),
+    scored AS (
+      SELECT qt.q, tf.doc_id,
+             CAST(SUM(CAST(FLOOR(
+               (ln(1.0 + (CAST(corp.n AS DOUBLE) - CAST(dfr.df AS DOUBLE) + 0.5)
+                          / (CAST(dfr.df AS DOUBLE) + 0.5))
+                * ((CAST(tf.tf AS DOUBLE) * ({k1} + 1.0))
+                   / (CAST(tf.tf AS DOUBLE)
+                      + {k1} * ((1.0 - {b})
+                                + {b} * (CAST(dlr.dl AS DOUBLE)
+                                         / (CAST(corp.toktotal AS DOUBLE)
+                                            / CAST(corp.n AS DOUBLE)))))))
+               * {_GRID}.0) AS BIGINT)) AS BIGINT) AS score_micro
+      FROM qt
+      JOIN tf USING (tok)
+      JOIN dfr USING (tok)
+      JOIN dlr ON dlr.doc_id = tf.doc_id
+      CROSS JOIN corp
+      WHERE tf.doc_id <> qt.q
+      GROUP BY 1, 2
+    )
+    SELECT q AS q_doc_id, doc_id, score_micro, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT q, doc_id, score_micro,
+             row_number() OVER (
+               PARTITION BY q ORDER BY score_micro DESC, doc_id
+             ) AS rnk
+      FROM scored
+    ) WHERE rnk <= {BM_TOPK}
+    """
+
+
+def bm25_rank(
+    docs: DataFrame, n_queries: int = BM_QUERIES, topk: int = BM_TOPK
+) -> DataFrame:
+    """(doc_id, text) → per-query ranked BM25 results (q_doc_id, doc_id,
+    score_micro, rnk); queries are the first ``n_queries`` doc_ids'
+    distinct token sets. Exposed so the pytest property pins (saturation,
+    length normalization) can drive constructed corpora through the exact
+    registered scoring."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    dlr = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    corp = docs.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        toks.agg(F.count(F.lit(1)).alias("toktotal"))
+    )
+    qt = (
+        toks.filter(F.col("doc_id") < n_queries)
+        .select(F.col("doc_id").alias("q"), "tok")
+        .distinct()
+    )
+
+    # the formula in the SAME parse shape as the oracle, on exact-integer
+    # inputs + the single avgdl division — every intermediate double is
+    # bit-identical cross-engine (see module docstring)
+    k1, b = F.lit(BM_K1), F.lit(BM_B)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    avgdl = F.col("toktotal").cast("double") / F.col("n").cast("double")
+    sat = (F.col("tf").cast("double") * (k1 + F.lit(1.0))) / (
+        F.col("tf").cast("double")
+        + k1 * ((F.lit(1.0) - b) + b * (F.col("dl").cast("double") / avgdl))
+    )
+    term = F.floor((idf * sat) * _GRID).cast("bigint")
+
+    scored = (
+        F.broadcast(qt)
+        .join(tf, "tok")
+        .join(dfr, "tok")
+        .join(dlr, "doc_id")
+        .crossJoin(F.broadcast(corp))
+        .filter(F.col("doc_id") != F.col("q"))
+        .groupBy("q", "doc_id")
+        .agg(F.sum(term).alias("score_micro"))
+    )
+    w = Window.partitionBy("q").orderBy(F.col("score_micro").desc(), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select(
+            F.col("q").alias("q_doc_id"),
+            "doc_id",
+            "score_micro",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@query("simsearch_bm25", oracle=_bm25_oracle())
+def simsearch_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module docstring — per-query ranked BM25 results:
+    (q_doc_id, doc_id, score_micro, rnk)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return bm25_rank(docs)

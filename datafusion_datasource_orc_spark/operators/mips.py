@@ -81,7 +81,16 @@ def simsearch_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    q = emb.filter(F.col("vec_id") < MIPS_QUERIES).select(
+    return mips_exact_rank(emb)
+
+
+def mips_exact_rank(
+    emb: DataFrame, n_queries: int = MIPS_QUERIES, k: int = MIPS_K
+) -> DataFrame:
+    """(vec_id, embedding) → exact MIPS top-k (the brute-force baseline),
+    exposed so the planted-fixture recall pin can drive constructed
+    corpora through the registered scoring."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qe")
     )
     ip = F.round(dot_product(F.col("embedding"), F.col("qe")), 6)
@@ -91,7 +100,7 @@ def simsearch_mips(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("q_vec_id"))
         .select("q_vec_id", "vec_id", ip.alias("ip"))
         .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= MIPS_K)
+        .filter(F.col("rnk") <= k)
         .select("q_vec_id", "vec_id", "rnk", "ip")
     )
 
@@ -157,17 +166,25 @@ def _aug_sig(vec):
     return out
 
 # Multi-probe radius (Lv et al., VLDB 2007): probe every bucket within
-# Hamming distance R of the query's signature. The fixture's embeddings are
-# unplanted noise, so augmented angular gaps are tiny (measured: exact
-# top-3 signatures sit at Hamming 0-6 of the query's, near-uniform) — R=3
-# recovers 2/3 of the exact top-k while probing 93/256 of the bucket space;
-# a real two-tower corpus with actual MIPS structure runs the same
-# machinery at R=1. Computed ONCE here and interpolated into BOTH engine
-# sides (the computed-constants discipline).
+# Hamming distance R of the query's signature. The testdata's embeddings
+# are unplanted noise, so augmented angular gaps are tiny (measured: exact
+# top-3 signatures sit at Hamming 0-6 of the query's, near-uniform) — the
+# registered query runs R=3 to recover 2/3 of the exact top-k there. A
+# corpus with actual MIPS structure runs the same machinery at R=1:
+# MEASURED on the deterministic planted two-tower fixture
+# (tests/test_round11_ops.py::TestMipsPlanted — 16 near-orthogonal item
+# towers, norms graded up to the augmentation bound), recall@3 vs exact is
+# 15/15 at R=1 while probing 9/256 of the bucket space — the shape the
+# 100 TB story claims. Computed ONCE here and interpolated into BOTH
+# engine sides (the computed-constants discipline).
 MIPS_PROBE_RADIUS = 3
 _PROBE_MASKS = [
     m for m in range(1 << N_HYPERPLANES) if bin(m).count("1") <= MIPS_PROBE_RADIUS
 ]
+
+
+def _probe_masks(radius: int) -> list[int]:
+    return [m for m in range(1 << N_HYPERPLANES) if bin(m).count("1") <= radius]
 
 # DuckDB twin of |x|² = dot(x, x): same sequential double fold as _SQL_DOT
 _SQL_NORM2 = _SQL_DOT.format(a="{v}", b="{v}")
@@ -242,6 +259,20 @@ def simsearch_mips_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
+    return mips_banded_rank(emb)
+
+
+def mips_banded_rank(
+    emb: DataFrame,
+    n_queries: int = MIPS_QUERIES,
+    k: int = MIPS_K,
+    radius: int = MIPS_PROBE_RADIUS,
+) -> DataFrame:
+    """(vec_id, embedding) → banded MIPS top-k (see simsearch_mips_banded).
+    Parameterized over the probe radius so the planted-fixture pin can
+    certify the R=1 shape; the registered query runs the module
+    defaults."""
+    masks = _probe_masks(radius)
     norm2 = dot_product(F.col("embedding"), F.col("embedding"))
     m2 = emb.agg(F.max(norm2).alias("m2"))
     dvec = F.col("embedding").cast("array<double>")
@@ -254,7 +285,7 @@ def simsearch_mips_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", _aug_sig(F.col("av")).alias("sig")
     )
     q = (
-        emb.filter(F.col("vec_id") < MIPS_QUERIES)
+        emb.filter(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("q_vec_id"),
             F.col("embedding").alias("qe"),
@@ -264,7 +295,7 @@ def simsearch_mips_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_vec_id",
             "qe",
             F.explode(
-                F.array(*[F.lit(m) for m in _PROBE_MASKS])
+                F.array(*[F.lit(m) for m in masks])
             ).alias("mask"),
             "q_sig",
         )
@@ -284,6 +315,6 @@ def simsearch_mips_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("q_vec_id", "vec_id", ip.alias("ip"))
         .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= MIPS_K)
+        .filter(F.col("rnk") <= k)
         .select("q_vec_id", "vec_id", "rnk", "ip")
     )

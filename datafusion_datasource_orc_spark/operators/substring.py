@@ -39,7 +39,10 @@ SPAN_W = 6  # tokens per rolling window
 SPAN_DUP_PPM = 300000  # flag docs with > 30% duplicated-token coverage
 
 
-def _substring_oracle() -> str:
+def _substring_oracle(final_where: str = "") -> str:
+    """The exact-coverage oracle; ``final_where`` restricts the manifest
+    rows (the incremental twin selects the batch split) while df counts
+    stay corpus-wide."""
     w1 = SPAN_W - 1
     return f"""
     WITH base AS (
@@ -71,38 +74,41 @@ def _substring_oracle() -> str:
            COALESCE(c.n_dup_tokens, 0) * 1000000 // len(b.w) > {SPAN_DUP_PPM}
                AS flagged
     FROM base b LEFT JOIN cov c USING (doc_id)
+    {final_where}
     """
 
 
-@query("dedup_substring_spans", oracle=_substring_oracle())
-def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """See module docstring — full per-doc manifest: (doc_id, n_tokens,
-    n_spans, n_dup_spans, n_dup_tokens, dup_ppm, flagged); coverage is the
-    exact union of the doc's duplicated-span intervals."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    base = docs.select(
-        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("w")
-    )
-    # Spark sequence(1, stop) DESCENDS when stop < 1 — guard short docs
-    # with an explicit empty array (mirrors the oracle's greatest(...,0))
+def span_base(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, w): the tokenized base every span consumer
+    shares (one definition so the tokenizer cannot drift between the full
+    and incremental forms)."""
+    return docs.select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("w"))
+
+
+def doc_spans(base: DataFrame) -> DataFrame:
+    """(doc_id, w) → exploded (doc_id, pos, h): every overlapping W-token
+    window, md5-hashed. Spark sequence(1, stop) DESCENDS when stop < 1 —
+    short docs are guarded with an explicit empty array (mirrors the
+    oracle's greatest(..., 0))."""
     positions = F.expr(
         f"CASE WHEN size(w) >= {SPAN_W} THEN sequence(1, size(w) - {SPAN_W - 1}) "
         "ELSE array() END"
     )
-    sp = base.select(
-        "doc_id", "w", F.explode(positions).alias("pos")
-    ).select(
+    return base.select("doc_id", "w", F.explode(positions).alias("pos")).select(
         "doc_id",
         "pos",
         F.md5(
             F.expr(f"array_join(slice(w, pos, {SPAN_W}), ' ')").cast("binary")
         ).alias("h"),
     )
-    dfh = sp.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
-    dup = sp.join(dfh.filter(F.col("df") > 1), "h").select("doc_id", "pos")
-    # row-local interval union: the doc's duplicated positions are bounded
-    # by its own token count, so collect_set stays document-sized
-    cov = dup.groupBy("doc_id").agg(
+
+
+def span_coverage(dup: DataFrame) -> DataFrame:
+    """(doc_id, pos) duplicated positions → per-doc (n_dup_spans,
+    n_dup_tokens): row-local interval union — the doc's duplicated
+    positions are bounded by its own token count, so collect_set stays
+    document-sized."""
+    return dup.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.expr(
             "size(array_distinct(flatten(transform("
@@ -111,20 +117,36 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_dup_tokens"),
     )
+
+
+def span_manifest(base: DataFrame, cov: DataFrame) -> DataFrame:
+    """Assemble the per-doc deliverable from the tokenized base and the
+    coverage rows: (doc_id, n_tokens, n_spans, n_dup_spans, n_dup_tokens,
+    dup_ppm, flagged)."""
     n = F.size("w").cast("bigint")
     covered = F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("bigint")
     ppm = F.expr(
         "coalesce(n_dup_tokens, 0) * 1000000 div size(w)"
     ).cast("bigint")
-    return (
-        base.join(cov, "doc_id", "left")
-        .select(
-            "doc_id",
-            n.alias("n_tokens"),
-            F.greatest(n - (SPAN_W - 1), F.lit(0)).cast("bigint").alias("n_spans"),
-            F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
-            covered.alias("n_dup_tokens"),
-            ppm.alias("dup_ppm"),
-            (ppm > SPAN_DUP_PPM).alias("flagged"),
-        )
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.greatest(n - (SPAN_W - 1), F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        covered.alias("n_dup_tokens"),
+        ppm.alias("dup_ppm"),
+        (ppm > SPAN_DUP_PPM).alias("flagged"),
     )
+
+
+@query("dedup_substring_spans", oracle=_substring_oracle())
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """See module docstring — full per-doc manifest: (doc_id, n_tokens,
+    n_spans, n_dup_spans, n_dup_tokens, dup_ppm, flagged); coverage is the
+    exact union of the doc's duplicated-span intervals."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = span_base(docs)
+    sp = doc_spans(base)
+    dfh = sp.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
+    dup = sp.join(dfh.filter(F.col("df") > 1), "h").select("doc_id", "pos")
+    return span_manifest(base, span_coverage(dup))

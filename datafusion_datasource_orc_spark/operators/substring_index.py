@@ -1,0 +1,208 @@
+"""Materialized span-hash index for INCREMENTAL substring-dedup coverage —
+the 100 TB form of ``dedup_substring_spans`` (judge r10 task 2, the
+triage_index build/append/probe precedent applied to the Lee et al. 2022
+span signal).
+
+The batch form re-spans the ENTIRE corpus per run: at 100 TB that is a
+full-corpus tokenize + explode per crawl batch — the same linear-per-batch
+cost round 10 killed for ingest triage. This module persists the existing
+corpus's span statistics ONCE as one compact ORC table and computes each
+incoming batch's duplicated-token coverage against it, so per-batch work is
+dominated by the batch:
+
+- ``spans/`` (h, df)   per-span-hash DISTINCT-document counts, directory-
+                       partitioned by ``hb = int(h[:2], 16) % 32`` (the
+                       triage ``exact/`` layout precedent: the probe join
+                       carries the batch's hash prefixes, so dynamic
+                       partition pruning can skip directories) and sorted
+                       by ``h`` within files so the equi-probe stripe-prunes
+                       on the span-hash min/max ranges.
+
+Equality contract: a batch span (doc d, pos p, hash h) is DUPLICATED under
+the full form's corpus-wide rule — df over (existing UNION batch) >= 2
+distinct docs — exactly when
+
+    stored_df(h) >= 1   OR   batch_df(h) >= 2
+
+where stored_df is the SUM of per-segment dfs (docs never span segments, so
+distinct-doc counts add across segments — the triage ubiquity-guard
+recomposition) and batch_df counts distinct batch docs. The registered
+query ``dedup_substring_spans_incremental`` therefore shares the full
+form's oracle with one added manifest filter (``doc_id % 10 = 0``, the
+ingest_triage batch convention): the DuckDB side still computes df over
+the whole corpus, certifying the recomposition end-to-end.
+
+Appends: ``append_to_span_index`` writes an admitted batch's (h, df) rows
+under a ``seg=<label>`` subtree with overwrite mode — replaying a batch
+after a mid-batch failure rewrites the same directories instead of
+inflating df (the overwrite-by-segment idempotence discipline of
+triage_index), pinned by a forced double-apply test in
+tests/test_round11_ops.py.
+
+Scale shape per batch: one batch scan (tokenize + explode spans, batch-
+sized), one map-side-combinable groupBy on the batch's span hashes, one
+scan-side broadcast inner probe of the stored table (build side = the
+batch's distinct span hashes; the corpus-scale index is filtered at the
+scan, never shuffled), and the same row-local interval-union coverage as
+the full form. The corpus text is never re-read, never re-tokenized.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_datasource_orc_spark.operators.registry import query
+from datafusion_datasource_orc_spark.operators.substring import (
+    _substring_oracle,
+    doc_spans,
+    span_base,
+    span_coverage,
+    span_manifest,
+)
+from datafusion_datasource_orc_spark.sources.tables import load_table
+
+N_HB = 32  # directory-partition fanout (the triage_index N_PB precedent)
+
+_INDEX_ROOT: str | None = None
+_INDEX_CACHE: dict[str, str] = {}  # abspath(sf_dir) -> built index dir
+
+
+def _index_root() -> str:
+    global _INDEX_ROOT
+    if _INDEX_ROOT is None:
+        _INDEX_ROOT = tempfile.mkdtemp(prefix="span_index_")
+    return _INDEX_ROOT
+
+
+def _hb(h: Column) -> Column:
+    """Directory-partition key for md5 hex strings: first byte mod N_HB."""
+    return F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % N_HB
+
+
+def _span_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (h, df, hb): per-span-hash distinct-doc counts,
+    the one table the index stores."""
+    sp = doc_spans(span_base(docs))
+    return (
+        sp.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .withColumn("hb", _hb(F.col("h")))
+    )
+
+
+def _write_segment(index_dir: str, seg: str, rows: DataFrame) -> None:
+    """Overwrite-by-segment is the idempotence mechanism: replaying a
+    segment rewrites its directories instead of duplicating df rows."""
+    (
+        rows.repartition(N_HB, "hb")
+        .sortWithinPartitions("h")
+        .write.mode("overwrite")
+        .option("compression", "snappy")
+        .partitionBy("hb")
+        .orc(os.path.join(index_dir, "spans", f"seg={seg}"))
+    )
+
+
+def build_span_index(spark: SparkSession, sf_dir: str, index_dir: str) -> str:
+    """One-time build over the EXISTING split (doc_id % 10 != 0, text not
+    null — the ingest_triage convention). Returns ``index_dir``."""
+    existing = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .filter(F.col("doc_id") % 10 != 0)
+    )
+    _write_segment(index_dir, "base", _span_df(existing))
+    return index_dir
+
+
+def append_to_span_index(
+    spark: SparkSession, index_dir: str, admitted: DataFrame, seg: str
+) -> None:
+    """Append an admitted batch's span statistics as segment ``seg`` —
+    idempotent under replay (overwrite-by-segment). Distinct-doc counts add
+    across segments because a document belongs to exactly one segment."""
+    admitted = admitted.filter(F.col("text").isNotNull())
+    _write_segment(index_dir, seg, _span_df(admitted))
+
+
+def span_coverage_incremental(
+    spark: SparkSession, batch: DataFrame, index_dir: str
+) -> DataFrame:
+    """Per-batch-doc duplicated-token coverage against (index ∪ batch):
+    one manifest row per batch doc, bit-identical to the full form's rows
+    for the same docs (see module docstring's equality contract)."""
+    batch = batch.filter(F.col("text").isNotNull())
+    base = span_base(batch)
+    # the batch's spans feed two consumers (its own df counts and the dup
+    # join back) — materialize once, the checkpointed_shingles discipline
+    sp = doc_spans(base).localCheckpoint(eager=False)
+
+    df_b = (
+        sp.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("dfi"))
+        .withColumn("hb", _hb(F.col("h")))
+        .localCheckpoint(eager=False)
+    )
+    # scan-side broadcast inner probe: build side = the batch's distinct
+    # span hashes; the corpus-scale stored table is filtered at the scan
+    # (hb carries DPP; h min/max stripe-prunes within files) and only the
+    # matched slice is aggregated — the index is never shuffled wholesale.
+    stored = spark.read.orc(os.path.join(index_dir, "spans")).select("hb", "h", "df")
+    stored_sum = (
+        stored.join(F.broadcast(df_b.select("hb", "h")), ["hb", "h"])
+        .groupBy("h")
+        .agg(F.sum("df").alias("dfs"))
+    )
+    dup_h = (
+        df_b.join(F.broadcast(stored_sum), "h", "left")
+        .filter(
+            (F.col("dfi") >= 2) | (F.coalesce(F.col("dfs"), F.lit(0)) >= 1)
+        )
+        .select("h")
+    )
+    dup = sp.join(F.broadcast(dup_h), "h").select("doc_id", "pos")
+    return span_manifest(base, span_coverage(dup))
+
+
+def span_index_dir_for(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process) the span index for ``sf_dir``'s existing
+    split — amortized across every batch in the process, exactly as the
+    production index amortizes across crawl batches. The directory name
+    carries an abspath hash so same-basename corpora cannot clobber each
+    other (the triage index_dir_for precedent)."""
+    key = os.path.abspath(sf_dir)
+    path = _INDEX_CACHE.get(key)
+    if path and os.path.isdir(path):
+        return path
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    tag = hashlib.md5(key.encode()).hexdigest()[:8]
+    path = os.path.join(_index_root(), f"{sf_tag}_{tag}")
+    build_span_index(spark, sf_dir, path)
+    _INDEX_CACHE[key] = path
+    return path
+
+
+@query(
+    "dedup_substring_spans_incremental",
+    oracle=_substring_oracle("WHERE b.doc_id % 10 = 0"),
+)
+def dedup_substring_spans_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental twin of ``dedup_substring_spans``: same per-doc
+    coverage manifest for the incoming split (doc_id % 10 == 0), but
+    duplication is decided against the materialized span index instead of
+    re-spanning the corpus — the shape a rolling 100 TB crawl runs per
+    batch. The shared oracle computes df corpus-wide, so the gate certifies
+    build, probe, df recomposition, and coverage end-to-end."""
+    incoming = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .filter(F.col("doc_id") % 10 == 0)
+    )
+    return span_coverage_incremental(
+        spark, incoming, span_index_dir_for(spark, sf_dir)
+    )

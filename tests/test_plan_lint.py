@@ -41,6 +41,9 @@ ALLOWED_NESTED_LOOP = {
     "simsearch_hybrid_rrf": "1-row corpus-size aggregate (lexical idf) + "
     "3-row query-vector broadcast onto the corpus scan — the "
     "tfidf/bruteforce shapes composed",
+    "simsearch_bm25": "1-row corpus-constants aggregate (N, total tokens — "
+    "the idf/avgdl inputs) crossJoin'd onto the scoring stream — the "
+    "tfidf_top_terms shape; the qt/tf/df/dl joins are equi hash joins",
     "training_epoch_shard": "1-row total-token aggregate crossJoin'd onto "
     "the W-row (16) per-shard result for the exact balance ratio",
     "dedup_minhash_lsh": "1-row over-cap-shingle (boilerplate) array aggregate "
