@@ -324,6 +324,20 @@ def main() -> None:
                 prev_q = parsed.get("queries") or {}
                 if prev_q:
                     baseline_name = os.path.basename(path)
+                    # the stdout line drops sub-0.3s queries (stdout-budget
+                    # trim, round 11), so a fast query that regresses would
+                    # otherwise lose its baseline and never flag — backfill
+                    # MISSING entries from the committed detail sidecar's
+                    # full-precision queries_best (same workload, same sf;
+                    # only ever queries too small to flag spuriously)
+                    try:
+                        with open(detail_path) as f:
+                            det = json.load(f)
+                        if str(det.get("sf")) == str(sf_val):
+                            for n, v in (det.get("queries_best") or {}).items():
+                                prev_q.setdefault(n, v)
+                    except (OSError, ValueError):
+                        pass
                     # baseline's own recorded calibration drift (runs since
                     # r08 carry one); pre-calibration artifacts fall back to
                     # the judge-adjudicated table, else assumed idle

@@ -110,11 +110,22 @@ def bm25_rank(
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds FOUR consumers (df, dl, toktotal, the scoring join) and
+    # Catalyst does not ReuseExchange across them — materialize the
+    # aggregated postings once (measured: 1.71 -> 1.60 s at sf0.1,
+    # identical rows). This is also the local analogue of the 100 TB
+    # shape, where tf/df/dl are persisted index tables. The raw token
+    # stream itself stays unmaterialized (the hybrid.py measured
+    # rejection: the exploded stream is larger than the corpus).
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
     dfr = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     dlr = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # toktotal = SUM(tf) == COUNT(*) of token rows, read off the
+    # checkpoint instead of re-tokenizing the corpus
     corp = docs.agg(F.count(F.lit(1)).alias("n")).crossJoin(
-        toks.agg(F.count(F.lit(1)).alias("toktotal"))
+        tf.agg(F.sum("tf").alias("toktotal"))
     )
     qt = (
         toks.filter(F.col("doc_id") < n_queries)

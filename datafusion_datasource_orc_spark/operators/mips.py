@@ -178,13 +178,15 @@ def _aug_sig(vec):
 # 100 TB story claims. Computed ONCE here and interpolated into BOTH
 # engine sides (the computed-constants discipline).
 MIPS_PROBE_RADIUS = 3
-_PROBE_MASKS = [
-    m for m in range(1 << N_HYPERPLANES) if bin(m).count("1") <= MIPS_PROBE_RADIUS
-]
 
 
 def _probe_masks(radius: int) -> list[int]:
     return [m for m in range(1 << N_HYPERPLANES) if bin(m).count("1") <= radius]
+
+
+# interpolated into the DuckDB oracle; the Spark side derives its masks
+# from the SAME function (mips_banded_rank), so the rule cannot drift
+_PROBE_MASKS = _probe_masks(MIPS_PROBE_RADIUS)
 
 # DuckDB twin of |x|² = dot(x, x): same sequential double fold as _SQL_DOT
 _SQL_NORM2 = _SQL_DOT.format(a="{v}", b="{v}")

@@ -53,10 +53,16 @@ import hashlib
 import os
 import tempfile
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_datasource_orc_spark.operators.registry import query
+from datafusion_datasource_orc_spark.operators.triage_index import (
+    N_PB as N_HB,  # directory-partition fanout (one definition repo-wide)
+)
+from datafusion_datasource_orc_spark.operators.triage_index import (
+    _hb,  # md5-hex directory key — shared with the triage exact/ layout
+)
 from datafusion_datasource_orc_spark.operators.substring import (
     _substring_oracle,
     doc_spans,
@@ -65,8 +71,6 @@ from datafusion_datasource_orc_spark.operators.substring import (
     span_manifest,
 )
 from datafusion_datasource_orc_spark.sources.tables import load_table
-
-N_HB = 32  # directory-partition fanout (the triage_index N_PB precedent)
 
 _INDEX_ROOT: str | None = None
 _INDEX_CACHE: dict[str, str] = {}  # abspath(sf_dir) -> built index dir
@@ -77,11 +81,6 @@ def _index_root() -> str:
     if _INDEX_ROOT is None:
         _INDEX_ROOT = tempfile.mkdtemp(prefix="span_index_")
     return _INDEX_ROOT
-
-
-def _hb(h: Column) -> Column:
-    """Directory-partition key for md5 hex strings: first byte mod N_HB."""
-    return F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % N_HB
 
 
 def _span_df(docs: DataFrame) -> DataFrame:

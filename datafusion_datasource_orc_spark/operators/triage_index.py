@@ -93,12 +93,6 @@ def _hb(h: Column) -> Column:
     return F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % N_PB
 
 
-def _shingled(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) → checkpointed (doc_id, n, s), the exact shape
-    minhash machinery consumes (the shared prelude in dedup.py)."""
-    return checkpointed_shingles(docs)
-
-
 def _index_parts(
     docs: DataFrame, bucket_cap: int | None
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
@@ -107,7 +101,7 @@ def _index_parts(
         F.md5("text").alias("h"), F.col("doc_id").alias("e_id")
     ).withColumn("hb", _hb(F.col("h")))
 
-    sh = _shingled(docs)
+    sh = checkpointed_shingles(docs)
     bands = minhash_bands(sh).withColumnRenamed("doc_id", "e_id")
     if bucket_cap is not None:
         # star-collapse over-cap boilerplate buckets (see module docstring)
@@ -221,7 +215,7 @@ def triage_incremental(
     )
 
     # ---- near tier: shingle ONLY the batch, band-join the index ----
-    sh_inc = _shingled(incoming)
+    sh_inc = checkpointed_shingles(incoming)
     inc_bands = minhash_bands(sh_inc)
     ex_bands = _read(spark, index_dir, "bands", ["band", "bh", "e_id"])
     cand = (

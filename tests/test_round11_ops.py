@@ -61,7 +61,9 @@ class TestSpanIndex:
         inflate df counts. Overwrite-by-segment makes the double-apply a
         bit-exact rewrite: stored (h, df) rows identical."""
         idx = build_span_index(spark, sf_dir, str(tmp_path / "idx"))
-        admitted = _batch(spark, sf_dir).limit(20)
+        # orderBy before limit: an unordered limit can pick different rows
+        # across re-evaluations, breaking the bit-exact replay assertion
+        admitted = _batch(spark, sf_dir).orderBy("doc_id").limit(20).localCheckpoint()
 
         def stored():
             return _rows(
@@ -80,10 +82,13 @@ class TestSpanIndex:
         of the same text in batch N+1 sees every span as duplicated
         (stored_df >= 1 now includes the appended segment)."""
         idx = build_span_index(spark, sf_dir, str(tmp_path / "idx"))
-        first = _batch(spark, sf_dir).limit(5)
+        # ordered + checkpointed so the appended rows and the replayed rows
+        # are the SAME five docs across re-evaluations
+        first = _batch(spark, sf_dir).orderBy("doc_id").limit(5).localCheckpoint()
         append_to_span_index(spark, idx, first, seg="batch0")
         replay = first.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
         got = span_coverage_incremental(spark, replay, idx).collect()
+        assert any(r.n_spans > 0 for r in got), "all replayed docs too short"
         for r in got:
             if r.n_spans > 0:
                 # every span of a replayed doc exists in the appended
