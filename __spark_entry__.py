@@ -16,6 +16,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -109,6 +110,19 @@ _ROUND_PRIORITY: list[str] = [
 ]
 
 
+def _artifact_paths(here: str) -> list[str]:
+    """CORRECTNESS_r*.json in NUMERIC round order — lexicographic sort
+    would put r100 before r11 (and an unpadded r9 after r10), making a
+    newer record look older wherever 'latest wins' matters."""
+    def _round_no(path: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        return int(m.group(1)) if m else -1
+
+    return sorted(
+        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")), key=_round_no
+    )
+
+
 def _driver_ledger() -> set[str]:
     """Names ever ORACLE-stamped by the driver, from the committed artifacts.
 
@@ -125,7 +139,7 @@ def _driver_ledger() -> set[str]:
     hard: set[str] = set()
     seen: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    for path in _artifact_paths(here):
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -154,7 +168,7 @@ def _zero_row_stamps() -> set[str]:
     mechanical like everything else here (reads only committed artifacts)."""
     here = os.path.dirname(os.path.abspath(__file__))
     latest_rows: dict[str, object] = {}
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    for path in _artifact_paths(here):
         try:
             with open(path) as f:
                 rows = json.load(f)

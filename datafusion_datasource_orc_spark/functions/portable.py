@@ -107,14 +107,24 @@ def knuth_hash32_sql(expr: str) -> str:
     )
 
 
+# Explicit whitespace class, NOT \s: Java regex \s includes vertical tab
+# \x0B while DuckDB's RE2 \s does not — a \x0B-bearing text would fingerprint
+# differently per engine. Spelling the class out makes both sides identical
+# by construction. (The corpus is printable, so \s-based token splits
+# elsewhere are unaffected in practice — accepted-risk note in COVERAGE.md.)
+_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
 def norm_fingerprint(text: Column) -> Column:
     """md5 over whitespace-collapsed lowercase text — the normalized content
     fingerprint shared by doc_fingerprint / dedup_keep_canonical (and the
     join/partition handle for cross-corpus exact dedup). One definition so
     the normalization rule cannot drift between query families."""
-    return F.md5(F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ").cast("binary"))
+    return F.md5(
+        F.regexp_replace(F.trim(F.lower(text)), _WS_CLASS, " ").cast("binary")
+    )
 
 
 def norm_fingerprint_sql(expr: str) -> str:
     """DuckDB twin of norm_fingerprint over a text SQL expression."""
-    return f"md5(regexp_replace(trim(lower({expr})), '\\s+', ' ', 'g'))"
+    return f"md5(regexp_replace(trim(lower({expr})), '{_WS_CLASS}', ' ', 'g'))"

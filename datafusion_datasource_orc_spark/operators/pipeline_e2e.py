@@ -47,14 +47,18 @@ from datafusion_datasource_orc_spark.operators.dedup import (
     minhash_lsh_pairs,
     shingle_docs,
 )
-from datafusion_datasource_orc_spark.functions.portable import knuth_hash32
+from datafusion_datasource_orc_spark.functions.portable import (
+    knuth_hash32,
+    knuth_hash32_sql,
+    norm_fingerprint,
+    norm_fingerprint_sql,
+)
 from datafusion_datasource_orc_spark.operators.registry import query
 from datafusion_datasource_orc_spark.operators.textstats import (
     EVAL_MOD,
     _ngrams_linear,
     _words,
 )
-from datafusion_datasource_orc_spark.functions.portable import knuth_hash32_sql
 from datafusion_datasource_orc_spark.sources.tables import load_table
 
 _KH = knuth_hash32_sql("doc_id")
@@ -64,7 +68,7 @@ WITH base AS (
   SELECT doc_id, source, n_chars // 4 AS toks,
          len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
          {{bigrams}} AS bg,
-         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS content_hash,
+         {norm_fingerprint_sql("text")} AS content_hash,
          (doc_id % {EVAL_MOD} = 0) AS is_eval,
          {_KH} <
            (10 + 4 * (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 10))
@@ -192,11 +196,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(w).alias("n_words"),
         F.size(F.array_distinct(w)).alias("n_distinct"),
         _ngrams_linear(w, 2).alias("bg"),
-        F.md5(
-            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ").cast(
-                "binary"
-            )
-        ).alias("content_hash"),
+        norm_fingerprint(F.col("text")).alias("content_hash"),
         (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"),
         (
             # overflow-safe Knuth hash (functions.portable.knuth_hash32)

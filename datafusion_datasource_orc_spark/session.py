@@ -38,19 +38,23 @@ def get_spark(
     """Build (or fetch) the tuned SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract) or
-    ``local[*]``. On a real cluster, pass ``master=None`` with
-    ``spark.master`` preset in the environment and this function only applies
-    SQL-level tuning.
+    ``local[*]``. On a real cluster, launch under spark-submit (which sets
+    ``spark.master`` via PYSPARK_SUBMIT_ARGS) and this function only applies
+    SQL-level tuning — it must NOT override the cluster master with
+    local[*], or the job silently executes single-node on the driver.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    if master is None:
+    submit_has_master = "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    if master is None and not submit_has_master:
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         # --- determinism / oracle agreement ---
         .config("spark.sql.session.timeZone", "UTC")
         # --- adaptive execution: replaces the reference's static knobs ---

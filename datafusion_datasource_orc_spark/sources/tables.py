@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import os
 import tempfile
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -39,10 +38,13 @@ _ORC_ROOT: str | None = None
 # DataFrame (lazy plan) cache per session: spark.read.parquet re-reads the
 # footer schema on every call, which dominates derived-view registration
 # (the TPC-DS fact builders alone trigger ~16 loads per query without it).
-# Keyed weakly on the session so a stopped/replaced session drops its plans.
-_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
-    weakref.WeakKeyDictionary()
-)
+# One (session, plans) pair, not a WeakKeyDictionary: each cached DataFrame
+# strongly references its session (df._session), so weak entries could
+# never be collected and a getOrCreate-cycling process would leak every
+# stopped session's plans. Holding exactly one session's cache bounds the
+# retained garbage to that single pair; a new session evicts the old one.
+_DF_CACHE_SESSION: SparkSession | None = None
+_DF_CACHE_PLANS: dict[tuple[str, str], DataFrame] = {}
 
 
 def _pin_conf(spark: SparkSession, key: str, value: str) -> None:
@@ -85,10 +87,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # epoch arithmetic over the LTZ timestamps must match the tz-naive DuckDB
     # oracle, which reads the stored values as-is.
     _pin_conf(spark, "spark.sql.session.timeZone", "UTC")
-    try:
-        cache = _DF_CACHE.setdefault(spark, {})
-    except TypeError:  # session not weakref-able (mocks) → skip caching
-        cache = {}
+    global _DF_CACHE_SESSION
+    if _DF_CACHE_SESSION is not spark:
+        _DF_CACHE_SESSION = spark
+        _DF_CACHE_PLANS.clear()
+    cache = _DF_CACHE_PLANS
     # abspath-normalized so relative/absolute spellings of one directory share
     # an entry. The cached plan freezes the file listing + footer schema at
     # first load — fine for the static driver testdata this repo reads, but a
@@ -133,12 +136,17 @@ def _orc_root() -> str:
 def orc_dir_for(spark: SparkSession, sf_dir: str, name: str) -> str:
     """Materialize (once per process) a testdata table as an ORC directory and
     return its path. Subsequent calls are cache hits."""
+    import hashlib
+
     key = (os.path.abspath(sf_dir), name)
     path = _ORC_CACHE.get(key)
     if path and os.path.isdir(path):
         return path
+    # abspath tag (the orc_chunked_dir_for precedent): two sf_dirs sharing
+    # a basename must never write into — and silently serve — the same dir
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(_orc_root(), sf_tag, name)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(_orc_root(), f"{sf_tag}_{tag}", name)
     (
         load_table(spark, sf_dir, name)
         .write.mode("overwrite")
@@ -188,6 +196,16 @@ def orc_chunked_dir_for(
     # keys (two's-complement masking of a negative key disagrees with SQL
     # `%`) — assert both loudly rather than silently drift from the oracle
     assert nchunks & (nchunks - 1) == 0, "nchunks must be a power of two"
+    # NULL keys would vanish silently: bit_wise_and(NULL)=NULL, the equal()
+    # mask is NULL, and Arrow's filter drops null-mask rows from EVERY
+    # chunk — so the layout would under-count vs the parquet source with no
+    # error. Fail loudly instead (and note pc.min of an all-null column is
+    # None, which the >= 0 assertion alone would wave through).
+    n_null = table.column(key).null_count
+    assert n_null == 0, (
+        f"chunk key {name}.{key} has {n_null} NULLs; NULL-keyed rows would "
+        f"be silently excluded from every chunk file"
+    )
     key_min = pc.min(table.column(key)).as_py()
     assert key_min is None or key_min >= 0, (
         f"chunk key {name}.{key} has negative values (min={key_min}); the "
@@ -247,6 +265,11 @@ def orc_bloom_dir_for(
     os.makedirs(path, exist_ok=True)
     table = pq.read_table(os.path.join(sf_dir, f"{name}.parquet"))
     assert nchunks & (nchunks - 1) == 0, "nchunks must be a power of two"
+    # NULL keys silently vanish from every chunk (see orc_chunked_dir_for)
+    assert table.column(key).null_count == 0, (
+        f"bloom chunk key {name}.{key} has NULLs; NULL-keyed rows would be "
+        f"silently excluded from every chunk file"
+    )
     key_min = pc.min(table.column(key)).as_py()
     assert key_min is None or key_min >= 0, (
         f"bloom chunk key {name}.{key} has negative values (min={key_min})"
@@ -295,12 +318,16 @@ def orc_encoding_dir_for(sf_dir: str, name: str = "lineitem") -> str:
     import pyarrow.orc as porc
     import pyarrow.parquet as pq
 
+    import hashlib
+
     cache_key = (os.path.abspath(sf_dir), f"{name}#encodings")
     path = _ORC_CACHE.get(cache_key)
     if path and os.path.isdir(path):
         return path
+    # abspath tag: same-basename corpora must not share the directory
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    path = os.path.join(_orc_root(), sf_tag, f"{name}_encodings")
+    dtag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    path = os.path.join(_orc_root(), f"{sf_tag}_{dtag}", f"{name}_encodings")
     os.makedirs(path, exist_ok=True)
     table = pq.read_table(
         os.path.join(sf_dir, f"{name}.parquet"), columns=list(ENCODING_COLUMNS)

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from datafusion_datasource_orc_spark.functions.portable import money_sum
+
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -54,7 +56,7 @@ def stream_tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> Data
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            money_sum(F.col("value")).alias("total_value"),
         )
         .select(
             F.col("w.start").cast("long").alias("window_start"),
@@ -89,7 +91,7 @@ def stream_user_running_totals(stream: DataFrame, watermark: str = "1 hour") -> 
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            money_sum(F.col("value")).alias("total_value"),
         )
     )
 
@@ -161,7 +163,7 @@ def stream_enrich_segments(
         .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+            money_sum(F.col("value")).alias("total_value"),
         )
         .select(
             F.col("w.start").cast("long").alias("window_start"),
