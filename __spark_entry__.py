@@ -75,6 +75,9 @@ _ROUND_PRIORITY: list[str] = [
     # dedup_substring_spans on the batch split; the oracle computes df
     # corpus-wide, certifying the segment-df recomposition end-to-end)
     "dedup_substring_spans_incremental",
+    # round-11 addition: BPE merge induction — the tokenizer-TRAINING
+    # kernel (Sennrich et al. 2016) as an unrolled exact trajectory
+    "tokenizer_bpe_merges",
     # round-11 addition (judge r10 task 3): BM25 — the saturated,
     # length-normalized lexical retrieval rung (Lucene k1/b defaults
     # interpolated into both engines)

@@ -191,6 +191,7 @@ HEADLINE = [
     # BM25 lexical retrieval rung
     "dedup_substring_spans_incremental",
     "simsearch_bm25",
+    "tokenizer_bpe_merges",
 ]
 
 

@@ -44,6 +44,9 @@ ALLOWED_NESTED_LOOP = {
     "simsearch_bm25": "1-row corpus-constants aggregate (N, total tokens — "
     "the idf/avgdl inputs) crossJoin'd onto the scoring stream — the "
     "tfidf_top_terms shape; the qt/tf/df/dl joins are equi hash joins",
+    "tokenizer_bpe_merges": "one 1-row argmax-pair crossJoin per unrolled "
+    "merge round (3) onto the DISTINCT-WORD table — the kmeans packed-"
+    "codebook E-step shape; pair counting itself is an equi groupBy",
     "training_epoch_shard": "1-row total-token aggregate crossJoin'd onto "
     "the W-row (16) per-shard result for the exact balance ratio",
     "dedup_minhash_lsh": "1-row over-cap-shingle (boilerplate) array aggregate "

@@ -162,6 +162,56 @@ class TestMipsPlanted:
         assert len(exact & got) >= 14
 
 
+class TestBpeMerges:
+    """The semantics that make the BPE loop BPE: greedy left-to-right
+    non-overlapping merges, frequency-weighted argmax, boundary-anchored
+    pair matching — driven through the exact registered trajectory via
+    bpe_merge_rounds on constructed corpora."""
+
+    @staticmethod
+    def _merges(spark, texts, rounds):
+        from datafusion_datasource_orc_spark.operators.bpe import bpe_merge_rounds
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return bpe_merge_rounds(docs, rounds=rounds).collect()
+
+    def test_frequency_weighted_argmax_and_greedy_merge(self, spark):
+        # 'abab' x3 + 'cd' x2: round 1 must merge (a,b) — weight 6 (two
+        # occurrences per word x 3 words) beats (b,a) weight 3 and (c,d)
+        # weight 2. Round 2: after ab is one symbol, (ab,ab) weight 3
+        # beats (c,d) weight 2 — which also pins greedy non-overlap
+        # ('a b a b' -> 'ab ab', so the (ab,ab) pair EXISTS).
+        rows = self._merges(spark, ["abab abab abab", "cd cd"], rounds=2)
+        got = {r.merge_round: (r.left_sym, r.right_sym, r.pair_count) for r in rows}
+        assert got[1] == ("a", "b", 6)
+        assert got[2] == ("ab", "ab", 3)
+
+    def test_merged_symbol_is_boundary_anchored(self, spark):
+        # after merging (a,b)->ab, the pair (b,c) must NOT match inside
+        # 'abc'-like sequences via substring overlap: in 'xab abq', symbol
+        # 'ab' sits next to 'q'-words but the letters b,c never form an
+        # adjacent SYMBOL pair once ab is fused. Construct: 'ab' merged
+        # first; then (ab, c) is a legal pair while (b, c) is not.
+        rows = self._merges(spark, ["abc abc abc", "zz"], rounds=2)
+        got = {r.merge_round: (r.left_sym, r.right_sym) for r in rows}
+        assert got[1] == ("a", "b")  # weight 3 ties (b,c); 'ab' < 'bc'
+        assert got[2] == ("ab", "c")  # the fused symbol pairs with c
+
+    def test_registered_query_shape(self, spark, sf_dir):
+        from datafusion_datasource_orc_spark.operators.bpe import (
+            BPE_ROUNDS,
+            tokenizer_bpe_merges,
+        )
+
+        rows = tokenizer_bpe_merges(spark, sf_dir).collect()
+        assert [r.merge_round for r in rows] == list(range(1, BPE_ROUNDS + 1))
+        for r in rows:
+            assert r.merged == r.left_sym + r.right_sym
+            assert r.pair_count > 0
+
+
 class TestBM25:
     """The two properties that make BM25 BM25 (vs raw tf-idf), driven
     through the exact registered scoring via bm25_rank."""
