@@ -51,9 +51,18 @@ def main() -> None:
         spark.conf.set("spark.sql.orc.filterPushdown", "false")
         spark.conf.set("spark.sql.parquet.filterPushdown", "false")
     if args.mem_table:
-        # MemTable::load parity (src/bin/tpcds_bench.rs:525-536)
+        # MemTable::load parity (src/bin/tpcds_bench.rs:525-536). BOTH scan
+        # paths: parquet (the operator default) AND the materialized-ORC
+        # directories the connector-surface queries read — Spark's cache
+        # manager matches by analyzed plan, so a later spark.read.orc of
+        # the same path hits the InMemoryRelation even from a fresh
+        # DataFrame. (Derived TPC-DS star tables stay uncached: they build
+        # once per process from these cached bases.)
+        from datafusion_datasource_orc_spark.sources.tables import load_orc_table
+
         for t in TABLES:
             load_table(spark, args.sf_dir, t).cache().count()
+            load_orc_table(spark, args.sf_dir, t).cache().count()
 
     names = [q.strip() for q in args.queries.split(",") if q.strip()] or list(QUERIES)
     unknown = [n for n in names if n not in QUERIES]

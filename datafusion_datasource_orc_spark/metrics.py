@@ -50,12 +50,35 @@ class ScanMetrics:
         self._observations: list[tuple[str, Observation]] = []
 
     def observe(self, df: DataFrame, name: str = "scan", bytes_col: str | None = None) -> DataFrame:
+        if any(n == name for n, _ in self._observations):
+            # a silent overwrite in run()'s dict would hide the first point
+            raise ValueError(f"observation name {name!r} already registered")
         obs = Observation(name)
         aggs = [F.count(F.lit(1)).alias("rows_decoded")]
         if bytes_col is not None:
             aggs.append(F.sum(F.octet_length(F.col(bytes_col))).alias("bytes_scanned"))
         self._observations.append((name, obs))
         return df.observe(obs, *aggs)
+
+    @staticmethod
+    def _get_nonblocking(obs: Observation) -> dict:
+        """Observation.get WAITS for the observed dataset's first action —
+        an observation whose DataFrame never ran (attached but unused)
+        would deadlock run(). Read the JVM side's getRowOrEmpty instead:
+        empty dict when the point hasn't fired, never a block."""
+        jo = getattr(obs, "_jo", None)
+        if jo is None:  # never attached via df.observe
+            return {}
+        opt = jo.getRowOrEmpty()
+        if opt.isEmpty():
+            return {}
+        from pyspark.serializers import CPickleSerializer
+
+        utils = getattr(
+            obs._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils"
+        )
+        row = CPickleSerializer().loads(utils.toPyRow(opt.get()))
+        return row.asDict(recursive=False)
 
     def run(self, name: str, df: DataFrame) -> QueryMetrics:
         t0 = time.perf_counter()
@@ -64,9 +87,13 @@ class ScanMetrics:
         observed = {}
         for oname, obs in self._observations:
             try:
-                observed[oname] = obs.get
+                observed[oname] = self._get_nonblocking(obs)
             except Exception:
                 observed[oname] = {}
+        # one logical pipeline per run: a fired observation's value never
+        # changes (first action only), so carrying it into the next run()
+        # would just report stale points under the same names
+        self._observations = []
         return QueryMetrics(name=name, elapsed_sec=elapsed, row_count=row_count, observed=observed)
 
 

@@ -25,7 +25,9 @@ def query(name: str, oracle: str | None = None):
     rows-only check (reserved for genuinely non-SQL-expressible ops)."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        assert name not in QUERIES, f"duplicate query name {name}"
+        if name in QUERIES:  # not assert: python -O strips asserts and the
+            # later registration would silently shadow the earlier query
+            raise ValueError(f"duplicate query name {name}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -27,13 +27,15 @@ def explain_formatted(df: DataFrame) -> str:
     )
 
 
-def _split_top_level(body: str) -> list[str]:
-    """Split 'A(x,1), Or(B(y,2),C(z,3))' on depth-0 commas only."""
+def _split_top_level(body: str, opens: str = "([<", closes: str = ")]>") -> list[str]:
+    """Split 'A(x,1), Or(B(y,2),C(z,3))' on depth-0 commas only, tracking
+    every bracket kind — In(attr, [A,R]) and map<string,int> must not split
+    at their inner commas."""
     parts, depth, cur = [], 0, []
     for ch in body:
-        if ch == "(":
+        if ch in opens:
             depth += 1
-        elif ch == ")":
+        elif ch in closes:
             depth -= 1
         if ch == "," and depth == 0:
             parts.append("".join(cur).strip())
@@ -43,6 +45,21 @@ def _split_top_level(body: str) -> list[str]:
     if cur:
         parts.append("".join(cur).strip())
     return [p for p in parts if p]
+
+
+def _balanced_span(text: str, start: int, open_ch: str, close_ch: str) -> str:
+    """Contents of the bracket pair opening at ``start`` (which must index
+    ``open_ch``), respecting nesting — a regex stopping at the first closer
+    truncates In(attr, [v1,v2]) lists and nested struct<...> types."""
+    depth = 0
+    for i in range(start, len(text)):
+        if text[i] == open_ch:
+            depth += 1
+        elif text[i] == close_ch:
+            depth -= 1
+            if depth == 0:
+                return text[start + 1 : i]
+    return text[start + 1 :]  # unbalanced (truncated explain) → rest
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
@@ -55,19 +72,21 @@ def pushed_filters(df: DataFrame) -> list[str]:
     src/source.rs:240-255.)"""
     text = explain_formatted(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
-        out.extend(_split_top_level(m.group(1)))
+    for m in re.finditer(r"PushedFilters: \[", text):
+        out.extend(_split_top_level(_balanced_span(text, m.end() - 1, "[", "]")))
     return out
 
 
 def read_schema_columns(df: DataFrame) -> list[list[str]]:
     """Column lists of each scan's ReadSchema — the projection that reached
-    the reader (column pruning proof)."""
+    the reader (column pruning proof). Balance-aware so nested struct/map
+    and decimal(p,s) types neither split at inner commas nor truncate at
+    the first '>'."""
     text = explain_formatted(df)
     schemas = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", text):
-        body = m.group(1).strip()
-        cols = [c.split(":")[0].strip() for c in body.split(",") if c.strip()]
+    for m in re.finditer(r"ReadSchema: struct<", text):
+        body = _balanced_span(text, m.end() - 1, "<", ">").strip()
+        cols = [c.split(":")[0].strip() for c in _split_top_level(body)]
         schemas.append(cols)
     return schemas
 
@@ -87,15 +106,23 @@ def uses_whole_stage_codegen(df: DataFrame, execute: bool = True) -> bool:
     return "*(" in text
 
 
-def plan_nodes(df: DataFrame) -> list[str]:
-    """Physical-plan node names from the formatted explain's detail headers
-    ('(7) SortMergeJoin') — each node exactly once (the tree rendering would
-    double-count)."""
-    text = explain_formatted(df)
+def plan_node_lines(text: str) -> list[str]:
+    """Node names from a formatted-explain TEXT's detail headers
+    ('(7) SortMergeJoin') — the single parser both the tests (via
+    plan_nodes) and tools/plan_report.py consume, so a Spark explain-format
+    change is fixed in exactly one place."""
     return [
         m.group(1).strip()
-        for m in re.finditer(r"^\(\d+\) ([^\n]+?)(?:\s*\[codegen id : \d+\])?$", text, re.M)
+        for m in re.finditer(
+            r"^\(\d+\) ([^\n]+?)(?:\s*\[codegen id : \d+\])?$", text, re.M
+        )
     ]
+
+
+def plan_nodes(df: DataFrame) -> list[str]:
+    """Physical-plan node names from the formatted explain's detail headers
+    — each node exactly once (the tree rendering would double-count)."""
+    return plan_node_lines(explain_formatted(df))
 
 
 def scan_summary(df: DataFrame, execute_for_codegen: bool = False) -> dict:

@@ -64,8 +64,19 @@ def _norm_cell(v):
         return v.isoformat()
     if isinstance(v, datetime.date):
         return v.isoformat()
+    if hasattr(v, "asDict"):
+        # struct cells, Spark side: toPandas yields Row — normalize via its
+        # key-SORTED dict (field order is schema order, which need not match
+        # the DuckDB dict's key order)
+        d = v.asDict()
+        return "[" + ",".join(_norm_cell(d[k]) for k in sorted(d)) + "]"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        # struct cells, DuckDB side: .df() yields dict — same key-sorted
+        # normalization so identical structs match and nested floats still
+        # get the 9-sig-fig rounding
+        return "[" + ",".join(_norm_cell(v[k]) for k in sorted(v)) + "]"
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
     return str(v)

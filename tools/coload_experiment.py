@@ -95,6 +95,13 @@ def main() -> int:
         for _ in range(n_hogs)
     ]
     time.sleep(3)  # let the hogs reach steady state
+    dead = [h for h in hogs if h.poll() is not None]
+    if dead:
+        # a crashed hog (import failure, OOM-kill) would make the 'loaded'
+        # phase measure an idle box and fabricate probe-coverage evidence
+        for h in hogs:
+            h.kill()
+        raise RuntimeError(f"{len(dead)}/{len(hogs)} hogs died before measurement")
     try:
         loaded = measure(f"loaded ({n_hogs} memcopy hogs)")
     finally:

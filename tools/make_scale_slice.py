@@ -79,7 +79,11 @@ def main() -> None:
     # stride per key domain, from the base tables
     stride: dict[str, int] = {}
     for table, keys in SHARD_KEYS.items():
-        t = pq.read_table(os.path.join(args.src, f"{table}.parquet"))
+        # key columns only: the copy loop below re-reads the full table,
+        # so materializing every column here doubled I/O and peak memory
+        t = pq.read_table(
+            os.path.join(args.src, f"{table}.parquet"), columns=list(keys)
+        )
         for k in keys:
             dom = DOMAIN_OF[k]
             if dom == k:

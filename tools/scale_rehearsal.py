@@ -46,7 +46,12 @@ def main() -> None:
     from datafusion_datasource_orc_spark.operators import QUERIES
     from datafusion_datasource_orc_spark.session import get_spark
 
-    names = [q for q in args.queries.split(",") if q] or HEADLINERS
+    names = [q.strip() for q in args.queries.split(",") if q.strip()] or HEADLINERS
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        # fail BEFORE running anything: a typo after minutes of timed
+        # iterations would discard all the work with a KeyError
+        ap.error(f"unknown queries: {unknown}")
     spark = get_spark(app_name="scale_rehearsal")
 
     out: dict[str, dict] = {}
