@@ -186,11 +186,14 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sessionization (30-minute inactivity gap) — the classic stateful-stream op,
 # expressed in batch as a gap-detection window chain: lag → new-session flag →
 # running sum = session id. One shuffle on user_id; scales linearly.
-@query(
-    "events_sessionize",
-    oracle="""
-    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
-           CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start_epoch
+#
+# ONE chain definition serves both sessionization oracles (events_sessionize
+# and events_session_window's algebraic-equivalence check) — two inline
+# copies could drift in gap constant or tie-break and silently hollow out
+# the equivalence claim. ``select`` is the outer projection/grouping.
+def _session_chain_sql(select: str) -> str:
+    return f"""
+    {select}
     FROM (
         SELECT user_id, ts,
                SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -204,7 +207,16 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     GROUP BY user_id, session_seq
-    """,
+    """
+
+
+@query(
+    "events_sessionize",
+    oracle=_session_chain_sql(
+        "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,"
+        " COUNT(*) AS n_events,"
+        " CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start_epoch"
+    ),
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -233,23 +245,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # between the two sessionization strategies.
 @query(
     "events_session_window",
-    oracle="""
-    SELECT user_id, COUNT(*) AS n_events,
-           CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start_epoch
-    FROM (
-        SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_seq
-        FROM (
-            SELECT user_id, ts, event_id,
-                   CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
-                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                        THEN 1 ELSE 0 END AS is_new
-            FROM events
-        )
-    )
-    GROUP BY user_id, session_seq
-    """,
+    oracle=_session_chain_sql(
+        "SELECT user_id, COUNT(*) AS n_events,"
+        " CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS session_start_epoch"
+    ),
 )
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions via the native session_window operator. One shuffle
@@ -395,10 +394,11 @@ def events_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(vd AS DOUBLE) AS v,
              CAST(SUM(vd) OVER w AS DOUBLE) / (COUNT(*) OVER w) AS mu,
              CASE WHEN COUNT(*) OVER w > 1 THEN
-               sqrt((CAST(SUM(vd * vd) OVER w AS DOUBLE)
+               sqrt(greatest(0.0,
+                    (CAST(SUM(vd * vd) OVER w AS DOUBLE)
                      - CAST(SUM(vd) OVER w AS DOUBLE)
                        * CAST(SUM(vd) OVER w AS DOUBLE) / (COUNT(*) OVER w))
-                    / (COUNT(*) OVER w - 1))
+                    / (COUNT(*) OVER w - 1)))
              END AS sigma
       FROM (SELECT event_id, user_id, CAST(value AS DECIMAL(18,4)) AS vd FROM events)
       WINDOW w AS (PARTITION BY user_id)
@@ -424,7 +424,13 @@ def events_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = F.sum("vd").over(w).cast("double")
     s2 = F.sum(F.col("vd") * F.col("vd")).over(w).cast("double")
     mu = s1 / n
-    sigma = F.when(n > 1, F.sqrt((s2 - s1 * s1 / n) / (n - 1)))
+    # greatest(0, ...): the cancellation (s2 - s1²/n) can round to a tiny
+    # NEGATIVE double on a constant-value partition, where DuckDB's sqrt
+    # RAISES while Spark's returns NaN — the clamp makes both engines emit
+    # sigma = 0, which the sigma > 0 filter then drops identically
+    sigma = F.when(
+        n > 1, F.sqrt(F.greatest(F.lit(0.0), (s2 - s1 * s1 / n) / (n - 1)))
+    )
     z = (F.col("vd").cast("double") - mu) / sigma
     return (
         d.select("event_id", "user_id", F.col("vd").cast("double").alias("v"),

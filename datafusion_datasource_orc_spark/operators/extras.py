@@ -521,7 +521,7 @@ def rank_nations_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_regionkey", "n_name")
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"))
+        .agg(money_sum(F.col("o_totalprice")).alias("revenue"))
     )
     w = Window.partitionBy("n_regionkey").orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     return rev.withColumn("rnk", F.rank().over(w))

@@ -56,6 +56,8 @@ from datafusion_datasource_orc_spark.functions.portable import (
 from datafusion_datasource_orc_spark.operators.registry import query
 from datafusion_datasource_orc_spark.operators.textstats import (
     EVAL_MOD,
+    SOURCE_TIER_SQL,
+    source_tier,
     _ngrams_linear,
     _words,
 )
@@ -71,7 +73,7 @@ WITH base AS (
          {norm_fingerprint_sql("text")} AS content_hash,
          (doc_id % {EVAL_MOD} = 0) AS is_eval,
          {_KH} <
-           (10 + 4 * (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 10))
+           (10 + 4 * {SOURCE_TIER_SQL})
            * 42949672 AS sampled
   FROM (SELECT *, string_split_regex(lower(text), '\\s+') AS w FROM documents)
 ),
@@ -204,7 +206,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             < (
                 F.lit(10)
                 + F.lit(4)
-                * (F.regexp_extract("source", r"([0-9]+)$", 1).cast("long") % 10)
+                * source_tier()
             )
             * F.lit(42949672)
         ).alias("sampled"),

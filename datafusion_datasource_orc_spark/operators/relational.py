@@ -767,10 +767,13 @@ _M_SUM = "CAST(SUM(CAST({x} AS DECIMAL(38,6))) AS DOUBLE)"
     oracle=f"""
     SELECT l_returnflag, n,
            ROUND((sumsq_q - sum_q * sum_q / n) / (n - 1), 6) AS var_qty,
-           ROUND(SQRT((sumsq_q - sum_q * sum_q / n) / (n - 1)), 6) AS stddev_qty,
+           -- greatest(0,...) clamps under SQRT: the cancellation can round
+           -- to a tiny negative on a constant-value group, where DuckDB
+           -- RAISES and Spark returns NaN (engine divergence)
+           ROUND(SQRT(greatest(0.0, (sumsq_q - sum_q * sum_q / n) / (n - 1))), 6) AS stddev_qty,
            ROUND((n * sum_qp - sum_q * sum_p)
-                 / (SQRT(n * sumsq_q - sum_q * sum_q)
-                    * SQRT(n * sumsq_p - sum_p * sum_p)), 6) AS corr_qty_price
+                 / (SQRT(greatest(0.0, n * sumsq_q - sum_q * sum_q))
+                    * SQRT(greatest(0.0, n * sumsq_p - sum_p * sum_p))), 6) AS corr_qty_price
     FROM (
         SELECT l_returnflag,
                CAST(COUNT(*) AS DOUBLE) AS n,
@@ -805,14 +808,19 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sum_q, sumsq_q = F.col("n"), F.col("sum_q"), F.col("sumsq_q")
     sum_p, sumsq_p, sum_qp = F.col("sum_p"), F.col("sumsq_p"), F.col("sum_qp")
     var_q = (sumsq_q - sum_q * sum_q / n) / (n - F.lit(1.0))
+    # same greatest(0, ...) clamp as the oracle: a constant-value group's
+    # cancellation can round tiny-negative, where DuckDB's sqrt raises and
+    # Spark's returns NaN
+    z = F.lit(0.0)
     corr = (n * sum_qp - sum_q * sum_p) / (
-        F.sqrt(n * sumsq_q - sum_q * sum_q) * F.sqrt(n * sumsq_p - sum_p * sum_p)
+        F.sqrt(F.greatest(z, n * sumsq_q - sum_q * sum_q))
+        * F.sqrt(F.greatest(z, n * sumsq_p - sum_p * sum_p))
     )
     return base.select(
         "l_returnflag",
         "n",
         F.round(var_q, 6).alias("var_qty"),
-        F.round(F.sqrt(var_q), 6).alias("stddev_qty"),
+        F.round(F.sqrt(F.greatest(z, var_q)), 6).alias("stddev_qty"),
         F.round(corr, 6).alias("corr_qty_price"),
     )
 

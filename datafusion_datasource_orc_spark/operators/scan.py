@@ -442,6 +442,43 @@ def orc_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stats_agg(meta)
 
 
+def _stats_consistency(fine, coarse, flag_name: str):
+    """Join a FINE-granularity stats rollup against the next-COARSER one
+    and flag per-column equality of count + typed min/max — the single
+    implementation behind both ladder audits (stripe-vs-file and
+    rowgroup-vs-stripe); two inline copies of the eqNullSafe chain could
+    silently diverge in which stats they compare (round-11 review)."""
+    coarse = coarse.select(
+        F.col("column_name").alias("c_column_name"),
+        F.col("n_values").alias("c_n_values"),
+        F.col("min_num").alias("c_min_num"),
+        F.col("max_num").alias("c_max_num"),
+        F.col("min_str").alias("c_min_str"),
+        F.col("max_str").alias("c_max_str"),
+    )
+    consistent = (
+        (F.col("n_values") == F.col("c_n_values"))
+        & F.col("min_num").eqNullSafe(F.col("c_min_num"))
+        & F.col("max_num").eqNullSafe(F.col("c_max_num"))
+        & F.col("min_str").eqNullSafe(F.col("c_min_str"))
+        & F.col("max_str").eqNullSafe(F.col("c_max_str"))
+    )
+    return (
+        fine.join(F.broadcast(coarse), fine.column_name == coarse.c_column_name)
+        .withColumn(flag_name, consistent)
+        .select(
+            "column_name",
+            "col_kind",
+            "n_values",
+            "min_num",
+            "max_num",
+            "min_str",
+            "max_str",
+            flag_name,
+        )
+    )
+
+
 @query(
     "orc_stripe_stats",
     oracle=_li_stats_oracle(extra=", TRUE AS matches_file_stats"),
@@ -466,38 +503,8 @@ def orc_stripe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     files = _stats_agg(
         spark.read.format("orcmeta").option("stats", "file").load(d)
-    ).select(
-        F.col("column_name").alias("f_column_name"),
-        F.col("n_values").alias("f_n_values"),
-        F.col("min_num").alias("f_min_num"),
-        F.col("max_num").alias("f_max_num"),
-        F.col("min_str").alias("f_min_str"),
-        F.col("max_str").alias("f_max_str"),
     )
-    consistent = (
-        (F.col("n_values") == F.col("f_n_values"))
-        & F.col("min_num").eqNullSafe(F.col("f_min_num"))
-        & F.col("max_num").eqNullSafe(F.col("f_max_num"))
-        & F.col("min_str").eqNullSafe(F.col("f_min_str"))
-        & F.col("max_str").eqNullSafe(F.col("f_max_str"))
-    )
-    return (
-        stripes.join(
-            F.broadcast(files),
-            stripes.column_name == files.f_column_name,
-        )
-        .withColumn("matches_file_stats", consistent)
-        .select(
-            "column_name",
-            "col_kind",
-            "n_values",
-            "min_num",
-            "max_num",
-            "min_str",
-            "max_str",
-            "matches_file_stats",
-        )
-    )
+    return _stats_consistency(stripes, files, "matches_file_stats")
 
 
 # Probe keys for orc_bloom_prune: three present at every SF (orders keys
@@ -651,35 +658,5 @@ def orc_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stripes = _stats_agg(
         spark.read.format("orcmeta").option("stats", "stripes").load(d)
-    ).select(
-        F.col("column_name").alias("s_column_name"),
-        F.col("n_values").alias("s_n_values"),
-        F.col("min_num").alias("s_min_num"),
-        F.col("max_num").alias("s_max_num"),
-        F.col("min_str").alias("s_min_str"),
-        F.col("max_str").alias("s_max_str"),
     )
-    consistent = (
-        (F.col("n_values") == F.col("s_n_values"))
-        & F.col("min_num").eqNullSafe(F.col("s_min_num"))
-        & F.col("max_num").eqNullSafe(F.col("s_max_num"))
-        & F.col("min_str").eqNullSafe(F.col("s_min_str"))
-        & F.col("max_str").eqNullSafe(F.col("s_max_str"))
-    )
-    return (
-        rowgroups.join(
-            F.broadcast(stripes),
-            rowgroups.column_name == stripes.s_column_name,
-        )
-        .withColumn("matches_stripe_stats", consistent)
-        .select(
-            "column_name",
-            "col_kind",
-            "n_values",
-            "min_num",
-            "max_num",
-            "min_str",
-            "max_str",
-            "matches_stripe_stats",
-        )
-    )
+    return _stats_consistency(rowgroups, stripes, "matches_stripe_stats")

@@ -36,6 +36,25 @@ STOPWORDS = {
 TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"  # BPE-ish pre-tokenizer: runs of letters/digits/punct
 
 
+# Source quality tier: trailing digits of the source id mod 10, defaulting
+# to tier 0 for ids WITHOUT a numeric suffix — regexp_extract returns ''
+# there, and CAST('' AS BIGINT) aborts in BOTH engines under ANSI, so an
+# unguarded cast would crash the whole query on such a fixture (round-11
+# review). Shared by training_mix_sample and pipeline_end_to_end.
+SOURCE_TIER_SQL = (
+    "(CAST(coalesce(nullif(regexp_extract(source, '([0-9]+)$', 1), ''), '0')"
+    " AS BIGINT) % 10)"
+)
+
+
+def source_tier() -> Column:
+    """Spark twin of SOURCE_TIER_SQL."""
+    digits = F.regexp_extract("source", r"([0-9]+)$", 1)
+    return (
+        F.coalesce(F.nullif(digits, F.lit("")), F.lit("0")).cast("long") % 10
+    )
+
+
 def _words(col: Column) -> Column:
     return F.split(F.lower(col), r"\s+")
 
@@ -520,7 +539,7 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training_mix_sample",
     oracle=f"""
     SELECT source,
-           10 + 4 * (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 10)
+           10 + 4 * {SOURCE_TIER_SQL}
                AS rate_pct,
            COUNT(*) AS n_docs,
            CAST(SUM(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
@@ -531,7 +550,7 @@ def pipeline_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT source, n_chars,
              {knuth_hash32_sql('doc_id')} <
-               (10 + 4 * (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 10))
+               (10 + 4 * {SOURCE_TIER_SQL})
                * 42949672 AS sampled
       FROM documents
     )
@@ -551,7 +570,7 @@ def training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation is the only shuffle. No RNG state: resampling with the same
     constants reproduces the exact mixture on any cluster layout."""
     docs = load_table(spark, sf_dir, "documents")
-    tier = F.regexp_extract("source", r"([0-9]+)$", 1).cast("long") % 10
+    tier = source_tier()
     rate_pct = F.lit(10) + F.lit(4) * tier
     # overflow-safe Knuth hash (see functions.portable.knuth_hash32: the
     # naive product errors past doc_id ~3.47e9 — a 100 TB-scale id domain)
@@ -610,13 +629,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-{k} terms per document — the classic corpus-statistics
     keyword extractor. Term frequencies and document frequencies are two
     groupBys over one exploded token table; the corpus size is a 1-row
-    aggregate broadcast into the scoring join; document frequency rides a
-    broadcast join because |vocab| << |corpus tokens| after the DF aggregate.
-    At 100 TB the same shape holds: the only big shuffle is the (doc, tok)
-    TF groupBy, and a df-cap filter (drop tokens in >X% of docs) bounds the
-    DF table exactly like the posting-list cap in dedup. Score = tf *
-    ln(N/df), computed identically in both engines (integer counts, one ln,
-    rounded) so the oracle hash-matches."""
+    aggregate broadcast into the scoring join. The df-side join carries NO
+    forced broadcast hint (round-11 review): |vocab| is corpus-dependent —
+    billions of distinct tokens at 100 TB — and F.broadcast would override
+    the autoBroadcastJoinThreshold unconditionally and OOM the driver; AQE
+    picks broadcast at small scales (where the df table is tiny) and a
+    shuffled hash join at vocabulary scale, which is the right plan both
+    times. Score = tf * ln(N/df), computed identically in both engines
+    (integer counts, one ln, rounded) so the oracle hash-matches."""
     docs = load_table(spark, sf_dir, "documents")
     toks = (
         docs.select("doc_id", F.explode(_words(F.col("text"))).alias("tok"))
@@ -626,7 +646,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = toks.groupBy("tok").agg(F.count_distinct("doc_id").alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "tok")
+        tf.join(df, "tok")
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
