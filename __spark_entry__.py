@@ -50,7 +50,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #      by tools/stamp_ledger.py from git history at each artifact's
 #      commit). Changed code gets re-certified as slots free up (judge r05
 #      task 3) — behind tier 1, so re-stamps never displace first stamps.
-#   3. STAMPED & CURRENT — at the back.
+#   3. STAMPED & CURRENT — at the back, oldest evidence first (round 12),
+#      so when tiers 1+2 underfill the window the spare slots refresh the
+#      longest-unexamined stamps instead of whatever registered first.
 #
 # The ledger is auditable end to end: tier 1 is exactly the committed
 # artifacts' contents, tier 2 exactly the sidecar-vs-working-tree hash
@@ -58,6 +60,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # red) re-front unless the query still has no oracle (permanently weak rows
 # keep their rows-only stamp). _ROUND_PRIORITY only affects WHICH round a
 # fresh query is stamped, never WHETHER.
+#
+# Sweep re-certification (round 12, judge r11 task 2): committed
+# SWEEP_r{N}.json artifacts — full-registry check_oracles runs in the
+# exact CORRECTNESS row schema — count as re-certification evidence in
+# tools/stamp_ledger.py for queries that ALREADY hold a driver hash stamp.
+# Audit-pass edits re-verified by a committed round-end sweep therefore
+# leave the stale tier without consuming gate slots; the slots drain the
+# genuinely-oldest evidence instead. First stamps stay driver-only, and
+# the driver's own artifacts always supersede an older sweep. Standing
+# sequencing rule (judge r11 task 3): review passes over shared operator
+# modules CLOSE BY MID-ROUND, before the round-end sweep is produced —
+# the sweep certifies the final tree, so nothing may land after it.
 # ---------------------------------------------------------------------------
 
 # Round-9 front 50 (judge r08 tasks 1/3/5): tier 1 holds this round's
@@ -70,6 +84,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # mechanical as the rest of the policy (reads only the committed
 # artifacts' recorded spark_rows).
 _ROUND_PRIORITY: list[str] = [
+    # round-12 additions (judge r11 tasks 4/6): the hybrid-retrieval rung
+    # re-fused over the certified BM25 lexical scorer, and the tokenizer
+    # inference half — apply the learned merge table to encode the corpus
+    "simsearch_hybrid_bm25",
+    "tokenizer_bpe_encode",
     # round-11 addition (judge r10 task 2): incremental substring-span
     # coverage over the materialized span-hash index (same manifest as
     # dedup_substring_spans on the batch split; the oracle computes df
@@ -278,7 +297,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             reg_pos[n],
         ),
     )
-    ordered += [n for n in names if n in stamped and n not in stale]
+    # tier 3 (stamped & current): oldest recorded evidence first, same key
+    # shape as tier 2 minus the 0-row front — spare window slots refresh
+    # the longest-unexamined stamps (round 12; see the policy block above).
+    ordered += sorted(
+        (n for n in names if n in stamped and n not in stale),
+        key=lambda n: (
+            _sidecar.get(n, {}).get("round", 0)
+            if isinstance(_sidecar.get(n), dict)
+            else 0,
+            reg_pos[n],
+        ),
+    )
     assert set(ordered) == set(names)
     return {n: QUERIES[n] for n in ordered}
 

@@ -47,8 +47,96 @@ HY_TOPK = 5  # fused results per query
 _GRID = 1_000_000
 
 
-def _hybrid_oracle() -> str:
+def _vec_leg_cte(n_queries: int, leg_k: int) -> str:
+    """DuckDB CTEs for the vector leg: ``vecr`` = per-query top-``leg_k``
+    (q, doc_id, rk) by exact squared-L2. Shared with simsearch_hybrid_bm25
+    so the two hybrid variants' vector legs cannot drift."""
     d2 = f"ROUND({_SQL_L2SQ.format(a='q.embedding', b='e.embedding')}, 6)"
+    return f"""
+    emb AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+    vec AS (
+      SELECT q.vec_id AS q, e.vec_id AS doc_id, {d2} AS d2
+      FROM emb q JOIN emb e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id < {n_queries}
+    ),
+    vecr AS (
+      SELECT q, doc_id, rk FROM (
+        SELECT q, doc_id,
+               row_number() OVER (PARTITION BY q ORDER BY d2, doc_id) AS rk
+        FROM vec
+      ) WHERE rk <= {leg_k}
+    )"""
+
+
+def _rrf_fuse_sql(rrf_k: int, topk: int) -> str:
+    """DuckDB fusion tail over a ``legs(q, doc_id, rk)`` CTE — integer RRF
+    contributions summed, per-query top-``topk``. Shared with
+    simsearch_hybrid_bm25 (identical fusion, different lexical leg)."""
+    return f"""
+    fused AS (
+      SELECT q, doc_id,
+             CAST(SUM({_GRID} // ({rrf_k} + rk)) AS BIGINT) AS rrf_score,
+             COUNT(*) AS n_legs
+      FROM legs GROUP BY 1, 2
+    )
+    SELECT q AS q_doc_id, doc_id, n_legs, rrf_score, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT q, doc_id, n_legs, rrf_score,
+             row_number() OVER (PARTITION BY q ORDER BY rrf_score DESC, doc_id) AS rnk
+      FROM fused
+    ) WHERE rnk <= {topk}
+    """
+
+
+def vector_leg_ranks(emb: DataFrame, n_queries: int, leg_k: int) -> DataFrame:
+    """Spark vector leg: embeddings → per-query top-``leg_k``
+    (q, doc_id, rk) by exact squared-L2 (query vectors broadcast over one
+    linear corpus scan). Shared with simsearch_hybrid_bm25."""
+    qe = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q"), F.col("embedding").alias("qe")
+    )
+    d2 = F.round(
+        _l2_sq(
+            F.col("qe").cast("array<double>"),
+            F.col("embedding").cast("array<double>"),
+        ),
+        6,
+    )
+    wv = Window.partitionBy("q").orderBy("d2", "doc_id")
+    return (
+        emb.crossJoin(F.broadcast(qe))
+        .filter(F.col("vec_id") != F.col("q"))
+        .select("q", F.col("vec_id").alias("doc_id"), d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= leg_k)
+        .select("q", "doc_id", "rk")
+    )
+
+
+def rrf_fuse(legs: DataFrame, rrf_k: int, topk: int) -> DataFrame:
+    """Spark RRF fusion over stacked ``(q, doc_id, rk)`` legs: integer
+    contributions ``1e6 div (rrf_k + rk)`` summed, per-query top-``topk``.
+    Output: (q_doc_id, doc_id, n_legs, rrf_score, rnk)."""
+    contrib = F.expr(f"{_GRID} div ({rrf_k} + rk)")
+    fused = legs.groupBy("q", "doc_id").agg(
+        F.sum(contrib).cast("bigint").alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_legs"),
+    )
+    wf = Window.partitionBy("q").orderBy(F.col("rrf_score").desc(), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= topk)
+        .select(
+            F.col("q").alias("q_doc_id"),
+            "doc_id",
+            "n_legs",
+            "rrf_score",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def _hybrid_oracle() -> str:
     return f"""
     WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
     n AS (SELECT COUNT(*) AS n FROM docs),
@@ -75,36 +163,10 @@ def _hybrid_oracle() -> str:
                row_number() OVER (PARTITION BY q ORDER BY score DESC, doc_id) AS rk
         FROM lex
       ) WHERE rk <= {HY_LEG_K}
-    ),
-    emb AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
-    vec AS (
-      SELECT q.vec_id AS q, e.vec_id AS doc_id, {d2} AS d2
-      FROM emb q JOIN emb e ON e.vec_id <> q.vec_id
-      WHERE q.vec_id < {HY_QUERIES}
-    ),
-    vecr AS (
-      SELECT q, doc_id, rk FROM (
-        SELECT q, doc_id,
-               row_number() OVER (PARTITION BY q ORDER BY d2, doc_id) AS rk
-        FROM vec
-      ) WHERE rk <= {HY_LEG_K}
-    ),
+    ),{_vec_leg_cte(HY_QUERIES, HY_LEG_K)},
     legs AS (
       SELECT q, doc_id, rk FROM lexr UNION ALL SELECT q, doc_id, rk FROM vecr
-    ),
-    fused AS (
-      SELECT q, doc_id,
-             CAST(SUM({_GRID} // ({HY_RRF_K} + rk)) AS BIGINT) AS rrf_score,
-             COUNT(*) AS n_legs
-      FROM legs GROUP BY 1, 2
-    )
-    SELECT q AS q_doc_id, doc_id, n_legs, rrf_score, CAST(rnk AS INT) AS rnk
-    FROM (
-      SELECT q, doc_id, n_legs, rrf_score,
-             row_number() OVER (PARTITION BY q ORDER BY rrf_score DESC, doc_id) AS rnk
-      FROM fused
-    ) WHERE rnk <= {HY_TOPK}
-    """
+    ),{_rrf_fuse_sql(HY_RRF_K, HY_TOPK)}"""
 
 
 @query("simsearch_hybrid_rrf", oracle=_hybrid_oracle())
@@ -151,35 +213,5 @@ def simsearch_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
     )
-    qe = emb.filter(F.col("vec_id") < HY_QUERIES).select(
-        F.col("vec_id").alias("q"), F.col("embedding").alias("qe")
-    )
-    d2 = F.round(_l2_sq(F.col("qe").cast("array<double>"), F.col("embedding").cast("array<double>")), 6)
-    wv = Window.partitionBy("q").orderBy("d2", "doc_id")
-    vecr = (
-        emb.crossJoin(F.broadcast(qe))
-        .filter(F.col("vec_id") != F.col("q"))
-        .select("q", F.col("vec_id").alias("doc_id"), d2.alias("d2"))
-        .withColumn("rk", F.row_number().over(wv))
-        .filter(F.col("rk") <= HY_LEG_K)
-        .select("q", "doc_id", "rk")
-    )
-
-    legs = lexr.unionAll(vecr)
-    contrib = F.expr(f"{_GRID} div ({HY_RRF_K} + rk)")
-    fused = legs.groupBy("q", "doc_id").agg(
-        F.sum(contrib).cast("bigint").alias("rrf_score"),
-        F.count(F.lit(1)).alias("n_legs"),
-    )
-    wf = Window.partitionBy("q").orderBy(F.col("rrf_score").desc(), "doc_id")
-    return (
-        fused.withColumn("rnk", F.row_number().over(wf))
-        .filter(F.col("rnk") <= HY_TOPK)
-        .select(
-            F.col("q").alias("q_doc_id"),
-            "doc_id",
-            "n_legs",
-            "rrf_score",
-            F.col("rnk").cast("int").alias("rnk"),
-        )
-    )
+    vecr = vector_leg_ranks(emb, HY_QUERIES, HY_LEG_K)
+    return rrf_fuse(lexr.unionAll(vecr), HY_RRF_K, HY_TOPK)

@@ -41,10 +41,12 @@ tests/test_round11_ops.py.
 
 Scale shape per batch: one batch scan (tokenize + explode spans, batch-
 sized), one map-side-combinable groupBy on the batch's span hashes, one
-scan-side broadcast inner probe of the stored table (build side = the
-batch's distinct span hashes; the corpus-scale index is filtered at the
-scan, never shuffled), and the same row-local interval-union coverage as
-the full form. The corpus text is never re-read, never re-tokenized.
+scan-side inner probe of the stored table (build side = the batch's
+distinct span hashes; AQE broadcasts it while it fits and falls back to a
+shuffled hash join for production-sized batches — the hints are
+deliberately NOT forced, batch span sets can exceed driver memory), and
+the same row-local interval-union coverage as the full form. The corpus
+text is never re-read, never re-tokenized.
 """
 
 from __future__ import annotations
@@ -97,9 +99,14 @@ def _span_df(docs: DataFrame) -> DataFrame:
 def _write_segment(index_dir: str, seg: str, rows: DataFrame) -> None:
     """Overwrite-by-segment is the idempotence mechanism: replaying a
     segment rewrites its directories instead of duplicating df rows."""
+    # sort on (hb, h), not h alone: the dynamic-partition writer requires
+    # its input ordered on the partition columns and would otherwise insert
+    # its own hb sort, destroying the h order the stripe-pruning story
+    # depends on. With hb leading, the incoming order satisfies the writer's
+    # requirement and the within-file h sort survives to the ORC stripes.
     (
         rows.repartition(N_HB, "hb")
-        .sortWithinPartitions("h")
+        .sortWithinPartitions("hb", "h")
         .write.mode("overwrite")
         .option("compression", "snappy")
         .partitionBy("hb")
@@ -147,24 +154,29 @@ def span_coverage_incremental(
         .withColumn("hb", _hb(F.col("h")))
         .localCheckpoint(eager=False)
     )
-    # scan-side broadcast inner probe: build side = the batch's distinct
-    # span hashes; the corpus-scale stored table is filtered at the scan
-    # (hb carries DPP; h min/max stripe-prunes within files) and only the
-    # matched slice is aggregated — the index is never shuffled wholesale.
+    # scan-side inner probe: build side = the batch's distinct span hashes;
+    # the corpus-scale stored table is filtered at the scan (hb carries DPP;
+    # h min/max stripe-prunes within files) and only the matched slice is
+    # aggregated. No forced broadcast hints: df_b / stored_sum / dup_h are
+    # span-hash-set-sized — roughly one row per distinct span in the batch —
+    # and a production crawl batch's span set can exceed driver memory (the
+    # tfidf_top_terms lesson). AQE picks broadcast at gate scale (the sets
+    # are tiny there) and shuffled hash join at scale, where shuffling the
+    # batch-sized sets is the right plan anyway.
     stored = spark.read.orc(os.path.join(index_dir, "spans")).select("hb", "h", "df")
     stored_sum = (
-        stored.join(F.broadcast(df_b.select("hb", "h")), ["hb", "h"])
+        stored.join(df_b.select("hb", "h"), ["hb", "h"])
         .groupBy("h")
         .agg(F.sum("df").alias("dfs"))
     )
     dup_h = (
-        df_b.join(F.broadcast(stored_sum), "h", "left")
+        df_b.join(stored_sum, "h", "left")
         .filter(
             (F.col("dfi") >= 2) | (F.coalesce(F.col("dfs"), F.lit(0)) >= 1)
         )
         .select("h")
     )
-    dup = sp.join(F.broadcast(dup_h), "h").select("doc_id", "pos")
+    dup = sp.join(dup_h, "h").select("doc_id", "pos")
     return span_manifest(base, span_coverage(dup))
 
 

@@ -2991,11 +2991,11 @@ WITH my_customers AS (
           FROM web_sales) cs_or_ws_sales, item, date_dim, customer
     WHERE sold_date_sk = d_date_sk
       AND item_sk = i_item_sk
-      AND i_category = 'ECONOMY'
-      AND i_class = 'ring'
+      AND i_category = 'STANDARD'
+      AND i_class = 'plate'
       AND c_customer_sk = cs_or_ws_sales.customer_sk
       AND d_moy = 3
-      AND d_year = 1998),
+      AND d_year = 1996),
 my_revenue AS (
     SELECT c_customer_sk, SUM(ss_ext_sales_price) AS revenue
     FROM my_customers, store_sales, customer_address, store, date_dim
@@ -3005,9 +3005,9 @@ my_revenue AS (
       AND ss_sold_date_sk = d_date_sk
       AND c_customer_sk = ss_customer_sk
       AND d_month_seq BETWEEN (SELECT DISTINCT d_month_seq + 1
-                               FROM date_dim WHERE d_year = 1998 AND d_moy = 3)
+                               FROM date_dim WHERE d_year = 1996 AND d_moy = 3)
                           AND (SELECT DISTINCT d_month_seq + 3
-                               FROM date_dim WHERE d_year = 1998 AND d_moy = 3)
+                               FROM date_dim WHERE d_year = 1996 AND d_moy = 3)
     GROUP BY c_customer_sk),
 segments AS (
     SELECT CAST((revenue / 50) AS INT) AS segment FROM my_revenue)
@@ -3503,7 +3503,7 @@ WITH ss_items AS (
     WHERE ss_item_sk = i_item_sk
       AND d_date IN (SELECT d_date FROM date_dim
                      WHERE d_week_seq = (SELECT d_week_seq FROM date_dim
-                                         WHERE d_date = '1997-03-19'))
+                                         WHERE d_date = '1997-02-25'))
       AND ss_sold_date_sk = d_date_sk
     GROUP BY i_item_id),
 cs_items AS (
@@ -3512,7 +3512,7 @@ cs_items AS (
     WHERE cs_item_sk = i_item_sk
       AND d_date IN (SELECT d_date FROM date_dim
                      WHERE d_week_seq = (SELECT d_week_seq FROM date_dim
-                                         WHERE d_date = '1997-03-19'))
+                                         WHERE d_date = '1997-02-25'))
       AND cs_sold_date_sk = d_date_sk
     GROUP BY i_item_id),
 ws_items AS (
@@ -3521,7 +3521,7 @@ ws_items AS (
     WHERE ws_item_sk = i_item_sk
       AND d_date IN (SELECT d_date FROM date_dim
                      WHERE d_week_seq = (SELECT d_week_seq FROM date_dim
-                                         WHERE d_date = '1997-03-19'))
+                                         WHERE d_date = '1997-02-25'))
       AND ws_sold_date_sk = d_date_sk
     GROUP BY i_item_id)
 SELECT ss_items.item_id, ss_item_rev,
@@ -4822,9 +4822,9 @@ cross_sales AS (
       AND hd1.hd_income_band_sk = ib1.ib_income_band_sk
       AND hd2.hd_income_band_sk = ib2.ib_income_band_sk
       AND cd1.cd_marital_status <> cd2.cd_marital_status
-      AND i_color IN ('red', 'blue', 'hot', 'cold', 'small', 'large')
-      AND i_current_price BETWEEN 90 AND 90 + 10
-      AND i_current_price BETWEEN 90 + 1 AND 90 + 15
+      AND i_color IN ('old', 'small', 'hot', 'cold', 'red', 'blue')
+      AND i_current_price BETWEEN 64 AND 64 + 10
+      AND i_current_price BETWEEN 64 + 1 AND 64 + 15
     GROUP BY i_product_name, i_item_sk, s_store_name, s_zip,
              ad1.ca_street_number, ad1.ca_street_name, ad1.ca_city,
              ad1.ca_zip, ad2.ca_street_number, ad2.ca_street_name,
@@ -4837,8 +4837,8 @@ SELECT cs1.product_name, cs1.store_name, cs1.store_zip,
        cs2.cnt AS cnt2
 FROM cross_sales cs1, cross_sales cs2
 WHERE cs1.item_sk = cs2.item_sk
-  AND cs1.syear = 1996
-  AND cs2.syear = 1996 + 1
+  AND cs1.syear = 1995
+  AND cs2.syear = 1995 + 1
   AND cs2.cnt <= cs1.cnt
   AND cs1.store_name = cs2.store_name
   AND cs1.store_zip = cs2.store_zip
@@ -5617,9 +5617,19 @@ _ORACLE_DIMS = {
 _ORACLE_WRAPPED = {
     "tpcds_q21": _WRAPPED["tpcds_q21"].replace("BETWEEN 2.0 / 3.0", "BETWEEN 0.666667"),
     "tpcds_q72": _WRAPPED["tpcds_q72"].replace(_Q72, _Q72_ORACLE_BODY),
+    # q54 segments CASTs a decimal quotient to INT: Spark truncates toward
+    # zero (revenue 812925.95 / 50 = 16258.519 → 16258) while DuckDB's
+    # decimal→INT cast rounds half away (→ 16259). revenue >= 0, so
+    # trunc == Spark's cast; the Spark side runs the verbatim template.
+    # (Latent until round 12: the original parameter binding returned 0
+    # rows at the gate scale, so the divergence never had a row to bite.)
+    "tpcds_q54": _WRAPPED["tpcds_q54"].replace(
+        "CAST((revenue / 50) AS INT)", "CAST(trunc(revenue / 50) AS INT)"
+    ),
 }
 assert _ORACLE_WRAPPED["tpcds_q21"] != _WRAPPED["tpcds_q21"]
 assert _ORACLE_WRAPPED["tpcds_q72"] != _WRAPPED["tpcds_q72"]
+assert _ORACLE_WRAPPED["tpcds_q54"] != _WRAPPED["tpcds_q54"]
 
 # q49 RANKs over DECIMAL(15,4)/DECIMAL(15,4) quotients. Spark evaluates the
 # division in DECIMAL at scale 20 (HALF_UP), so equal true ratios (e.g. the

@@ -38,14 +38,24 @@ def get_spark(
     """Build (or fetch) the tuned SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (driver contract) or
-    ``local[*]``. On a real cluster, launch under spark-submit (which sets
-    ``spark.master`` via PYSPARK_SUBMIT_ARGS) and this function only applies
-    SQL-level tuning — it must NOT override the cluster master with
-    local[*], or the job silently executes single-node on the driver.
+    ``local[*]``. On a real cluster this function only applies SQL-level
+    tuning — it must NOT override the cluster master with local[*], or the
+    job silently executes single-node on the driver. Cluster launches are
+    detected by any of: a live SparkContext (spark-submit's entry point, or
+    anything that built a session first), an externally launched gateway JVM
+    (PYSPARK_GATEWAY_PORT — real ``spark-submit app.py`` does NOT set
+    PYSPARK_SUBMIT_ARGS, it hands the configured JVM straight to the worker),
+    or an explicit --master in PYSPARK_SUBMIT_ARGS (bin/pyspark shells).
     """
+    from pyspark import SparkContext
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
-    submit_has_master = "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
-    if master is None and not submit_has_master:
+    external_master = (
+        "--master" in os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+        or "PYSPARK_GATEWAY_PORT" in os.environ
+        or SparkContext._active_spark_context is not None
+    )
+    if master is None and not external_master:
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)

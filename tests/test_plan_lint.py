@@ -44,6 +44,10 @@ ALLOWED_NESTED_LOOP = {
     "simsearch_bm25": "1-row corpus-constants aggregate (N, total tokens — "
     "the idf/avgdl inputs) crossJoin'd onto the scoring stream — the "
     "tfidf_top_terms shape; the qt/tf/df/dl joins are equi hash joins",
+    "simsearch_hybrid_bm25": "inherits simsearch_bm25's 1-row corpus-"
+    "constants crossJoin (the shared bm25_rank lexical leg) plus "
+    "simsearch_hybrid_rrf's 3-row query-vector broadcast (the shared "
+    "vector_leg_ranks); fusion itself is an equi groupBy",
     "tokenizer_bpe_merges": "one 1-row argmax-pair crossJoin per unrolled "
     "merge round (3) onto the DISTINCT-WORD table — the kmeans packed-"
     "codebook E-step shape; pair counting itself is an equi groupBy",

@@ -6,7 +6,8 @@ sorted column names, and an order-insensitive value hash (values normalized:
 floats rounded to 9 significant-ish decimals, timestamps/dates to ISO
 strings, arrays/structs to repr). Exit code 1 on any mismatch.
 
-Usage: python tools/check_oracles.py [--front N] [--rows-out] [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--front N] [--rows-out]
+           [--sweep-out PATH] [sf_dir] [query ...]
   --front N   check only the first N entries of queries() order — the
               driver's exact gate window (it samples positions 0..N-1).
   --rows-out  merge each checked query's Spark row count into the committed
@@ -15,6 +16,16 @@ Usage: python tools/check_oracles.py [--front N] [--rows-out] [sf_dir] [query ..
               ledger to assert every registered query is NON-TRIVIAL —
               returns >0 rows at at least one recorded scale (judge r08
               task 5: a 0-row hash match is a weak certificate).
+  --sweep-out PATH
+              also write the per-query results to PATH in the EXACT
+              CORRECTNESS_r*.json row schema ({name: {rows_match,
+              schema_match, hash_match, spark_rows, oracle_rows, err}}).
+              A full-registry sweep committed as SWEEP_r{N}.json is
+              re-certification evidence for STALE ledger entries (judge
+              r11 task 2): tools/stamp_ledger.py consumes it for queries
+              that already hold a driver hash stamp — first stamps stay
+              driver-only, and the artifact is as auditable as the
+              driver's (same schema, produced by this same comparator).
 """
 
 from __future__ import annotations
@@ -101,6 +112,11 @@ def main() -> int:
     rows_out = "--rows-out" in args
     if rows_out:
         args.remove("--rows-out")
+    sweep_out = None
+    if "--sweep-out" in args:
+        i = args.index("--sweep-out")
+        sweep_out = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -136,8 +152,18 @@ def main() -> int:
 
     failures = []
     spark_rows: dict[str, int] = {}
+    sweep: dict[str, dict] = {}  # CORRECTNESS row schema, for --sweep-out
     for name, fn in qs.items():
         t0 = time.perf_counter()
+        rec = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        sweep[name] = rec
         try:
             sdf = fn(spark, sf_dir)
             # pandas path, NOT collect(): the driver's comparator converts
@@ -147,11 +173,14 @@ def main() -> int:
             srows = list(spdf.itertuples(index=False, name=None))
             scols = list(spdf.columns)
             spark_rows[name] = len(srows)
+            rec["spark_rows"] = len(srows)
         except Exception as e:
+            rec["err"] = f"SPARK ERROR {type(e).__name__}: {str(e)[:300]}"
             failures.append((name, f"SPARK ERROR {type(e).__name__}: {e}"))
             print(f"FAIL  {name:28s} spark error: {str(e)[:200]}")
             continue
         if name not in oracles:
+            rec["err"] = "no_oracle"
             print(f"weak  {name:28s} rows={len(srows)} ({time.perf_counter()-t0:.1f}s)")
             if len(srows) == 0:
                 failures.append((name, "weak check returned 0 rows"))
@@ -160,18 +189,23 @@ def main() -> int:
             opdf = con.execute(oracles[name]).df()
             ocols = list(opdf.columns)
             orows = list(opdf.itertuples(index=False, name=None))
+            rec["oracle_rows"] = len(orows)
         except Exception as e:
+            rec["err"] = f"ORACLE ERROR: {str(e)[:300]}"
             failures.append((name, f"ORACLE ERROR: {e}"))
             print(f"FAIL  {name:28s} oracle error: {str(e)[:200]}")
             continue
         problems = []
-        if len(srows) != len(orows):
+        rec["rows_match"] = len(srows) == len(orows)
+        if not rec["rows_match"]:
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
-        if sorted(scols) != sorted(ocols):
+        rec["schema_match"] = sorted(scols) == sorted(ocols)
+        if not rec["schema_match"]:
             problems.append(f"cols spark={sorted(scols)} duckdb={sorted(ocols)}")
         else:
             sh = value_hash([tuple(r) for r in srows], scols)
             oh = value_hash(orows, ocols)
+            rec["hash_match"] = sh == oh and rec["rows_match"]
             if sh != oh:
                 problems.append("value hash mismatch")
         dt = time.perf_counter() - t0
@@ -202,6 +236,14 @@ def main() -> int:
             json.dump(ledger, f, indent=1, sort_keys=True)
             f.write("\n")
         print(f"merged {len(spark_rows)} row counts into {ledger_path} [{sf_key}]")
+
+    if sweep_out:
+        import json
+
+        with open(sweep_out, "w") as f:
+            json.dump(sweep, f, indent=1)
+            f.write("\n")
+        print(f"wrote {len(sweep)} sweep records to {sweep_out}")
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
     if failures:

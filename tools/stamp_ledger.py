@@ -9,6 +9,18 @@ those recorded shas against the current on-disk modules: a mismatch means
 the stamped code has materially changed, so the query re-enters the fresh
 pool for re-certification (judge r05 task 3).
 
+Since round 12 (judge r11 task 2), committed SWEEP_r{N}.json artifacts —
+full-registry runs of tools/check_oracles.py --sweep-out, in the exact
+CORRECTNESS row schema — count as RE-certification evidence: a sweep's
+hash_match=true row updates the recorded blob for a query that ALREADY
+holds a driver hash stamp, so an audit-pass edit re-verified by a
+committed full sweep stops re-consuming gate slots. First stamps stay
+driver-only (a sweep row for a never-driver-stamped query is ignored),
+and the gate window stays the authority for fresh work. Evidence is
+processed in (round, driver-before-sweep) order with latest-wins, so a
+later driver stamp always supersedes an earlier sweep and a round-end
+sweep supersedes that round's gate (it certifies the final tree).
+
 Run at ROUND START (before editing code) so the working tree still equals
 the state the driver verified; re-runs are idempotent. Mechanical and
 auditable end-to-end: inputs are only the committed artifacts + git
@@ -40,12 +52,16 @@ def _git(*args: str) -> str:
     ).stdout.strip()
 
 
-def artifact_rounds() -> list[tuple[int, str]]:
+def artifact_rounds() -> list[tuple[int, int, str]]:
+    """(round, kind, path) ascending; kind 0 = driver CORRECTNESS artifact,
+    kind 1 = committed builder SWEEP artifact. Within a round the sweep
+    sorts after the gate — it is produced at round end over the final tree."""
     out = []
-    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if m:
-            out.append((int(m.group(1)), path))
+    for kind, pat in ((0, "CORRECTNESS_r*.json"), (1, "SWEEP_r*.json")):
+        for path in glob.glob(os.path.join(REPO, pat)):
+            m = re.search(r"_r(\d+)\.json$", path)
+            if m:
+                out.append((int(m.group(1)), kind, path))
     return sorted(out)
 
 
@@ -83,8 +99,8 @@ def build(max_round: int | None = None) -> dict[str, dict[str, object]]:
     records: dict[str, dict[str, object]] = {}
     rounds = artifact_rounds()
     if max_round is not None:
-        rounds = [(r, p) for r, p in rounds if r <= max_round]
-    for rnd, path in rounds:  # ascending → latest round wins
+        rounds = [(r, k, p) for r, k, p in rounds if r <= max_round]
+    for rnd, kind, path in rounds:  # ascending → latest evidence wins
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -106,12 +122,19 @@ def build(max_round: int | None = None) -> dict[str, dict[str, object]]:
             rel = module_rel.get(name)
             if rel is None:
                 continue  # query no longer registered
+            if kind == 1 and name not in records:
+                # sweeps RE-certify only: first stamps stay driver-only
+                # (judge r11 task 2 — the gate window is the authority
+                # for fresh work)
+                continue
             records[name] = {
                 "round": rnd,
                 "commit": commit,
                 "module": rel,
                 "blob": blob_at(commit, rel),
             }
+            if kind == 1:
+                records[name]["evidence"] = "sweep"
     return records
 
 
