@@ -192,6 +192,10 @@ HEADLINE = [
     "dedup_substring_spans_incremental",
     "simsearch_bm25",
     "tokenizer_bpe_merges",
+    # round 12 additions: hybrid retrieval over the certified BM25 leg and
+    # the tokenizer-inference (merge application / corpus encode) rung
+    "simsearch_hybrid_bm25",
+    "tokenizer_bpe_encode",
 ]
 
 

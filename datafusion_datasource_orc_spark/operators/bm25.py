@@ -167,9 +167,26 @@ def bm25_rank(
         .groupBy("q", "doc_id")
         .agg(F.sum(term).alias("score_micro"))
     )
+    # two-phase top-k: `scored` holds one row per (query, any doc sharing a
+    # query token) — for natural-language queries (stopwords) that is
+    # nearly the whole corpus, and a window partitioned by q alone would
+    # sort it in ONE task per query at 100 TB. Phase 1 cuts each shuffle
+    # partition to its local top-k (per (q, partition) — map-side, no extra
+    # shuffle beyond the one the final window needs anyway); phase 2 ranks
+    # the <= k * n_partitions survivors globally per q. Identical results:
+    # no row outside a partition-local top-k can enter the global top-k,
+    # and the (score DESC, doc_id) tie-break is total.
+    local = Window.partitionBy("q", F.spark_partition_id()).orderBy(
+        F.col("score_micro").desc(), "doc_id"
+    )
+    pruned = (
+        scored.withColumn("lrk", F.row_number().over(local))
+        .filter(F.col("lrk") <= topk)
+        .drop("lrk")
+    )
     w = Window.partitionBy("q").orderBy(F.col("score_micro").desc(), "doc_id")
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        pruned.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= topk)
         .select(
             F.col("q").alias("q_doc_id"),

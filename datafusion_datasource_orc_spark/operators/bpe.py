@@ -116,16 +116,23 @@ def _bpe_oracle() -> str:
 
 
 def _pair_counts(seqs: DataFrame) -> DataFrame:
-    """Adjacent-pair counts over the current sequences (weighted by wc)."""
+    """Adjacent-pair counts over the current sequences (weighted by wc).
+
+    Two-step projection (the shingles_of_words discipline): the symbol
+    array is materialized ONCE per row before the pair lambda references
+    it. Writing split(trim(seq)) inline inside the transform would
+    re-split the whole sequence string per pair index — O(len²) per word
+    per round, and crawl corpora contain pathological unsplittable 'words'
+    (base64 blobs, URLs) where that stalls a stage."""
     return (
-        seqs.select(
+        seqs.select("wc", F.split(F.trim("seq"), " +").alias("syms"))
+        .select(
             "wc",
             F.explode(
                 F.expr(
-                    "CASE WHEN size(split(trim(seq), ' +')) >= 2 THEN "
-                    "transform(sequence(1, size(split(trim(seq), ' +')) - 1), "
-                    "i -> struct(split(trim(seq), ' +')[i - 1] AS p1, "
-                    "split(trim(seq), ' +')[i] AS p2)) "
+                    "CASE WHEN size(syms) >= 2 THEN "
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i - 1] AS p1, syms[i] AS p2)) "
                     "ELSE array() END"
                 )
             ).alias("pr"),

@@ -59,7 +59,7 @@ _SQL_DOT = """
     oracle=f"""
     WITH q AS (
       SELECT vec_id AS q_vec_id, embedding AS qe FROM embeddings
-      WHERE vec_id < {MIPS_QUERIES}
+      WHERE vec_id < {MIPS_QUERIES} AND embedding IS NOT NULL
     )
     SELECT q_vec_id, vec_id, rnk, ip
     FROM (
@@ -308,15 +308,31 @@ def mips_banded_rank(
         )
     )
     ip = F.round(dot_product(F.col("embedding"), F.col("qe")), 6)
+    scored = corpus.join(
+        F.broadcast(q),
+        (F.col("sig") == F.col("probe_sig"))
+        & (F.col("vec_id") != F.col("q_vec_id")),
+    ).select("q_vec_id", "vec_id", ip.alias("ip"))
+    # two-phase top-k (the bm25_rank discipline): on loosely-banded runs
+    # (R high relative to signature entropy — the registered query probes
+    # 93/256 of the space because the testdata sigs are near-uniform) the
+    # candidate set per query approaches the corpus, and a window
+    # partitioned by q_vec_id alone sorts it in ONE task. Phase 1 cuts
+    # each scan partition to its local top-k map-side; phase 2 ranks the
+    # <= k * n_partitions survivors. Identical results — the (ip DESC,
+    # vec_id) tie-break is total, and no row outside a partition-local
+    # top-k can reach the global top-k.
+    local = Window.partitionBy("q_vec_id", F.spark_partition_id()).orderBy(
+        F.col("ip").desc(), "vec_id"
+    )
+    pruned = (
+        scored.withColumn("lrk", F.row_number().over(local))
+        .filter(F.col("lrk") <= k)
+        .drop("lrk")
+    )
     w = Window.partitionBy("q_vec_id").orderBy(F.col("ip").desc(), "vec_id")
     return (
-        corpus.join(
-            F.broadcast(q),
-            (F.col("sig") == F.col("probe_sig"))
-            & (F.col("vec_id") != F.col("q_vec_id")),
-        )
-        .select("q_vec_id", "vec_id", ip.alias("ip"))
-        .withColumn("rnk", F.row_number().over(w))
+        pruned.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_vec_id", "vec_id", "rnk", "ip")
     )

@@ -104,8 +104,15 @@ def _write_segment(index_dir: str, seg: str, rows: DataFrame) -> None:
     # its own hb sort, destroying the h order the stripe-pruning story
     # depends on. With hb leading, the incoming order satisfies the writer's
     # requirement and the within-file h sort survives to the ORC stripes.
+    # Write parallelism scales with the cluster (floor N_HB): the one-time
+    # base build routes a near-one-row-per-corpus-span table through this
+    # exchange — a fixed 32 tasks would each sort terabytes at the
+    # documented 100 TB build. Range partitioning on (hb, h) keeps each
+    # hb directory's files h-range-disjoint, which sharpens (never breaks)
+    # the stripe pruning.
+    par = rows.sparkSession.sparkContext.defaultParallelism
     (
-        rows.repartition(N_HB, "hb")
+        rows.repartitionByRange(max(N_HB, par), "hb", "h")
         .sortWithinPartitions("hb", "h")
         .write.mode("overwrite")
         .option("compression", "snappy")
@@ -154,16 +161,30 @@ def span_coverage_incremental(
         .withColumn("hb", _hb(F.col("h")))
         .localCheckpoint(eager=False)
     )
-    # scan-side inner probe: build side = the batch's distinct span hashes;
-    # the corpus-scale stored table is filtered at the scan (hb carries DPP;
-    # h min/max stripe-prunes within files) and only the matched slice is
-    # aggregated. No forced broadcast hints: df_b / stored_sum / dup_h are
-    # span-hash-set-sized — roughly one row per distinct span in the batch —
-    # and a production crawl batch's span set can exceed driver memory (the
-    # tfidf_top_terms lesson). AQE picks broadcast at gate scale (the sets
-    # are tiny there) and shuffled hash join at scale, where shuffling the
-    # batch-sized sets is the right plan anyway.
-    stored = spark.read.orc(os.path.join(index_dir, "spans")).select("hb", "h", "df")
+    # scan-side inner probe: build side = the batch's distinct span hashes.
+    # No forced broadcast hints: df_b / stored_sum / dup_h are span-hash-
+    # set-sized — roughly one row per distinct span in the batch — and a
+    # production crawl batch's span set can exceed driver memory (the
+    # tfidf_top_terms lesson). AQE picks broadcast at gate scale and a
+    # shuffled hash join at scale. Because Spark only inserts a DPP filter
+    # when the pruning side broadcasts (reuseBroadcastOnly), directory
+    # pruning must not depend on the join strategy: the batch's distinct
+    # hb values — bounded by N_HB (32) BY CONSTRUCTION, so this collect is
+    # a documented bounded one — become a static isin() partition filter,
+    # and the stored index is never scanned (let alone shuffled) outside
+    # the batch's directories under either join plan. Within-file h
+    # stripe-pruning additionally applies whenever AQE does broadcast.
+    hbs = [r[0] for r in df_b.select("hb").distinct().collect()]
+    # schema pinned (the triage_index._read rationale): a base build over
+    # an empty existing split writes only _SUCCESS, and schema inference
+    # over zero data files would crash the probe path instead of reading
+    # an empty stored side.
+    stored = (
+        spark.read.schema("h string, df bigint, hb int, seg string")
+        .orc(os.path.join(index_dir, "spans"))
+        .filter(F.col("hb").isin(hbs))
+        .select("hb", "h", "df")
+    )
     stored_sum = (
         stored.join(df_b.select("hb", "h"), ["hb", "h"])
         .groupBy("h")

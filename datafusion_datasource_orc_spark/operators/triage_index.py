@@ -94,14 +94,17 @@ def _hb(h: Column) -> Column:
 
 
 def _index_parts(
-    docs: DataFrame, bucket_cap: int | None
+    docs: DataFrame, bucket_cap: int | None, widen: bool = True
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    """Derive the four index tables' rows for ``docs`` (doc_id, text)."""
+    """Derive the four index tables' rows for ``docs`` (doc_id, text).
+    ``widen`` follows checkpointed_shingles' contract: True for the
+    one-time corpus build, False for per-batch appends (the width probe
+    costs per invocation — see triage_incremental's probe path)."""
     exact = docs.select(
         F.md5("text").alias("h"), F.col("doc_id").alias("e_id")
     ).withColumn("hb", _hb(F.col("h")))
 
-    sh = checkpointed_shingles(docs)
+    sh = checkpointed_shingles(docs, widen=widen)
     bands = minhash_bands(sh).withColumnRenamed("doc_id", "e_id")
     if bucket_cap is not None:
         # star-collapse over-cap boilerplate buckets (see module docstring)
@@ -143,13 +146,25 @@ def _write_segment(
             w = w.partitionBy(*partition_by)
         w.orc(os.path.join(index_dir, sub, f"seg={seg}"))
 
+    # write parallelism scales with the cluster, never a fixed constant:
+    # the one-time base build routes CORPUS-sized bands/df tables through
+    # these exchanges (at the documented 100 TB build, 8/4 fixed tasks
+    # would each sort-and-write terabytes). Floors keep gate-scale layouts
+    # small; range partitioning preserves the (band, bh) / df clustering
+    # the probe-side stripe pruning reads.
+    par = exact.sparkSession.sparkContext.defaultParallelism
     _w(exact, "exact", ["hb"])
     _w(
-        bands.repartitionByRange(8, "band", "bh").sortWithinPartitions("band", "bh"),
+        bands.repartitionByRange(max(8, par), "band", "bh")
+        .sortWithinPartitions("band", "bh"),
         "bands",
     )
     _w(doc_rows, "docs", ["pb"])
-    _w(df_rows.repartitionByRange(4, "df").sortWithinPartitions("df"), "df")
+    _w(
+        df_rows.repartitionByRange(max(4, par // 2), "df")
+        .sortWithinPartitions("df"),
+        "df",
+    )
 
 
 def build_triage_index(
@@ -182,11 +197,31 @@ def append_to_index(
     than the cap, and star-collapsing within a segment alone would not
     compose with other segments' members anyway."""
     admitted = admitted.filter(F.col("text").isNotNull())
-    _write_segment(index_dir, seg, *_index_parts(admitted, bucket_cap))
+    _write_segment(
+        index_dir, seg, *_index_parts(admitted, bucket_cap, widen=False)
+    )
+
+
+# explicit read schemas (matching _index_parts' writers + the seg/hb/pb
+# directory partitions): schema inference over a segment tree with ZERO
+# data files — a base build over an empty existing split writes only
+# _SUCCESS — raises UNABLE_TO_INFER_SCHEMA, turning a bootstrap corpus
+# into an opaque probe-path crash; with the schema pinned it reads as an
+# empty stored side and every incoming doc classifies as new.
+_READ_SCHEMAS = {
+    "exact": "h string, e_id bigint, hb int, seg string",
+    "bands": "band int, bh bigint, e_id bigint, seg string",
+    "docs": "e_id bigint, n int, s array<bigint>, pb int, seg string",
+    "df": "shingle bigint, df bigint, seg string",
+}
 
 
 def _read(spark: SparkSession, index_dir: str, sub: str, cols: list[str]) -> DataFrame:
-    return spark.read.orc(os.path.join(index_dir, sub)).select(*cols)
+    return (
+        spark.read.schema(_READ_SCHEMAS[sub])
+        .orc(os.path.join(index_dir, sub))
+        .select(*cols)
+    )
 
 
 def triage_incremental(
@@ -196,8 +231,13 @@ def triage_incremental(
     one row per incoming doc, (doc_id, status, match_doc_id, jaccard) —
     bit-identical to triage_against when the bucket cap does not bind.
 
-    Scale shape: every join keeps the BATCH on the broadcast/build side;
-    the only corpus-sized inputs touched are the compact index columns
+    Scale shape: every join keeps the BATCH on the build side; COMPACT
+    batch frames (md5 keys, band keys, shingle ids, fetch keys — a few
+    bytes per row) are force-broadcast so the corpus-scale index tables
+    stay scan-side with DPP intact, while batch frames carrying full
+    shingle ARRAYS are left to AQE (broadcast while small, shuffled hash
+    at production batch sizes — driver memory never holds batch content).
+    The only corpus-sized inputs touched are the compact index columns
     (md5 postings, band keys, candidate-fetched shingle arrays via
     DPP-partitioned directories, df longs) — the corpus TEXT is never
     re-read, never re-shingled."""
@@ -223,10 +263,14 @@ def triage_incremental(
     sh_inc = checkpointed_shingles(incoming, widen=False)
     inc_bands = minhash_bands(sh_inc)
     ex_bands = _read(spark, index_dir, "bands", ["band", "bh", "e_id"])
+    # key-only pairs, materialized once: consumed by the array join (ca)
+    # AND the fetch-key broadcast — without the barrier the bands-index
+    # scan + band join would run twice per probe
     cand = (
         ex_bands.join(F.broadcast(inc_bands), ["band", "bh"])
         .select("doc_id", "e_id")
         .distinct()
+        .localCheckpoint(eager=False)
     )
 
     # ubiquity guard, recomposed exactly: df over (existing UNION batch) =
@@ -259,19 +303,35 @@ def triage_incremental(
         .agg(F.collect_list("shingle").alias("ub"))
     )
 
-    # fetch + verify: candidates are tiny (broadcast); the docs fetch joins
-    # on (pb, e_id) so dynamic partition pruning can skip directories the
-    # batch's candidates never touch.
+    # fetch + verify. Forced broadcasts here are reserved for COMPACT
+    # key-only frames: the batch's full shingle ARRAYS (sh_inc.s, and ca
+    # which duplicates them once per candidate pair) are batch-CONTENT-
+    # sized — a production crawl batch's arrays can exceed driver memory
+    # (the tfidf_top_terms lesson), so those joins are left to AQE
+    # (broadcast while tiny, shuffled hash at scale: both sides are
+    # batch-bounded either way). Directory pruning on the corpus-scale
+    # docs fetch must not depend on that choice, so the fetch keys —
+    # (pb, e_id) pairs, ~16 bytes per candidate, no arrays — are broadcast
+    # explicitly: DPP skips the pb directories the candidates never touch
+    # under either plan for the array join.
     ca = cand.join(
-        F.broadcast(
-            sh_inc.select(
-                "doc_id", F.col("n").alias("na"), F.col("s").alias("sa")
-            )
+        sh_inc.select(
+            "doc_id", F.col("n").alias("na"), F.col("s").alias("sa")
         ),
         "doc_id",
     ).withColumn("pb", (F.col("e_id") % N_PB).cast("int"))
+    # fetch keys come from the KEY-ONLY candidate table (pre-array-join),
+    # so the broadcast never holds shingle arrays and ca itself needs no
+    # materialization barrier (single consumer).
+    fetch_keys = cand.select(
+        (F.col("e_id") % N_PB).cast("int").alias("pb"), "e_id"
+    ).distinct()
     ex_docs = _read(spark, index_dir, "docs", ["pb", "e_id", "n", "s"])
-    fetched = ex_docs.join(F.broadcast(ca), ["pb", "e_id"]).join(F.broadcast(ubiq))
+    fetched = (
+        ex_docs.join(F.broadcast(fetch_keys), ["pb", "e_id"])
+        .join(ca, ["pb", "e_id"])
+        .join(F.broadcast(ubiq))
+    )
     c = F.size(
         F.array_intersect(F.array_except("sa", "ub"), F.array_except("s", "ub"))
     )

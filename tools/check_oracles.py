@@ -115,6 +115,9 @@ def main() -> int:
     sweep_out = None
     if "--sweep-out" in args:
         i = args.index("--sweep-out")
+        if i + 1 >= len(args):
+            print("usage: --sweep-out PATH (path operand missing)", file=sys.stderr)
+            return 2
         sweep_out = args[i + 1]
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
