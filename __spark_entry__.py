@@ -182,6 +182,31 @@ def _driver_ledger() -> set[str]:
     return hard | permanently_weak
 
 
+def _latest_driver_rounds() -> dict[str, int]:
+    """name → newest CORRECTNESS round with a hash-matched record. Used to
+    order the re-certification tiers: sweep evidence keeps module blobs
+    current (stamp_hashes.json 'round' reflects it), but the DRIVER's own
+    stamp age is what the gate window should rotate through — a full sweep
+    every round would otherwise tie every entry and freeze the rotation
+    into registration order."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds: dict[str, int] = {}
+    for path in _artifact_paths(here):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else -1
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, rec in rows.items():
+            if isinstance(rec, dict) and rec.get("hash_match") is True:
+                rounds[name] = rnd
+    return rounds
+
+
 def _zero_row_stamps() -> set[str]:
     """Names whose LATEST hash-matched driver record certified an EMPTY
     result (spark_rows == 0) — the weakest certificate in the ledger (a
@@ -272,42 +297,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     fresh = [n for n in names if n not in stamped]
     ordered = [n for n in _ROUND_PRIORITY if n in fresh]
     ordered += [n for n in fresh if n not in ordered]
-    # stamped-but-materially-changed queries re-front BEHIND the
-    # never-stamped pool: first stamps always outrank re-certification.
-    # Within the stale tier: 0-row certificates first (the weakest stamps
-    # in the ledger — judge r08 task 5), then oldest stamp evidence first
-    # (judge r07 task 1) — sort by the sidecar's recorded stamp round,
-    # ties broken by registration order; names missing a recorded round
-    # sort first (no evidence is the oldest evidence).
-    here = os.path.dirname(os.path.abspath(__file__))
-    try:
-        with open(os.path.join(here, "stamp_hashes.json")) as f:
-            _sidecar = json.load(f)
-    except (OSError, ValueError):
-        _sidecar = {}
-    reg_pos = {n: i for i, n in enumerate(names)}
+    # tier 1.5 (round 12): queries whose LATEST DRIVER certificate is a
+    # 0-row hash match re-front even when their module is current — a
+    # 0-row stamp is the weakest evidence in the ledger and only a fresh
+    # DRIVER run at the gate scale can upgrade it (sweep evidence
+    # re-certifies blobs, not the driver's own record). Mechanical: reads
+    # only the committed artifacts (judge r11 task 5's closing criterion —
+    # the next artifact must carry zero spark_rows:0 stamps).
     zero_rows = _zero_row_stamps()
     ordered += sorted(
-        (n for n in names if n in stale),
-        key=lambda n: (
-            0 if n in zero_rows else 1,
-            _sidecar.get(n, {}).get("round", 0)
-            if isinstance(_sidecar.get(n), dict)
-            else 0,
-            reg_pos[n],
-        ),
+        (n for n in names if n in zero_rows and n not in ordered),
+        key=lambda n: names.index(n),
     )
-    # tier 3 (stamped & current): oldest recorded evidence first, same key
-    # shape as tier 2 minus the 0-row front — spare window slots refresh
-    # the longest-unexamined stamps (round 12; see the policy block above).
+    # stamped-but-materially-changed queries re-front BEHIND the
+    # never-stamped pool: first stamps always outrank re-certification.
+    # Tiers 2 and 3 both order by the LATEST DRIVER stamp round ascending
+    # (judge r07 task 1: drain the oldest evidence first) with
+    # registration-order tie-breaks — derived from the CORRECTNESS
+    # artifacts directly, NOT the sidecar's round, because sweep
+    # re-certification (round 12) bumps every sidecar round each round
+    # and would freeze the rotation into registration order.
+    reg_pos = {n: i for i, n in enumerate(names)}
+    driver_rounds = _latest_driver_rounds()
+    key = lambda n: (driver_rounds.get(n, 0), reg_pos[n])  # noqa: E731
     ordered += sorted(
-        (n for n in names if n in stamped and n not in stale),
-        key=lambda n: (
-            _sidecar.get(n, {}).get("round", 0)
-            if isinstance(_sidecar.get(n), dict)
-            else 0,
-            reg_pos[n],
-        ),
+        (n for n in names if n in stale and n not in zero_rows), key=key
+    )
+    # tier 3 (stamped & current): spare window slots refresh the
+    # longest-unexamined driver stamps (see the policy block above).
+    ordered += sorted(
+        (n for n in names if n in stamped and n not in stale and n not in zero_rows),
+        key=key,
     )
     assert set(ordered) == set(names)
     return {n: QUERIES[n] for n in ordered}
