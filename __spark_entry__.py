@@ -212,9 +212,16 @@ def _zero_row_stamps() -> set[str]:
     result (spark_rows == 0) — the weakest certificate in the ledger (a
     0-row hash match proves only that both engines returned nothing).
     Used to front such queries within the stale re-certification tier;
-    mechanical like everything else here (reads only committed artifacts)."""
+    mechanical like everything else here (reads only committed artifacts).
+
+    Bounded re-front (r12 ADVICE): a query whose TWO latest hash-matched
+    driver records are both 0-row has been re-examined and re-confirmed
+    empty — it is by-nature-empty at the gate scale (or needs a rewrite/
+    deregistration like join_anti got in round 12), and permanently
+    re-fronting it would crowd stale re-certifications out of the window
+    every round. Such names exit tier 1.5 and rotate normally."""
     here = os.path.dirname(os.path.abspath(__file__))
-    latest_rows: dict[str, object] = {}
+    row_history: dict[str, list[object]] = {}
     for path in _artifact_paths(here):
         try:
             with open(path) as f:
@@ -225,8 +232,12 @@ def _zero_row_stamps() -> set[str]:
             continue
         for name, rec in rows.items():
             if isinstance(rec, dict) and rec.get("hash_match") is True:
-                latest_rows[name] = rec.get("spark_rows")
-    return {n for n, r in latest_rows.items() if r == 0}
+                row_history.setdefault(name, []).append(rec.get("spark_rows"))
+    return {
+        n
+        for n, h in row_history.items()
+        if h[-1] == 0 and not (len(h) >= 2 and h[-2] == 0)
+    }
 
 
 def _git_blob_sha(path: str) -> str | None:

@@ -170,12 +170,16 @@ def bm25_rank(
     # two-phase top-k: `scored` holds one row per (query, any doc sharing a
     # query token) — for natural-language queries (stopwords) that is
     # nearly the whole corpus, and a window partitioned by q alone would
-    # sort it in ONE task per query at 100 TB. Phase 1 cuts each shuffle
-    # partition to its local top-k (per (q, partition) — map-side, no extra
-    # shuffle beyond the one the final window needs anyway); phase 2 ranks
-    # the <= k * n_partitions survivors globally per q. Identical results:
-    # no row outside a partition-local top-k can enter the global top-k,
-    # and the (score DESC, doc_id) tie-break is total.
+    # sort it in ONE task per query at 100 TB. Phase 1 cuts each (q,
+    # partition-id) group to its local top-k; phase 2 ranks the
+    # <= k * n_partitions survivors globally per q. The win is DISTRIBUTING
+    # the per-q sort across partitions, not avoiding an exchange: the
+    # (q, pid) window inserts its own hash exchange over the full scored
+    # set (PullOutNondeterministic evaluates the pid below it), and the
+    # global window then re-shuffles only the pruned survivors (r12 ADVICE
+    # comment fix). Identical results: no row outside a partition-local
+    # top-k can enter the global top-k, and the (score DESC, doc_id)
+    # tie-break is total.
     local = Window.partitionBy("q", F.spark_partition_id()).orderBy(
         F.col("score_micro").desc(), "doc_id"
     )

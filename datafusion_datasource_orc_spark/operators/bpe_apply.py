@@ -56,6 +56,12 @@ def _bpe_encode_oracle() -> str:
     ),
     seqs0 AS (SELECT word, wc, {_seq0_sql('word')} AS seq FROM words)"""
     ]
+    # LEFT JOIN ... ON TRUE, not CROSS JOIN (r12 ADVICE): if the corpus
+    # exhausts learnable merges before BPE_ROUNDS, top{r} is EMPTY and a
+    # cross join would annihilate the sequence table — encode would return
+    # zero rows instead of one per document. With the outer join the merge
+    # application degrades to a no-op (NULL pair -> replace() is NULL ->
+    # coalesce keeps seq), so seqs{r+1} == seqs{r} when merges run out.
     for r in range(BPE_ROUNDS):
         ctes.append(_pairs_cte_sql(f"seqs{r}", r))
         ctes.append(
@@ -63,10 +69,10 @@ def _bpe_encode_oracle() -> str:
     seqs{r + 1} AS (
       SELECT word, wc,
              {_renorm_sql(
-                 "replace(seq, ' ' || t.p1 || '  ' || t.p2 || ' ',"
-                 " ' ' || t.p1 || t.p2 || ' ')"
+                 "coalesce(replace(seq, ' ' || t.p1 || '  ' || t.p2 || ' ',"
+                 " ' ' || t.p1 || t.p2 || ' '), seq)"
              )} AS seq
-      FROM seqs{r} CROSS JOIN top{r} t
+      FROM seqs{r} LEFT JOIN top{r} t ON TRUE
     )"""
         )
     return (
@@ -122,6 +128,15 @@ def bpe_encode_counts(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     # it only needs the rules)
     for r in range(rounds):
         top = _top_pair(_pair_counts(seqs)).localCheckpoint(eager=False)
+        # merge-exhaustion guard (r12 ADVICE): an empty argmax means no
+        # adjacent pair remains anywhere — every later round is a no-op,
+        # and crossJoining the empty frame would ANNIHILATE the sequence
+        # table (encode must emit one row per document regardless of how
+        # many merges exist). head(1) is a bounded 1-row action on a frame
+        # the next stage would materialize anyway. The oracle reaches the
+        # same fixed point via LEFT JOIN + coalesce (see _bpe_encode_oracle).
+        if not top.head(1):
+            break
         merged_seq = F.expr(
             "replace(seq, ' ' || p1 || '  ' || p2 || ' ',"
             " ' ' || p1 || p2 || ' ')"

@@ -113,7 +113,15 @@ def approx_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
     ).filter(F.col("tok") != "")
-    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # cnt feeds THREE consumers (bk -> counters, topk, the final join);
+    # unmaterialized, the corpus tokenize+groupBy would execute three times
+    # per run — a genuine 3x at 100 TB (round-12 review pass 3 finding 2).
+    # One lazy localCheckpoint materializes the |vocab|-sized table once.
+    cnt = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     bk = cnt.select(
         "tok",
         "cnt",

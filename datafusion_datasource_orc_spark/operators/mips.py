@@ -318,10 +318,13 @@ def mips_banded_rank(
     # 93/256 of the space because the testdata sigs are near-uniform) the
     # candidate set per query approaches the corpus, and a window
     # partitioned by q_vec_id alone sorts it in ONE task. Phase 1 cuts
-    # each scan partition to its local top-k map-side; phase 2 ranks the
-    # <= k * n_partitions survivors. Identical results — the (ip DESC,
-    # vec_id) tie-break is total, and no row outside a partition-local
-    # top-k can reach the global top-k.
+    # each (q, partition-id) group to its local top-k; phase 2 ranks the
+    # <= k * n_partitions survivors. The win is distributing the per-q
+    # sort, not avoiding an exchange — the (q, pid) window shuffles the
+    # full scored set once, the global window only the pruned survivors
+    # (r12 ADVICE comment fix). Identical results — the (ip DESC, vec_id)
+    # tie-break is total, and no row outside a partition-local top-k can
+    # reach the global top-k.
     local = Window.partitionBy("q_vec_id", F.spark_partition_id()).orderBy(
         F.col("ip").desc(), "vec_id"
     )

@@ -10,7 +10,7 @@ so the gate-scale stamp used to certify 0 rows — a weak certificate. The
 testdata is read-only, so the fixture extension lives in the query's
 payload synthesis, replicated exactly in the oracle: every doc with
 ``doc_id % PHASH_TWIN_MOD == 0`` contributes a twin row (doc_id offset by
-PHASH_TWIN_OFFSET, identical payload), guaranteeing hamming-0 near-dup
+MAX(doc_id)+1, identical payload), guaranteeing hamming-0 near-dup
 pairs at EVERY scale that the pigeonhole-exact banding must find.
 """
 
@@ -45,11 +45,14 @@ PHASH_BAND_BITS = 15
 
 # Deterministic near-dup fixture (judge r08 task 5): docs at
 # doc_id % PHASH_TWIN_MOD == 0 get an identical-payload twin at
-# doc_id + PHASH_TWIN_OFFSET. 250 plants 2 twins in the 500-doc gate
-# fixtures (docs 0 and 250) and 20 at sf0.1; the offset sits far above any
-# real doc_id (max 49,999 at sf1) so ids never collide.
+# doc_id + (MAX(doc_id) + 1). 250 plants 2 twins in the 500-doc gate
+# fixtures (docs 0 and 250) and 20 at sf0.1. The offset is DATA-DERIVED
+# (round-12 review pass 3 finding 3a): a fixed 10_000_000 collided with
+# real doc_ids beyond sf~200; max+1 cannot collide at any scale, and both
+# engines compute it from the same table so the emitted pair ids hash
+# identically.
 PHASH_TWIN_MOD = 250
-PHASH_TWIN_OFFSET = 10_000_000
+_TWIN_OFF_SQL = "(SELECT MAX(doc_id) + 1 FROM documents)"
 
 
 def _phash_kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -85,8 +88,14 @@ def _phash_kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     # PHASH_BANDS > PHASH_HAMMING bands, the pigeonhole principle guarantees
     # at least one band matches exactly, so banded candidate generation
     # finds EVERY qualifying pair — the all-pairs oracle and the LSH path
-    # are equal by construction, not probabilistically. p0 is the real
-    # corpus; p adds the deterministic identical-payload twins (module
+    # are equal by construction, not probabilistically. That claim requires
+    # the star-pair bucket cap NOT to bind (round-12 review pass 3 finding
+    # 3b), so this query passes pair_cap=2^30: its output contract IS the
+    # full pair set, whose size is already quadratic in any exact-dup
+    # cluster's width — the cap would silently truncate the ANSWER, not an
+    # intermediate. Corpora with mega-clusters want the capped clustering
+    # rung (dedup_connected_components_lsh), not a pair listing. p0 is the
+    # real corpus; p adds the deterministic identical-payload twins (module
     # docstring) so the pair set is non-empty at every scale.
     oracle=f"""
     WITH p0 AS (
@@ -96,7 +105,7 @@ def _phash_kernel(pdf_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     p AS (
       SELECT * FROM p0
       UNION ALL
-      SELECT doc_id + {PHASH_TWIN_OFFSET}, hx, n FROM p0
+      SELECT doc_id + {_TWIN_OFF_SQL}, hx, n FROM p0
       WHERE doc_id % {PHASH_TWIN_MOD} = 0
     ),
     b AS (
@@ -153,12 +162,19 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH_BUCKET_PAIR_CAP star-pair guard."""
     from datafusion_datasource_orc_spark.operators.dedup import lsh_candidate_pairs
 
-    docs = load_table(spark, sf_dir, "documents").filter(
+    raw = load_table(spark, sf_dir, "documents")
+    docs = raw.filter(
         F.col("text").isNotNull() & (F.octet_length(F.encode("text", "UTF-8")) > 0)
     )
+    # data-derived twin offset (see PHASH_TWIN_MOD comment): one column-
+    # pruned MAX scan of doc_id, broadcast as a 1-row frame (the
+    # tfidf_top_terms crossJoin shape)
+    off = raw.agg((F.max("doc_id") + 1).alias("twin_off"))
     p0 = with_payload(docs).select("doc_id", "payload")
-    twins = p0.filter(F.col("doc_id") % PHASH_TWIN_MOD == 0).select(
-        (F.col("doc_id") + PHASH_TWIN_OFFSET).alias("doc_id"), "payload"
+    twins = (
+        p0.filter(F.col("doc_id") % PHASH_TWIN_MOD == 0)
+        .crossJoin(F.broadcast(off))
+        .select((F.col("doc_id") + F.col("twin_off")).alias("doc_id"), "payload")
     )
     p = p0.unionByName(twins).repartition("doc_id")
     ph = p.mapInPandas(
@@ -180,13 +196,18 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    cand = lsh_candidate_pairs(bands)
+    # cap bypassed: the output contract is the FULL pair set (see the
+    # @query comment) — star-pair truncation would drop answer rows
+    cand = lsh_candidate_pairs(bands, pair_cap=1 << 30)
     ha = ph.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("ha"))
     hb = ph.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("hb"))
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    # both verify joins broadcast the candidate-sized side (the minhash
+    # sibling's shape, round-12 review pass 3 finding 3c): without the
+    # second hint the corpus-sized hb would shuffle against a tiny frame
+    va = ha.join(F.broadcast(cand), "doc_a")
     return (
-        ha.join(F.broadcast(cand), "doc_a")
-        .join(hb, "doc_b")
+        hb.join(F.broadcast(va), "doc_b")
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= PHASH_HAMMING)
     )

@@ -35,14 +35,21 @@ from datafusion_datasource_orc_spark.functions.portable import (
     knuth_hash32_sql,
 )
 from datafusion_datasource_orc_spark.operators.registry import query
+from datafusion_datasource_orc_spark.operators.textstats import (
+    SOURCE_TIER_SQL,
+    source_tier,
+)
 from datafusion_datasource_orc_spark.sources.tables import load_table
 
 SHARD_WORKERS = 16
 # the training_mix_sample membership test (Knuth multiplicative hash),
-# shared so the sharded corpus IS the sampled corpus
-_SAMPLE_RATE_SQL = (
-    "(10 + 4 * (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 10))"
-)
+# shared so the sharded corpus IS the sampled corpus. The tier expression
+# is textstats.SOURCE_TIER_SQL VERBATIM (round-12 review pass 3 finding 1):
+# a hand-inlined unguarded cast here would crash the DuckDB oracle on a
+# digitless `source` while training_mix_sample still samples it — a
+# cross-query invariant break. Sharing the guarded helper makes drift
+# impossible.
+_SAMPLE_RATE_SQL = f"(10 + 4 * {SOURCE_TIER_SQL})"
 
 
 _KH = knuth_hash32_sql("doc_id")
@@ -64,7 +71,7 @@ def _shard_oracle() -> str:
              CAST(SUM(toks) AS BIGINT) AS shard_tokens
       FROM sampled GROUP BY shard_id
     ),
-    tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS total_tokens FROM sampled)
+    tot AS (SELECT CAST(SUM(shard_tokens) AS BIGINT) AS total_tokens FROM per)
     SELECT shard_id, n_docs, shard_tokens,
            CAST((CAST(shard_tokens AS HUGEINT) * {SHARD_WORKERS} * 1000000)
                // total_tokens AS BIGINT) AS balance_ppm
@@ -78,8 +85,9 @@ def training_epoch_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly its fair 1/W share of tokens; the spread across shards is the
     skew a dataloader would see per epoch."""
     docs = load_table(spark, sf_dir, "documents")
-    tier = F.regexp_extract("source", r"([0-9]+)$", 1).cast("long") % 10
-    rate_pct = F.lit(10) + F.lit(4) * tier
+    # shared guarded tier (textstats.source_tier): digitless sources are
+    # tier 0, never a crashed cast / silently-dropped shard row
+    rate_pct = F.lit(10) + F.lit(4) * source_tier()
     # overflow-safe Knuth hash (functions.portable.knuth_hash32)
     sampled_f = knuth_hash32(F.col("doc_id")) < (rate_pct * F.lit(42949672))
     shard = (
@@ -91,11 +99,20 @@ def training_epoch_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled = docs.filter(sampled_f).select(
         shard.alias("shard_id"), F.expr("n_chars div 4").alias("toks")
     )
-    per = sampled.groupBy("shard_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("toks").alias("shard_tokens"),
+    # W-row aggregate materialized once (lazy localCheckpoint): it feeds
+    # both the ratio join and the total, so unmaterialized the corpus scan
+    # would run twice
+    per = (
+        sampled.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("shard_tokens"),
+        )
+        .localCheckpoint(eager=False)
     )
-    tot = sampled.agg(F.sum("toks").alias("total_tokens"))
+    # total from the 16-row per-shard aggregate, NOT a second corpus scan
+    # (round-12 review pass 3 finding 9)
+    tot = per.agg(F.sum("shard_tokens").alias("total_tokens"))
     return per.join(F.broadcast(tot)).select(
         "shard_id",
         "n_docs",

@@ -75,13 +75,31 @@ def split_of(doc_id: Column) -> Column:
     )
 
 
-_SQL_SPLIT = f"""CASE WHEN {_SPLIT_HASH} < {_TRAIN_CUT} THEN 'train'
-                      WHEN {_SPLIT_HASH} < {_VAL_CUT} THEN 'val'
-                      ELSE 'test' END"""
+def sql_split_of(expr: str) -> str:
+    """DuckDB twin of split_of over an integer SQL expression — column-
+    parameterized (round-12 review pass 3 finding 4a) so the oracle can
+    evaluate the split ROW-LOCALLY on the pair endpoints instead of joining
+    a corpus-sized split table in twice."""
+    h = knuth_hash32_sql(expr)
+    return (
+        f"CASE WHEN {h} < {_TRAIN_CUT} THEN 'train' "
+        f"WHEN {h} < {_VAL_CUT} THEN 'val' ELSE 'test' END"
+    )
+
+
+_SQL_SPLIT = sql_split_of("doc_id")
 
 
 @query(
     "training_split_leakage",
+    # The `len(a.s) > 0 AND len(b.s) > 0` guard (round-12 review pass 3
+    # finding 4b): a <=2-word doc has an EMPTY 3-shingle set, and for two
+    # such docs the Jaccard is 0/0 = NaN, which DuckDB's total order ranks
+    # >= any threshold — phantom oracle rows the Spark side (NULL-dropping
+    # filter) would never emit. Splits are evaluated row-locally on the
+    # pair endpoints (finding 4a): split_of(doc_id) is a deterministic
+    # expression of a column the pair rows already carry, so no corpus-
+    # sized split table is ever joined.
     oracle=f"""
     WITH sh AS ({_SQL_SHINGLES}),
     pairs AS (
@@ -89,39 +107,39 @@ _SQL_SPLIT = f"""CASE WHEN {_SPLIT_HASH} < {_TRAIN_CUT} THEN 'train'
              CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      WHERE len(a.s) > 0 AND len(b.s) > 0
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
             >= {JACCARD_THRESHOLD}
-    ),
-    sp AS (SELECT doc_id, {_SQL_SPLIT} AS split
-           FROM documents)
-    SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b,
-           p.jaccard
-    FROM pairs p
-    JOIN sp sa ON sa.doc_id = p.doc_a
-    JOIN sp sb ON sb.doc_id = p.doc_b
-    WHERE sa.split <> sb.split
+    )
+    SELECT doc_a, doc_b,
+           {sql_split_of("doc_a")} AS split_a,
+           {sql_split_of("doc_b")} AS split_b,
+           jaccard
+    FROM pairs
+    WHERE {sql_split_of("doc_a")} <> {sql_split_of("doc_b")}
     """,
 )
 def training_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See module docstring — near-dup pairs that cross the deterministic
-    80/10/10 split: (doc_a, doc_b, split_a, split_b, jaccard)."""
+    80/10/10 split: (doc_a, doc_b, split_a, split_b, jaccard).
+
+    Splits are computed ROW-LOCALLY on the tiny verified pair set —
+    split_of is a deterministic hash of the endpoint ids the pair rows
+    already carry, so the old corpus-sized split-table double join
+    (round-12 review pass 3 finding 4a) is gone entirely: after the LSH
+    pair generator, this query moves zero corpus rows."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(checkpointed_shingles(docs))
-    sp = docs.select("doc_id", split_of(F.col("doc_id")).alias("split"))
-    return (
-        pairs.join(
-            sp.select(
-                F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            sp.select(
-                F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
-            ),
-            "doc_b",
-        )
-        .filter(F.col("split_a") != F.col("split_b"))
-        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
-    )
+    # empty-shingle guard (finding 4b): <=2-word docs have no 3-shingles;
+    # two of them would pair at 0/0 Jaccard — NULL in Spark, NaN (ranked
+    # above threshold) in DuckDB. Exclude them before banding: a doc with
+    # no shingles cannot be a near-dup of anything.
+    sh = checkpointed_shingles(docs).filter(F.col("n") > 0)
+    pairs = minhash_lsh_pairs(sh)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        split_of(F.col("doc_a")).alias("split_a"),
+        split_of(F.col("doc_b")).alias("split_b"),
+        "jaccard",
+    ).filter(F.col("split_a") != F.col("split_b"))

@@ -155,6 +155,41 @@ class TestBpeEncode:
         assert r[0].bpe_tokens < chars0
         assert r[0].ws_tokens == 3
 
+    def test_merge_exhausted_corpus_keeps_every_document(self, spark):
+        """r12 ADVICE: a corpus whose only word is 'ab' exhausts learnable
+        merges after ONE round (a+b -> ab, then no adjacent pair remains
+        anywhere). Encode semantics require one row per document
+        regardless — the old CROSS JOIN against the empty round-2 argmax
+        annihilated the sequence table and returned ZERO rows, and the
+        oracle mirrored it, so the hash gate could not see the bug. Both
+        engines must now reach the same fixed point (Spark: loop break;
+        oracle: LEFT JOIN + coalesce no-op)."""
+        import duckdb
+
+        from datafusion_datasource_orc_spark.operators.bpe_apply import (
+            _bpe_encode_oracle,
+            bpe_encode_counts,
+        )
+
+        rows = [(0, "ab ab ab"), (1, "ab")]
+        got = {
+            r.doc_id: (r.ws_tokens, r.bpe_tokens, r.ratio_ppm)
+            for r in bpe_encode_counts(_docs(spark, rows)).collect()
+        }
+        # after the single learnable merge every 'ab' is ONE symbol
+        want = {0: (3, 3, 1_000_000), 1: (1, 1, 1_000_000)}
+        assert got == want
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            "(0, 'ab ab ab'), (1, 'ab')) t(doc_id, text)"
+        )
+        oracle = {
+            r[0]: (r[1], r[2], r[3])
+            for r in con.sql(_bpe_encode_oracle()).fetchall()
+        }
+        assert oracle == want
+
 
 # ------------------------------------------------------- widen flag (triage)
 class TestCheckpointedShinglesWiden:

@@ -1,0 +1,259 @@
+"""Round-13 mechanics: sweep-evidence integrity (run-time module blobs +
+scope meta, r12 ADVICE), the bounded tier-1.5 re-front, and the
+duration-balanced sweep sharding."""
+
+from __future__ import annotations
+
+import json as _json
+
+
+_OK = {
+    "rows_match": True,
+    "schema_match": True,
+    "hash_match": True,
+    "spark_rows": 5,
+    "oracle_rows": 5,
+    "err": None,
+}
+
+
+def _build_ledger(monkeypatch, artifacts, blobs, queries_mods):
+    """Run tools.stamp_ledger.build over synthetic artifacts.
+
+    artifacts: list of (round, kind, rows-dict); kind 0 = CORRECTNESS,
+    kind 1 = SWEEP. blobs: {(commit, relpath): sha} for the legacy
+    blob_at resolution. queries_mods: {query_name: module_relpath}."""
+    import sys
+    import types
+
+    import tools.stamp_ledger as sl
+
+    paths = {}
+    for rnd, kind, rows in artifacts:
+        name = ("CORRECTNESS_r%d.json" if kind == 0 else "SWEEP_r%d.json") % rnd
+        paths[name] = rows
+
+    def fake_rounds():
+        out = []
+        for rnd, kind, rows in artifacts:
+            name = ("CORRECTNESS_r%d.json" if kind == 0 else "SWEEP_r%d.json") % rnd
+            out.append((rnd, kind, name))
+        return sorted(out)
+
+    import builtins
+
+    real_open = builtins.open
+
+    def fake_open(path, *a, **kw):
+        import io
+        import os as _os
+
+        base = _os.path.basename(str(path))
+        if base in paths:
+            return io.StringIO(_json.dumps(paths[base]))
+        return real_open(path, *a, **kw)
+
+    fake_queries = {}
+    for i, (qname, relpath) in enumerate(queries_mods.items()):
+        modname = f"_r13_{i}_{qname}"
+        m = types.ModuleType(modname)
+        m.__file__ = relpath
+        monkeypatch.setitem(sys.modules, modname, m)
+
+        def fn(spark, sf_dir):  # pragma: no cover
+            raise NotImplementedError
+
+        fn.__module__ = modname
+        fake_queries[qname] = fn
+    monkeypatch.setattr(
+        "datafusion_datasource_orc_spark.operators.QUERIES", fake_queries
+    )
+    monkeypatch.setattr(
+        sl.os.path,
+        "relpath",
+        lambda p, _repo: __import__("os").path.basename(p),
+        raising=True,
+    )
+    monkeypatch.setattr(sl, "artifact_rounds", fake_rounds)
+    monkeypatch.setattr(sl, "introducing_commit", lambda p: "c_" + p)
+    monkeypatch.setattr(sl, "blob_at", lambda commit, rel: blobs.get((commit, rel)))
+    monkeypatch.setattr("builtins.open", fake_open)
+    return sl.build()
+
+
+class TestSweepEvidenceIntegrity:
+    def test_partial_sweep_grants_no_recert(self, monkeypatch):
+        """r12 ADVICE: a --front/named-query/--shard run writes
+        full_registry=false meta; the ledger must ignore it entirely —
+        the driver's round-5 blob stays the record."""
+        artifacts = [
+            (5, 0, {"q": _OK}),
+            (
+                13,
+                1,
+                {
+                    "__meta__": {"full_registry": False, "n_registry": 2, "n_run": 1},
+                    "q": {**_OK, "module_blob": "sha_ran", "module": "m.py"},
+                },
+            ),
+        ]
+        blobs = {("c_CORRECTNESS_r5.json", "m.py"): "sha_r5"}
+        records = _build_ledger(monkeypatch, artifacts, blobs, {"q": "m.py"})
+        assert records["q"]["round"] == 5
+        assert records["q"]["blob"] == "sha_r5"
+        assert "evidence" not in records["q"]
+
+    def test_full_sweep_certifies_the_blob_that_ran(self, monkeypatch):
+        """The committed sweep's introducing commit may contain a
+        POST-SWEEP edit of the module; the ledger must certify the
+        run-time module_blob recorded in the sweep row, so the edited
+        file correctly reads as stale."""
+        artifacts = [
+            (5, 0, {"q": _OK}),
+            (
+                13,
+                1,
+                {
+                    "__meta__": {"full_registry": True, "n_registry": 1, "n_run": 1},
+                    "q": {**_OK, "module_blob": "sha_ran", "module": "m.py"},
+                },
+            ),
+        ]
+        blobs = {
+            ("c_CORRECTNESS_r5.json", "m.py"): "sha_r5",
+            # the sweep's introducing commit holds DIFFERENT (post-edit)
+            # bytes — the old blob_at path would have certified these
+            ("c_SWEEP_r13.json", "m.py"): "sha_post_edit",
+        }
+        records = _build_ledger(monkeypatch, artifacts, blobs, {"q": "m.py"})
+        assert records["q"]["round"] == 13
+        assert records["q"]["evidence"] == "sweep"
+        assert records["q"]["blob"] == "sha_ran", (
+            "ledger certified the committed blob, not the one that ran"
+        )
+
+    def test_legacy_sweep_without_meta_keeps_old_resolution(self, monkeypatch):
+        """SWEEP_r12.json predates the meta/module_blob format and was
+        judge-adjudicated under the introducing-commit rule — grandfather
+        it."""
+        artifacts = [
+            (5, 0, {"q": _OK}),
+            (12, 1, {"q": _OK}),
+        ]
+        blobs = {
+            ("c_CORRECTNESS_r5.json", "m.py"): "sha_r5",
+            ("c_SWEEP_r12.json", "m.py"): "sha_r12",
+        }
+        records = _build_ledger(monkeypatch, artifacts, blobs, {"q": "m.py"})
+        assert records["q"]["round"] == 12
+        assert records["q"]["blob"] == "sha_r12"
+
+    def test_sweep_out_records_meta_and_runtime_blobs(self, tmp_path):
+        """End-to-end over the real registry, no Spark: a named-query
+        check_oracles invocation must stamp full_registry=false and the
+        CURRENT on-disk module blob into the sweep row."""
+        import os
+        import subprocess
+        import sys
+
+        out = tmp_path / "sweep_partial.json"
+        # tokenizer-free pick: orc_count_star is the cheapest registered
+        # query; the run still needs Spark, so instead exercise the
+        # writer path pure-python by running the tool with a query that
+        # exists — cost ~tens of seconds is acceptable once per suite.
+        r = subprocess.run(
+            [
+                sys.executable,
+                "tools/check_oracles.py",
+                "--sweep-out",
+                str(out),
+                "/root/testdata/sf0.001",
+                "orc_count_star",
+            ],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            timeout=600,
+        )
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        rows = _json.loads(out.read_text())
+        assert rows["__meta__"]["full_registry"] is False
+        rec = rows["orc_count_star"]
+        assert rec["hash_match"] is True
+        assert rec["module"].startswith("datafusion_datasource_orc_spark/")
+        assert isinstance(rec["module_blob"], str) and len(rec["module_blob"]) == 40
+        assert rec["secs"] >= 0
+
+
+class TestBoundedZeroRowRefront:
+    def _stamps(self, monkeypatch, histories):
+        """histories: {name: [spark_rows per round, oldest..newest]} —
+        synthesize one CORRECTNESS artifact per round index."""
+        import builtins
+        import io
+        import os as _os
+
+        import __spark_entry__ as entry
+
+        n_rounds = max(len(h) for h in histories.values())
+        arts = []
+        for r in range(n_rounds):
+            rows = {}
+            for name, h in histories.items():
+                if r < len(h):
+                    rows[name] = {**_OK, "spark_rows": h[r], "oracle_rows": h[r]}
+            arts.append((f"CORRECTNESS_r{r + 1}.json", rows))
+        paths = dict(arts)
+        monkeypatch.setattr(
+            entry, "_artifact_paths", lambda here: [p for p, _ in arts]
+        )
+        real_open = builtins.open
+
+        def fake_open(path, *a, **kw):
+            base = _os.path.basename(str(path))
+            if base in paths:
+                return io.StringIO(_json.dumps(paths[base]))
+            return real_open(path, *a, **kw)
+
+        monkeypatch.setattr("builtins.open", fake_open)
+        return entry._zero_row_stamps()
+
+    def test_single_zero_row_stamp_refronts(self, monkeypatch):
+        got = self._stamps(monkeypatch, {"a": [3, 0], "b": [3, 3]})
+        assert got == {"a"}
+
+    def test_twice_confirmed_zero_exits_tier(self, monkeypatch):
+        """r12 ADVICE: a 0-row stamp RE-confirmed 0-row by the next driver
+        examination is by-nature-empty — it must stop occupying front
+        gate-window slots."""
+        got = self._stamps(monkeypatch, {"a": [0, 0], "b": [0]})
+        assert got == {"b"}
+
+    def test_nonzero_then_zero_refronts_again(self, monkeypatch):
+        """A zero AFTER a nonzero certificate is fresh news (possible
+        regression) — one re-front is warranted even if an older zero
+        exists further back."""
+        got = self._stamps(monkeypatch, {"a": [0, 4, 0]})
+        assert got == {"a"}
+
+
+class TestSweepScheduling:
+    def test_shard_split_is_disjoint_and_complete(self):
+        """--shard I/K must partition the query set exactly (greedy LPT
+        over recorded durations) — replicated here against the same
+        algorithm to pin the contract."""
+        secs = {"a": 100.0, "b": 50.0, "c": 40.0, "d": 30.0, "e": 1.0}
+        names = ["a", "b", "c", "d", "e", "new1"]
+        ordered = sorted(names, key=lambda n: (n in secs, -secs.get(n, 60.0), n))
+        assert ordered[0] == "new1"  # unknown-duration queries first
+        k = 2
+        loads = [0.0] * k
+        shards = [[] for _ in range(k)]
+        for n in ordered:
+            tgt = loads.index(min(loads))
+            loads[tgt] += secs.get(n, 60.0)
+            shards[tgt].append(n)
+        assert sorted(shards[0] + shards[1]) == sorted(names)
+        assert not (set(shards[0]) & set(shards[1]))
+        # LPT keeps the split balanced within the largest single item
+        assert abs(loads[0] - loads[1]) <= 100.0

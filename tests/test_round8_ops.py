@@ -133,7 +133,6 @@ class TestPhashNearDup:
         from datafusion_datasource_orc_spark.operators.phash import (
             PHASH_HAMMING,
             PHASH_TWIN_MOD,
-            PHASH_TWIN_OFFSET,
             multimodal_phash_neardup,
             _phash_kernel,
         )
@@ -142,16 +141,20 @@ class TestPhashNearDup:
             (r.doc_a, r.doc_b, r.hamming)
             for r in multimodal_phash_neardup(spark, sf_dir).collect()
         }
+        raw = load_table(spark, sf_dir, "documents")
+        # data-derived twin offset (round-13): max(doc_id)+1, collision-free
+        # at any scale by construction
+        twin_off = raw.agg(F.max("doc_id")).collect()[0][0] + 1
         # the twin fixture guarantees a non-empty pair set at EVERY scale
         # (judge r08 task 5): each twin is byte-identical to its source doc
-        assert any(db >= PHASH_TWIN_OFFSET and h == 0 for _, db, h in got)
-        docs = load_table(spark, sf_dir, "documents").filter(
+        assert any(db >= twin_off and h == 0 for _, db, h in got)
+        docs = raw.filter(
             F.col("text").isNotNull() & (F.octet_length(F.encode("text", "UTF-8")) > 0)
         )
         p0 = with_payload(docs).select("doc_id", "payload")
         p = p0.unionByName(
             p0.filter(F.col("doc_id") % PHASH_TWIN_MOD == 0).select(
-                (F.col("doc_id") + PHASH_TWIN_OFFSET).alias("doc_id"), "payload"
+                (F.col("doc_id") + F.lit(twin_off)).alias("doc_id"), "payload"
             )
         )
         ph = p.mapInPandas(_phash_kernel, schema="doc_id long, phash long")

@@ -19,13 +19,31 @@ Usage: python tools/check_oracles.py [--front N] [--rows-out]
   --sweep-out PATH
               also write the per-query results to PATH in the EXACT
               CORRECTNESS_r*.json row schema ({name: {rows_match,
-              schema_match, hash_match, spark_rows, oracle_rows, err}}).
-              A full-registry sweep committed as SWEEP_r{N}.json is
-              re-certification evidence for STALE ledger entries (judge
-              r11 task 2): tools/stamp_ledger.py consumes it for queries
-              that already hold a driver hash stamp — first stamps stay
-              driver-only, and the artifact is as auditable as the
-              driver's (same schema, produced by this same comparator).
+              schema_match, hash_match, spark_rows, oracle_rows, err}}),
+              extended (round 13, r12 ADVICE) with per-row integrity and
+              timing fields: "module" (registered module relpath),
+              "module_blob" (git blob sha of the module's on-disk bytes AT
+              RUN TIME — what the sweep actually executed, not whatever is
+              later committed next to it), and "secs" (per-query wall
+              time, the scheduling sidecar for the slow-oracle tail); plus
+              one "__meta__" record carrying full_registry/scope so a
+              partial (--front / named-query / --shard) run can never pose
+              as a full-registry sweep. tools/stamp_ledger.py consumes the
+              recorded blobs as re-certification evidence for queries that
+              already hold a driver hash stamp — first stamps stay
+              driver-only, and only full_registry=true sweeps count.
+  --slowest-first
+              order the run by recorded per-query durations (desc) from
+              the newest committed SWEEP_r*.json, unknown queries first —
+              fronts the slow-oracle tail so a killed sweep resumes
+              cheaply and a split sweep balances.
+  --shard I/K squares with --slowest-first data: run shard I of K (0-based)
+              of a duration-balanced greedy split, so K concurrent
+              processes finish together instead of one eating the whole
+              slow tail. Shards are disjoint and their union is the full
+              query set; sweep artifacts from shards carry
+              full_registry=false (merge + rerun meta via a final full
+              pass, or stitch with your own tooling).
 """
 
 from __future__ import annotations
@@ -93,6 +111,73 @@ def _norm_cell(v):
     return str(v)
 
 
+def _git_blob_sha(path: str) -> str | None:
+    """Git blob sha1 of a file's current on-disk bytes (sha1 of
+    b"blob <len>\\0" + content — matches `git hash-object`), no git
+    subprocess. Same helper as __spark_entry__._git_blob_sha; duplicated
+    here so the tool stays importable without the entry module loaded."""
+    try:
+        with open(path, "rb") as f:
+            content = f.read()
+    except OSError:
+        return None
+    h = hashlib.sha1(b"blob %d\x00" % len(content))
+    h.update(content)
+    return h.hexdigest()
+
+
+def _module_info() -> dict[str, tuple[str, str | None]]:
+    """query name → (module relpath, run-time git blob sha) for every
+    registered query — recorded into sweep rows so re-certification
+    evidence is tied to the tree that actually RAN (r12 ADVICE: a module
+    edited after the sweep but committed with it must not inherit the
+    sweep's certificate)."""
+    from datafusion_datasource_orc_spark.operators import QUERIES
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out: dict[str, tuple[str, str | None]] = {}
+    blob_cache: dict[str, str | None] = {}
+    for name, fn in QUERIES.items():
+        mod = sys.modules.get(fn.__module__)
+        modfile = getattr(mod, "__file__", None)
+        if not modfile:
+            out[name] = ("", None)
+            continue
+        rel = os.path.relpath(os.path.abspath(modfile), repo)
+        if rel not in blob_cache:
+            blob_cache[rel] = _git_blob_sha(modfile)
+        out[name] = (rel, blob_cache[rel])
+    return out
+
+
+def _recorded_secs() -> dict[str, float]:
+    """Per-query durations from the NEWEST committed SWEEP_r*.json that
+    carries them (round >= 13 format) — the scheduling input for
+    --slowest-first / --shard."""
+    import glob
+    import json
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    best: dict[str, float] = {}
+    paths = sorted(
+        glob.glob(os.path.join(repo, "SWEEP_r*.json")),
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+    )
+    for path in paths:  # ascending: newest recorded secs win
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, rec in rows.items():
+            if isinstance(rec, dict) and isinstance(rec.get("secs"), (int, float)):
+                best[name] = float(rec["secs"])
+    return best
+
+
 def value_hash(rows, colnames) -> str:
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     lines = sorted(
@@ -120,6 +205,20 @@ def main() -> int:
             return 2
         sweep_out = args[i + 1]
         del args[i : i + 2]
+    slowest_first = "--slowest-first" in args
+    if slowest_first:
+        args.remove("--slowest-first")
+    shard = None  # (i, k)
+    if "--shard" in args:
+        i = args.index("--shard")
+        try:
+            si, sk = args[i + 1].split("/")
+            shard = (int(si), int(sk))
+            assert 0 <= shard[0] < shard[1]
+        except (IndexError, ValueError, AssertionError):
+            print("usage: --shard I/K with 0 <= I < K", file=sys.stderr)
+            return 2
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -127,6 +226,7 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    registry_names = set(qs)
     unknown = only - set(qs)
     if unknown:
         print(f"unknown query names: {sorted(unknown)}", file=sys.stderr)
@@ -145,6 +245,30 @@ def main() -> int:
                 file=sys.stderr,
             )
         qs = {k: v for k, v in qs.items() if k in only}
+    if slowest_first or shard:
+        secs = _recorded_secs()
+        # unknown-duration queries first (they are this round's new work —
+        # and pessimistically 'slow' for shard balancing at 60 s each)
+        ordered = sorted(
+            qs, key=lambda n: (n in secs, -secs.get(n, 60.0), n)
+        )
+        if shard:
+            i_mine, k = shard
+            loads = [0.0] * k
+            mine = []
+            for n in ordered:  # greedy LPT onto the least-loaded shard
+                tgt = loads.index(min(loads))
+                loads[tgt] += secs.get(n, 60.0)
+                if tgt == i_mine:
+                    mine.append(n)
+            qs = {n: qs[n] for n in mine}
+            print(
+                f"shard {i_mine}/{k}: {len(qs)} queries, "
+                f"~{loads[i_mine]:.0f}s recorded load"
+            )
+        else:
+            qs = {n: qs[n] for n in ordered}
+    full_registry = set(qs) == registry_names
 
     spark = get_spark()
     con = duckdb.connect()
@@ -156,6 +280,7 @@ def main() -> int:
     failures = []
     spark_rows: dict[str, int] = {}
     sweep: dict[str, dict] = {}  # CORRECTNESS row schema, for --sweep-out
+    modinfo = _module_info() if sweep_out else {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
         rec = {
@@ -166,6 +291,13 @@ def main() -> int:
             "oracle_rows": None,
             "err": None,
         }
+        if sweep_out:
+            # run-time provenance (r12 ADVICE): the blob of the module
+            # bytes THIS process imported — stamp_ledger certifies these,
+            # never whatever is committed alongside the artifact later
+            rel, blob = modinfo.get(name, ("", None))
+            rec["module"] = rel
+            rec["module_blob"] = blob
         sweep[name] = rec
         try:
             sdf = fn(spark, sf_dir)
@@ -179,11 +311,13 @@ def main() -> int:
             rec["spark_rows"] = len(srows)
         except Exception as e:
             rec["err"] = f"SPARK ERROR {type(e).__name__}: {str(e)[:300]}"
+            rec["secs"] = round(time.perf_counter() - t0, 1)
             failures.append((name, f"SPARK ERROR {type(e).__name__}: {e}"))
             print(f"FAIL  {name:28s} spark error: {str(e)[:200]}")
             continue
         if name not in oracles:
             rec["err"] = "no_oracle"
+            rec["secs"] = round(time.perf_counter() - t0, 1)
             print(f"weak  {name:28s} rows={len(srows)} ({time.perf_counter()-t0:.1f}s)")
             if len(srows) == 0:
                 failures.append((name, "weak check returned 0 rows"))
@@ -195,6 +329,7 @@ def main() -> int:
             rec["oracle_rows"] = len(orows)
         except Exception as e:
             rec["err"] = f"ORACLE ERROR: {str(e)[:300]}"
+            rec["secs"] = round(time.perf_counter() - t0, 1)
             failures.append((name, f"ORACLE ERROR: {e}"))
             print(f"FAIL  {name:28s} oracle error: {str(e)[:200]}")
             continue
@@ -212,6 +347,7 @@ def main() -> int:
             if sh != oh:
                 problems.append("value hash mismatch")
         dt = time.perf_counter() - t0
+        rec["secs"] = round(dt, 1)
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"FAIL  {name:28s} {'; '.join(problems)} ({dt:.1f}s)")
@@ -243,10 +379,24 @@ def main() -> int:
     if sweep_out:
         import json
 
+        # scope record (r12 ADVICE): a partial run (--front, named queries,
+        # --shard) must be DISTINGUISHABLE from a full-registry sweep —
+        # stamp_ledger only accepts full_registry=true artifacts as
+        # re-certification evidence. No hash_match key, so the ledger's
+        # hard-stamp scan never mistakes it for a query row.
+        meta = {
+            "full_registry": full_registry,
+            "n_registry": len(registry_names),
+            "n_run": len(sweep),
+            "sf": os.path.basename(os.path.normpath(sf_dir)),
+        }
         with open(sweep_out, "w") as f:
-            json.dump(sweep, f, indent=1)
+            json.dump({"__meta__": meta, **sweep}, f, indent=1)
             f.write("\n")
-        print(f"wrote {len(sweep)} sweep records to {sweep_out}")
+        print(
+            f"wrote {len(sweep)} sweep records to {sweep_out} "
+            f"(full_registry={full_registry})"
+        )
 
     print(f"\n{len(qs) - len(failures)}/{len(qs)} ok")
     if failures:

@@ -21,6 +21,17 @@ processed in (round, driver-before-sweep) order with latest-wins, so a
 later driver stamp always supersedes an earlier sweep and a round-end
 sweep supersedes that round's gate (it certifies the final tree).
 
+Since round 13 (r12 ADVICE), sweep evidence is tied to the tree that
+actually RAN, not the commit the artifact lands in: check_oracles records
+each query's registered-module git blob sha at run time into the sweep
+rows ("module_blob") plus a "__meta__" scope record, and this tool
+certifies THOSE shas. A module edited after the sweep ran — even if
+committed together with SWEEP_r{N}.json — therefore stays stale, and a
+partial (--front / named-query / --shard) run is excluded outright by its
+full_registry=false meta. Legacy sweeps without "__meta__" (SWEEP_r12
+only, already judge-adjudicated) keep the old introducing-commit blob
+resolution.
+
 Run at ROUND START (before editing code) so the working tree still equals
 the state the driver verified; re-runs are idempotent. Mechanical and
 auditable end-to-end: inputs are only the committed artifacts + git
@@ -108,6 +119,12 @@ def build(max_round: int | None = None) -> dict[str, dict[str, object]]:
             continue
         if not isinstance(rows, dict):
             continue  # legacy list artifacts grant no hard stamp
+        meta = rows.get("__meta__")
+        if kind == 1 and isinstance(meta, dict) and not meta.get("full_registry"):
+            # r13 format, partial scope: --front / named-query / --shard
+            # runs are NOT re-certification evidence (r12 ADVICE — their
+            # output used to be indistinguishable from a full sweep)
+            continue
         hard = [
             n
             for n, rec in rows.items()
@@ -127,11 +144,16 @@ def build(max_round: int | None = None) -> dict[str, dict[str, object]]:
                 # (judge r11 task 2 — the gate window is the authority
                 # for fresh work)
                 continue
+            run_blob = rows[name].get("module_blob") if kind == 1 else None
             records[name] = {
                 "round": rnd,
                 "commit": commit,
                 "module": rel,
-                "blob": blob_at(commit, rel),
+                # r13 sweeps: the blob that RAN (recorded by check_oracles
+                # at run time) — a post-sweep edit committed alongside the
+                # artifact stays stale. Legacy sweeps / driver artifacts:
+                # the blob at the introducing commit.
+                "blob": run_blob if run_blob else blob_at(commit, rel),
             }
             if kind == 1:
                 records[name]["evidence"] = "sweep"
