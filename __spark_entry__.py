@@ -84,11 +84,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # mechanical as the rest of the policy (reads only the committed
 # artifacts' recorded spark_rows).
 _ROUND_PRIORITY: list[str] = [
-    # round-12 additions (judge r11 tasks 4/6): the hybrid-retrieval rung
-    # re-fused over the certified BM25 lexical scorer, and the tokenizer
-    # inference half — apply the learned merge table to encode the corpus
+    # round-12 additions (judge r11 tasks 4/6) — FIRST per the judge's r13
+    # window plan ("2 fresh round-12 ops first"): the hybrid-retrieval rung
+    # and the tokenizer inference half take their first driver stamps
     "simsearch_hybrid_bm25",
     "tokenizer_bpe_encode",
+    # round-13 additions (judge r12 tasks 2/3/4/6): the ANN retrieval-
+    # quality rung, the shipped tokenizer vocabulary, the curation
+    # selection manifest, and SemDeDup's banded 100 TB instantiation
+    "simsearch_recall_at_k",
+    "tokenizer_bpe_vocab",
+    "curation_manifest",
+    "embedding_semdedup_banded",
     # round-11 addition (judge r10 task 2): incremental substring-span
     # coverage over the materialized span-hash index (same manifest as
     # dedup_substring_spans on the batch split; the oracle computes df

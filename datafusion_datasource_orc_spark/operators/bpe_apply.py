@@ -44,7 +44,11 @@ from datafusion_datasource_orc_spark.operators.registry import query
 from datafusion_datasource_orc_spark.sources.tables import load_table
 
 
-def _bpe_encode_oracle() -> str:
+def word_seqs_ctes() -> list[str]:
+    """The word-keyed merge-trajectory CTE chain (words → seqs0 → … →
+    seqs{BPE_ROUNDS}) — shared by the encode oracle here and the vocab
+    oracle (operators/bpe_vocab.py) so the two artifacts replay ONE
+    trajectory."""
     ctes = [
         f"""
     words AS (
@@ -75,6 +79,11 @@ def _bpe_encode_oracle() -> str:
       FROM seqs{r} LEFT JOIN top{r} t ON TRUE
     )"""
         )
+    return ctes
+
+
+def _bpe_encode_oracle() -> str:
+    ctes = word_seqs_ctes()
     return (
         "WITH "
         + ",".join(ctes)
@@ -102,9 +111,11 @@ def _bpe_encode_oracle() -> str:
     )
 
 
-def bpe_encode_counts(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
-    """(doc_id, text) → per-doc encoded-token accounting under the learned
-    merge table: (doc_id, ws_tokens, bpe_tokens, ratio_ppm)."""
+def bpe_word_seqs(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """(doc_id, text) → the word-keyed merge trajectory's FINAL state:
+    (word, wc, seq) after applying every learnable merge — the table the
+    encode join (here) and the vocabulary emission (operators/bpe_vocab)
+    both read, so the two artifacts cannot drift."""
     words = (
         docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
         .filter(F.col("w") != "")
@@ -151,7 +162,13 @@ def bpe_encode_counts(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
             .select("word", "wc", renorm.alias("seq"))
             .localCheckpoint(eager=False)
         )
+    return seqs
 
+
+def bpe_encode_counts(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """(doc_id, text) → per-doc encoded-token accounting under the learned
+    merge table: (doc_id, ws_tokens, bpe_tokens, ratio_ppm)."""
+    seqs = bpe_word_seqs(docs, rounds)
     vocab = seqs.select(
         "word", F.size(F.split(F.trim("seq"), " +")).alias("n_sym")
     )

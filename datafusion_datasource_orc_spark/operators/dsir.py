@@ -68,44 +68,55 @@ _SQL_BUCKET = (
 )
 
 
-def _dsir_oracle() -> str:
+def dsir_ctes() -> str:
+    """The importance-weight CTE chain (ds_lab … ds_sc, ds_cut) with
+    collision-safe ds_-prefixed names — shared by the per-source rollup
+    oracle here and the curation-manifest oracle (operators/curation.py),
+    so both replay the ONE weight model (round-13 composition
+    discipline). ds_sc scores RAW docs only (the target slice is the
+    reference distribution, never a selection candidate)."""
     return f"""
-    WITH lab AS (
+    ds_lab AS (
       SELECT doc_id, source, n_chars,
              ({knuth_hash32_sql('doc_id')}) % {DSIR_TARGET_MOD} = 0 AS is_tgt,
              CASE WHEN ({knuth_hash32_sql('doc_id')}) % {DSIR_TARGET_MOD} = 0
                   THEN lower(text) || ' {DSIR_SUFFIX}' ELSE lower(text) END AS t
       FROM documents WHERE text IS NOT NULL
     ),
-    base AS (SELECT doc_id, source, n_chars, is_tgt,
-                    string_split_regex(t, '\\s+') AS w FROM lab),
-    grams AS (SELECT doc_id, is_tgt, unnest(w) AS g FROM base),
-    bg AS (SELECT doc_id, is_tgt, {_SQL_BUCKET} AS bucket, COUNT(*) AS x
-           FROM grams GROUP BY 1, 2, 3),
-    dom AS (SELECT CAST(range AS BIGINT) AS bucket FROM range({DSIR_D})),
-    hist AS (
+    ds_base AS (SELECT doc_id, source, n_chars, is_tgt,
+                    string_split_regex(t, '\\s+') AS w FROM ds_lab),
+    ds_grams AS (SELECT doc_id, is_tgt, unnest(w) AS g FROM ds_base),
+    ds_bg AS (SELECT doc_id, is_tgt, {_SQL_BUCKET} AS bucket, COUNT(*) AS x
+           FROM ds_grams GROUP BY 1, 2, 3),
+    ds_dom AS (SELECT CAST(range AS BIGINT) AS bucket FROM range({DSIR_D})),
+    ds_hist AS (
       SELECT d.bucket,
              COALESCE(SUM(CASE WHEN b.is_tgt THEN b.x END), 0) + 1 AS ct,
              COALESCE(SUM(CASE WHEN NOT b.is_tgt THEN b.x END), 0) + 1 AS cr
-      FROM dom d LEFT JOIN bg b USING (bucket) GROUP BY 1
+      FROM ds_dom d LEFT JOIN ds_bg b USING (bucket) GROUP BY 1
     ),
-    tot AS (SELECT SUM(ct) AS st, SUM(cr) AS sr FROM hist),
-    lw AS (
+    ds_tot AS (SELECT SUM(ct) AS st, SUM(cr) AS sr FROM ds_hist),
+    ds_lw AS (
       SELECT h.bucket,
              CAST(ROUND((ln(CAST(h.ct AS DOUBLE)) - ln(CAST(t.st AS DOUBLE))
                        - ln(CAST(h.cr AS DOUBLE)) + ln(CAST(t.sr AS DOUBLE)))
                         * 1000000) AS BIGINT) AS lw
-      FROM hist h CROSS JOIN tot t
+      FROM ds_hist h CROSS JOIN ds_tot t
     ),
-    sc AS (
+    ds_sc AS (
       SELECT b.doc_id,
              CAST(FLOOR(CAST(SUM(b.x * l.lw) AS DOUBLE) / SUM(b.x)) AS BIGINT) AS s
-      FROM bg b JOIN lw l USING (bucket) WHERE NOT b.is_tgt GROUP BY 1
+      FROM ds_bg b JOIN ds_lw l USING (bucket) WHERE NOT b.is_tgt GROUP BY 1
     ),
-    cut AS (SELECT ROUND(quantile_cont(s, {DSIR_Q}), 4) AS cut FROM sc),
+    ds_cut AS (SELECT ROUND(quantile_cont(s, {DSIR_Q}), 4) AS cut FROM ds_sc)"""
+
+
+def _dsir_oracle() -> str:
+    return f"""
+    WITH {dsir_ctes()},
     sel AS (
       SELECT l.source, l.n_chars, s.s, s.s > c.cut AS keep
-      FROM sc s JOIN lab l USING (doc_id) CROSS JOIN cut c
+      FROM ds_sc s JOIN ds_lab l USING (doc_id) CROSS JOIN ds_cut c
     )
     SELECT source,
            COUNT(*) AS n_raw,

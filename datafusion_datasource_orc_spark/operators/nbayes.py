@@ -75,52 +75,62 @@ def _label_sql(w: str) -> str:
     return f"CASE WHEN {pos} > {neg} THEN 1 ELSE -1 END"
 
 
-def _nbayes_oracle() -> str:
+def nb_model_ctes() -> str:
+    """The trained-model CTE chain (nb_base … nb_llr, nb_pri) with
+    collision-safe nb_-prefixed names — shared by the confusion-matrix
+    oracle here and the curation-manifest oracle (operators/curation.py),
+    so both replay the ONE trained model (round-13 composition
+    discipline)."""
     return f"""
-    WITH base AS (
+    nb_base AS (
       SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
       FROM documents WHERE text IS NOT NULL
     ),
-    lab AS (
+    nb_lab AS (
       SELECT doc_id, {_label_sql('w')} AS y,
              ({knuth_hash32_sql('doc_id')}) % 10 < 8 AS is_train
-      FROM base
+      FROM nb_base
     ),
-    tok AS (SELECT doc_id, unnest(w) AS tok FROM base),
-    feat AS (
+    nb_tok AS (SELECT doc_id, unnest(w) AS tok FROM nb_base),
+    nb_feat AS (
       SELECT doc_id, {_SQL_BUCKET} AS bucket, COUNT(*) AS x
-      FROM tok GROUP BY 1, 2
+      FROM nb_tok GROUP BY 1, 2
     ),
-    dom AS (SELECT CAST(range AS BIGINT) AS bucket FROM range({NB_D})),
-    cnt AS (
+    nb_dom AS (SELECT CAST(range AS BIGINT) AS bucket FROM range({NB_D})),
+    nb_cnt AS (
       SELECT f.bucket,
              SUM(CASE WHEN l.y = 1 THEN f.x ELSE 0 END) AS cp0,
              SUM(CASE WHEN l.y = -1 THEN f.x ELSE 0 END) AS cn0
-      FROM feat f JOIN lab l USING (doc_id) WHERE l.is_train GROUP BY 1
+      FROM nb_feat f JOIN nb_lab l USING (doc_id) WHERE l.is_train GROUP BY 1
     ),
-    sm AS (
+    nb_sm AS (
       SELECT d.bucket, COALESCE(c.cp0, 0) + 1 AS cp, COALESCE(c.cn0, 0) + 1 AS cn
-      FROM dom d LEFT JOIN cnt c USING (bucket)
+      FROM nb_dom d LEFT JOIN nb_cnt c USING (bucket)
     ),
-    tot AS (SELECT SUM(cp) AS sp, SUM(cn) AS sn FROM sm),
-    llr AS (
+    nb_tot AS (SELECT SUM(cp) AS sp, SUM(cn) AS sn FROM nb_sm),
+    nb_llr AS (
       SELECT s.bucket,
              CAST(ROUND((ln(CAST(s.cp AS DOUBLE)) - ln(CAST(t.sp AS DOUBLE))
                        - ln(CAST(s.cn AS DOUBLE)) + ln(CAST(t.sn AS DOUBLE)))
                         * 1000000) AS BIGINT) AS llr
-      FROM sm s CROSS JOIN tot t
+      FROM nb_sm s CROSS JOIN nb_tot t
     ),
-    pri AS (
+    nb_pri AS (
       SELECT CAST(ROUND((ln(CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE))
                        - ln(CAST(SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS DOUBLE)))
                         * 1000000) AS BIGINT) AS prior,
              SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS ntp,
              SUM(CASE WHEN y = -1 THEN 1 ELSE 0 END) AS ntn
-      FROM lab WHERE is_train
-    ),
+      FROM nb_lab WHERE is_train
+    )"""
+
+
+def _nbayes_oracle() -> str:
+    return f"""
+    WITH {nb_model_ctes()},
     sc AS (
       SELECT f.doc_id, SUM(f.x * r.llr) AS s
-      FROM feat f JOIN llr r USING (bucket) JOIN lab l USING (doc_id)
+      FROM nb_feat f JOIN nb_llr r USING (bucket) JOIN nb_lab l USING (doc_id)
       WHERE NOT l.is_train GROUP BY 1
     ),
     ev AS (
@@ -128,7 +138,7 @@ def _nbayes_oracle() -> str:
              CASE WHEN s.s + p.prior > 0 THEN 1 ELSE -1 END AS y_pred,
              s.s + p.prior AS total,
              p.ntp, p.ntn
-      FROM sc s JOIN lab l USING (doc_id) CROSS JOIN pri p
+      FROM sc s JOIN nb_lab l USING (doc_id) CROSS JOIN nb_pri p
     )
     SELECT y_true, y_pred,
            COUNT(*) AS n_docs,

@@ -237,6 +237,195 @@ class TestBoundedZeroRowRefront:
         assert got == {"a"}
 
 
+class TestRecallAtK:
+    def test_per_rung_recall_floors(self, spark, sf_dir):
+        """The measured ladder order on isotropic fixtures (see
+        operators/recall.py docstring): exact rung is 1.0 BY CONSTRUCTION
+        (a miss means the harness, not the index, broke); near-lossless
+        rungs stay high; every value is a valid ppm."""
+        from datafusion_datasource_orc_spark.operators.recall import (
+            simsearch_recall_at_k,
+        )
+
+        rows = {r.rung: r for r in simsearch_recall_at_k(spark, sf_dir).collect()}
+        assert rows["simsearch_bruteforce"].recall_ppm == 1_000_000
+        assert rows["simsearch_sq"].recall_ppm >= 900_000
+        assert rows["simsearch_ivf_kmeans"].recall_ppm >= 900_000
+        assert rows["simsearch_mips_banded"].recall_ppm >= 500_000
+        assert rows["simsearch_ivf"].recall_ppm >= 300_000
+        for r in rows.values():
+            assert 0 <= r.recall_ppm <= 1_000_000
+            assert r.hits <= r.n_queries * r.k
+            # exact integer arithmetic: ppm is reproducible from the parts
+            assert r.recall_ppm == r.hits * 1_000_000 // (r.n_queries * r.k)
+        assert len(rows) == 8
+
+    def test_exact_topk_is_bruteforce(self, spark, sf_dir):
+        """_exact_topk('cos', q<1, k=10) must equal the registered
+        simsearch_bruteforce neighbor set — the reference the whole
+        evaluation stands on."""
+        from datafusion_datasource_orc_spark.operators.recall import _exact_topk
+        from datafusion_datasource_orc_spark.operators.simsearch import (
+            TOP_K,
+            simsearch_bruteforce,
+        )
+        from datafusion_datasource_orc_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        got = {
+            r.vec_id for r in _exact_topk(emb, 1, TOP_K, "cos").collect()
+        }
+        want = {r.vec_id for r in simsearch_bruteforce(spark, sf_dir).collect()}
+        assert got == want
+
+
+class TestSemdedupBanded:
+    def test_banded_drops_subset_of_allpairs_truth(self, spark, sf_dir):
+        """Banding may MISS pairs (probabilistic recall, documented) but can
+        never invent one: every (drop, kept, cosine) row must appear in the
+        exhaustive all-pairs keep-lowest manifest computed directly."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        from datafusion_datasource_orc_spark.functions.vectors import (
+            cosine_similarity,
+        )
+        from datafusion_datasource_orc_spark.operators.semdedup import (
+            SEMDEDUP_THRESHOLD,
+        )
+        from datafusion_datasource_orc_spark.operators.semdedup_banded import (
+            embedding_semdedup_banded,
+        )
+        from datafusion_datasource_orc_spark.sources.tables import load_table
+
+        got = {
+            (r.drop_vec_id, r.cosine)
+            for r in embedding_semdedup_banded(spark, sf_dir).collect()
+        }
+        assert got, "gate-scale manifest must be non-empty"
+        emb = load_table(spark, sf_dir, "embeddings")
+        a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+        b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+        cos = F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6)
+        allq = (
+            a.join(b, F.col("va") < F.col("vb"))
+            .select("va", "vb", cos.alias("c"))
+            .filter(F.col("c") >= SEMDEDUP_THRESHOLD)
+        )
+        # all-pairs qualifying (drop, cosine-of-lowest-kept) truth
+        w = Window.partitionBy("vb").orderBy("va")
+        truth = {
+            (r.vb, r.c)
+            for r in allq.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .collect()
+        }
+        # a banded drop row's kept may be a HIGHER-id candidate than the
+        # all-pairs lowest (if banding missed the lowest), so compare on
+        # the drop ids against the full qualifying-pair truth instead
+        truth_drops = {r.vb for r in allq.select("vb").distinct().collect()}
+        assert {d for d, _ in got} <= truth_drops
+        # and where banding found the SAME kept, the cosine must agree
+        agree = got & truth
+        assert agree, "banding found none of the all-pairs keep rows"
+
+    def test_recall_on_near_identical_pairs(self, spark, sf_dir):
+        """The SemDeDup regime is near-identical embeddings: for qualifying
+        pairs at cosine >= 0.55 (p_plane ~ 0.70 on this isotropic fixture),
+        banding must catch a clear majority at gate scale."""
+        from pyspark.sql import functions as F
+
+        from datafusion_datasource_orc_spark.functions.vectors import (
+            cosine_similarity,
+        )
+        from datafusion_datasource_orc_spark.operators.semdedup_banded import (
+            embedding_semdedup_banded,
+        )
+        from datafusion_datasource_orc_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+        b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+        cos = F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6)
+        tight = (
+            a.join(b, F.col("va") < F.col("vb"))
+            .select("va", "vb", cos.alias("c"))
+            .filter(F.col("c") >= 0.55)
+            .collect()
+        )
+        if not tight:
+            return  # no near-identical pairs at this scale — nothing to pin
+        dropped = {
+            r.drop_vec_id for r in embedding_semdedup_banded(spark, sf_dir).collect()
+        }
+        caught = sum(1 for r in tight if r.vb in dropped)
+        assert caught / len(tight) >= 0.5, (caught, len(tight))
+
+
+class TestBpeVocab:
+    def test_vocab_counts_reconcile_with_encode(self, spark, sf_dir):
+        """SUM(n_occurrences) over the vocabulary must equal
+        SUM(bpe_tokens) over the encode manifest — the two artifacts count
+        the SAME symbol stream (shared bpe_word_seqs trajectory), grouped
+        differently."""
+        from pyspark.sql import functions as F
+
+        from datafusion_datasource_orc_spark.operators.bpe_apply import (
+            tokenizer_bpe_encode,
+        )
+        from datafusion_datasource_orc_spark.operators.bpe_vocab import (
+            tokenizer_bpe_vocab,
+        )
+
+        vocab = tokenizer_bpe_vocab(spark, sf_dir)
+        total_vocab = vocab.agg(F.sum("n_occurrences")).collect()[0][0]
+        total_encode = (
+            tokenizer_bpe_encode(spark, sf_dir).agg(F.sum("bpe_tokens")).collect()[0][0]
+        )
+        assert total_vocab == total_encode
+        rows = vocab.collect()
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1)), "rank must be dense"
+        assert any(r.is_merged for r in rows), "no merged symbol survived"
+        syms = [r.sym for r in rows]
+        assert len(set(syms)) == len(syms)
+
+
+class TestCurationManifest:
+    def test_selection_is_intersection_of_component_keeps(self, spark, sf_dir):
+        """Every manifest row must be kept by ALL THREE imported components,
+        and no doc kept by all three may be missing — the manifest is
+        exactly the intersection."""
+        from pyspark.sql import functions as F
+
+        from datafusion_datasource_orc_spark.operators.curation import (
+            curation_manifest,
+        )
+        from datafusion_datasource_orc_spark.operators.dsir import dsir_scores
+        from datafusion_datasource_orc_spark.operators.extras import (
+            dedup_keep_canonical,
+        )
+
+        got = {r.doc_id: r for r in curation_manifest(spark, sf_dir).collect()}
+        assert got, "gate-scale manifest must be non-empty"
+        ds = {r.doc_id: r for r in dsir_scores(spark, sf_dir).collect()}
+        canon = {
+            r.doc_id
+            for r in dedup_keep_canonical(spark, sf_dir).collect()
+            if r.canonical_id == r.doc_id
+        }
+        for doc_id, r in got.items():
+            assert ds[doc_id].keep, doc_id
+            assert ds[doc_id].s == r.dsir_weight_micro
+            assert doc_id in canon, doc_id
+            assert r.quality_micro > 0
+        # the intersection is a strict subset of each leg (the filters all
+        # bind at gate scale — a vacuous leg would mean a broken fixture)
+        kept_dsir = {d for d, r in ds.items() if r.keep}
+        assert set(got) < kept_dsir
+        assert set(got) < canon
+
+
 class TestSweepScheduling:
     def test_shard_split_is_disjoint_and_complete(self):
         """--shard I/K must partition the query set exactly (greedy LPT
