@@ -196,6 +196,13 @@ HEADLINE = [
     # the tokenizer-inference (merge application / corpus encode) rung
     "simsearch_hybrid_bm25",
     "tokenizer_bpe_encode",
+    # round 13 additions: the ANN retrieval-quality evaluation, the shipped
+    # tokenizer vocabulary, the composed curation manifest, and SemDeDup's
+    # banded at-scale twin
+    "simsearch_recall_at_k",
+    "tokenizer_bpe_vocab",
+    "curation_manifest",
+    "embedding_semdedup_banded",
 ]
 
 

@@ -32,9 +32,11 @@ No float crosses an engine boundary.
 
 Scale shape (100 TB): recall evaluation is an OFFLINE QA job over a query
 SAMPLE, not a serving path — the exact reference is one broadcast-query
-corpus scan per metric (the simsearch_bruteforce plan: TakeOrderedAndProject
-per query, no all-pairs), and each rung contributes its already-certified
-scale shape. Cost = sum of the rung costs + three linear corpus scans.
+corpus scan per metric with the two-phase top-k cut (partition-local
+row_number prune, then a global window over <= k * n_partitions
+survivors — the bm25_rank discipline; never a single-task per-query
+sort), and each rung contributes its already-certified scale shape.
+Cost = sum of the rung costs + three linear corpus scans.
 
 Fixture-statistics note (the round-10 discipline): the synthetic
 embeddings are near-isotropic unit vectors with NO planted neighborhood
@@ -73,8 +75,8 @@ from datafusion_datasource_orc_spark.sources.tables import load_table
 # the evaluation automatically.
 _RUNGS: list[tuple[str, int, int, str, bool]] = [
     ("simsearch_bruteforce", 1, _ss.TOP_K, "cos", False),  # harness self-check
-    ("simsearch_lsh", 5, 3, "cos", True),
-    ("simsearch_ivf", 5, 3, "cos", True),
+    ("simsearch_lsh", _ss.ANN_QUERIES, _ss.ANN_TOPK, "cos", True),
+    ("simsearch_ivf", _ss.ANN_QUERIES, _ss.ANN_TOPK, "cos", True),
     ("simsearch_ivf_kmeans", _ivfkm.IVFKM_QUERIES, _ivfkm.IVFKM_TOPK, "l2", True),
     ("simsearch_pq", _ss.PQ_QUERIES, _ss.PQ_TOP_K, "l2", True),
     ("simsearch_ivfpq", _ss.PQ_QUERIES, _ss.PQ_TOP_K, "l2", True),
@@ -92,7 +94,11 @@ _METRIC_DESC = {"cos": True, "l2": False, "ip": True}
 
 def _exact_sql(n_q: int, k: int, metric: str) -> str:
     """Brute-force exact top-k per query under the rung's metric, with the
-    ladder-wide (ROUND(m,6), vec_id) total order."""
+    ladder-wide (ROUND(m,6), vec_id) total order. NULL embeddings are
+    excluded on BOTH sides (the mips rungs' contract): a NULL score would
+    rank nulls-first under Spark's asc() but nulls-last under DuckDB's ASC
+    — the one ordering divergence this corpus can't show today but a
+    future fixture could."""
     m = _METRIC_SQL[metric].format(a="e.embedding", b="q.embedding")
     direction = "DESC" if _METRIC_DESC[metric] else "ASC"
     return f"""
@@ -104,6 +110,7 @@ def _exact_sql(n_q: int, k: int, metric: str) -> str:
                ) AS rk
         FROM embeddings e JOIN embeddings q
           ON q.vec_id < {n_q} AND e.vec_id != q.vec_id
+        WHERE e.embedding IS NOT NULL AND q.embedding IS NOT NULL
       ) WHERE rk <= {k}
     """
 
@@ -135,8 +142,17 @@ def _recall_oracle() -> str:
 
 
 def _exact_topk(emb: DataFrame, n_q: int, k: int, metric: str) -> DataFrame:
-    """Spark twin of _exact_sql: (q_vec_id, vec_id) exact neighbor set."""
-    q = emb.filter(F.col("vec_id") < n_q).select(
+    """Spark twin of _exact_sql: (q_vec_id, vec_id) exact neighbor set.
+
+    Two-phase top-k (the bm25_rank/mips discipline): a window partitioned
+    by q_vec_id alone would sort the whole scored corpus in ONE task per
+    query at scale. Phase 1 cuts each (q, partition-id) group to its local
+    top-k — distributing the per-q sort across partitions — phase 2 ranks
+    the <= k * n_partitions survivors. Identical results: no row outside a
+    partition-local top-k can enter the global top-k, and the
+    (ROUND(m,6), vec_id) tie-break is total."""
+    nn = emb.filter(F.col("embedding").isNotNull())
+    q = nn.filter(F.col("vec_id") < n_q).select(
         F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qe")
     )
 
@@ -148,13 +164,23 @@ def _exact_topk(emb: DataFrame, n_q: int, k: int, metric: str) -> DataFrame:
             return dot_product(a, b)
         return _ss._l2_sq(a, b)
 
-    s = F.round(score(), 6)
-    order = s.desc() if _METRIC_DESC[metric] else s.asc()
+    scored = (
+        nn.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "vec_id", F.round(score(), 6).alias("s"))
+    )
+    order = F.col("s").desc() if _METRIC_DESC[metric] else F.col("s").asc()
+    local = Window.partitionBy("q_vec_id", F.spark_partition_id()).orderBy(
+        order, F.col("vec_id")
+    )
+    pruned = (
+        scored.withColumn("lrk", F.row_number().over(local))
+        .filter(F.col("lrk") <= k)
+        .drop("lrk")
+    )
     w = Window.partitionBy("q_vec_id").orderBy(order, F.col("vec_id"))
     return (
-        emb.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("q_vec_id"))
-        .withColumn("rk", F.row_number().over(w))
+        pruned.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("q_vec_id", "vec_id")
     )

@@ -28,6 +28,8 @@ from datafusion_datasource_orc_spark.operators.registry import query
 from datafusion_datasource_orc_spark.sources.tables import load_table
 
 TOP_K = 10
+ANN_QUERIES = 5  # vec_id < 5 are the query vectors (knn_join / lsh / ivf rungs)
+ANN_TOPK = 3  # per-query cutoff shared by the same rungs (and recall@k)
 
 # DuckDB twin of functions.vectors.cosine_similarity: explicit double casts +
 # sequential list_sum so the accumulation matches Spark's aggregate().
@@ -78,8 +80,8 @@ def simsearch_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                             c.vec_id
                ) AS rnk
         FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
-        WHERE q.vec_id < 5
-    ) WHERE rnk <= 3
+        WHERE q.vec_id < {ANN_QUERIES}
+    ) WHERE rnk <= {ANN_TOPK}
     """,
 )
 def simsearch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,7 +90,7 @@ def simsearch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity — at scale, replace the full cross product with the LSH
     variant below and rank within probed buckets only."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 5).select(
+    q = emb.filter(F.col("vec_id") < ANN_QUERIES).select(
         F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("qe")
     )
     c = emb.select(F.col("vec_id"), F.col("embedding"))
@@ -98,7 +100,7 @@ def simsearch_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(q), F.col("vec_id") != F.col("q_vec_id"))
         .select("q_vec_id", "vec_id", sim.alias("sim"))
         .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
+        .filter(F.col("rnk") <= ANN_TOPK)
         .select("q_vec_id", "vec_id", "rnk")
     )
 
@@ -191,7 +193,7 @@ def _sig_sql(n_planes: int = N_HYPERPLANES) -> str:
     ),
     q AS (
       SELECT vec_id AS q_vec_id, embedding AS qe, sig AS q_sig
-      FROM sigs WHERE vec_id < 5
+      FROM sigs WHERE vec_id < {ANN_QUERIES}
     )
     SELECT q_vec_id, vec_id, rnk, sim FROM (
       SELECT q.q_vec_id, s.vec_id,
@@ -202,7 +204,7 @@ def _sig_sql(n_planes: int = N_HYPERPLANES) -> str:
                           s.vec_id
              ) AS rnk
       FROM sigs s JOIN q ON s.sig = q.q_sig AND s.vec_id != q.q_vec_id
-    ) WHERE rnk <= 3
+    ) WHERE rnk <= {ANN_TOPK}
     """,
 )
 def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,7 +214,7 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     sig = _hyperplane_sig(F.col("embedding"))
     corpus = emb.select("vec_id", "embedding", sig.alias("sig"))
-    q = corpus.filter(F.col("vec_id") < 5).select(
+    q = corpus.filter(F.col("vec_id") < ANN_QUERIES).select(
         F.col("vec_id").alias("q_vec_id"),
         F.col("embedding").alias("qe"),
         F.col("sig").alias("q_sig"),
@@ -226,7 +228,7 @@ def simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("q_vec_id", "vec_id", sim.alias("sim"))
         .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
+        .filter(F.col("rnk") <= ANN_TOPK)
         .select("q_vec_id", "vec_id", "rnk", "sim")
     )
 
@@ -315,7 +317,7 @@ IVF_PROBES = 3
                  ORDER BY ROUND({_SQL_COSINE.format(a='e.embedding', b='c.centroid')}, 6) DESC,
                           c.cell
              ) AS rk
-      FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 5
+      FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < {ANN_QUERIES}
     ),
     probes AS (SELECT q_vec_id, qe, cell FROM qp WHERE rk <= {IVF_PROBES})
     SELECT q_vec_id, vec_id, rnk, sim FROM (
@@ -328,7 +330,7 @@ IVF_PROBES = 3
              ) AS rnk
       FROM assigned a JOIN probes p USING (cell)
       WHERE a.vec_id != p.q_vec_id
-    ) WHERE rnk <= 3
+    ) WHERE rnk <= {ANN_TOPK}
     """,
 )
 def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,7 +379,7 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # queries probe their IVF_PROBES nearest cells
     queries = (
-        emb.filter(F.col("vec_id") < 5)
+        emb.filter(F.col("vec_id") < ANN_QUERIES)
         .crossJoin(F.broadcast(centroids))
         .select(
             F.col("vec_id").alias("q_vec_id"),
@@ -399,7 +401,7 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("q_vec_id"))
         .select("q_vec_id", "vec_id", sim.alias("sim"))
         .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
+        .filter(F.col("rnk") <= ANN_TOPK)
         .select("q_vec_id", "vec_id", "rnk", "sim")
     )
 

@@ -111,27 +111,17 @@ def _norm_cell(v):
     return str(v)
 
 
-def _git_blob_sha(path: str) -> str | None:
-    """Git blob sha1 of a file's current on-disk bytes (sha1 of
-    b"blob <len>\\0" + content — matches `git hash-object`), no git
-    subprocess. Same helper as __spark_entry__._git_blob_sha; duplicated
-    here so the tool stays importable without the entry module loaded."""
-    try:
-        with open(path, "rb") as f:
-            content = f.read()
-    except OSError:
-        return None
-    h = hashlib.sha1(b"blob %d\x00" % len(content))
-    h.update(content)
-    return h.hexdigest()
-
-
 def _module_info() -> dict[str, tuple[str, str | None]]:
     """query name → (module relpath, run-time git blob sha) for every
     registered query — recorded into sweep rows so re-certification
     evidence is tied to the tree that actually RAN (r12 ADVICE: a module
     edited after the sweep but committed with it must not inherit the
-    sweep's certificate)."""
+    sweep's certificate). The blob hash comes from the ONE shared helper
+    (__spark_entry__._git_blob_sha — main() imports the entry module on
+    every run anyway) so sweep-recorded blobs can never drift from the
+    ledger's comparison scheme."""
+    from __spark_entry__ import _git_blob_sha
+
     from datafusion_datasource_orc_spark.operators import QUERIES
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -160,10 +150,14 @@ def _recorded_secs() -> dict[str, float]:
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     best: dict[str, float] = {}
-    paths = sorted(
-        glob.glob(os.path.join(repo, "SWEEP_r*.json")),
-        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
-    )
+    # guard: the glob admits names the round regex does not (e.g. a shard
+    # artifact SWEEP_r13_shard0.json) — skip them instead of crashing
+    matched = []
+    for p in glob.glob(os.path.join(repo, "SWEEP_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m:
+            matched.append((int(m.group(1)), p))
+    paths = [p for _, p in sorted(matched)]
     for path in paths:  # ascending: newest recorded secs win
         try:
             with open(path) as f:

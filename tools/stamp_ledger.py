@@ -144,16 +144,26 @@ def build(max_round: int | None = None) -> dict[str, dict[str, object]]:
                 # (judge r11 task 2 — the gate window is the authority
                 # for fresh work)
                 continue
-            run_blob = rows[name].get("module_blob") if kind == 1 else None
+            if kind == 1 and isinstance(meta, dict):
+                # r13 format: certify ONLY the blob that RAN (recorded by
+                # check_oracles at run time) — a post-sweep edit committed
+                # alongside the artifact stays stale. A null/missing
+                # module_blob in this format is NO evidence (falling back
+                # to the introducing-commit blob would reopen the exact
+                # hole this format closes), so the prior record stands.
+                run_blob = rows[name].get("module_blob")
+                if not run_blob:
+                    continue
+                blob = run_blob
+            else:
+                # driver artifacts / legacy (pre-meta) sweeps: the blob at
+                # the introducing commit
+                blob = blob_at(commit, rel)
             records[name] = {
                 "round": rnd,
                 "commit": commit,
                 "module": rel,
-                # r13 sweeps: the blob that RAN (recorded by check_oracles
-                # at run time) — a post-sweep edit committed alongside the
-                # artifact stays stale. Legacy sweeps / driver artifacts:
-                # the blob at the introducing commit.
-                "blob": run_blob if run_blob else blob_at(commit, rel),
+                "blob": blob,
             }
             if kind == 1:
                 records[name]["evidence"] = "sweep"
