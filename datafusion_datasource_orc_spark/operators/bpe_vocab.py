@@ -81,11 +81,35 @@ def tokenizer_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wc").cast("bigint").alias("n_occurrences"),
         F.countDistinct("word").cast("bigint").alias("n_words"),
     )
-    # vocabulary-sized total order: the window moves |vocab| rows, never
-    # corpus rows — a plain rank, not a scale concern
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("sym").asc())
-    return cnt.select(
-        F.row_number().over(w).cast("bigint").alias("rank"),
+    # Global rank WITHOUT a partition-less window (the window_ntile
+    # two-pass discipline; plan-lint enforced): at trillion-token corpora
+    # the symbol table is millions of rows — repartitionByRange on the
+    # rank order gives contiguous ordered partitions, row_number is a
+    # local sort, and P per-partition counts (one tiny collect) turn
+    # local ranks into global ranks via broadcast offsets.
+    p = max(2, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    ranged = (
+        cnt.repartitionByRange(
+            p, F.col("n_occurrences").desc(), F.col("sym").asc()
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # counts and ranks must see ONE materialization
+    )
+    wloc = Window.partitionBy("pid").orderBy(
+        F.col("n_occurrences").desc(), F.col("sym").asc()
+    )
+    local = ranged.withColumn("lr", F.row_number().over(wloc))
+    counts = sorted(
+        (r["pid"], r["cnt"])
+        for r in ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, c in counts:
+        offsets.append((pid, acc))
+        acc += c
+    off = spark.createDataFrame(offsets, "pid int, off long")
+    return local.join(F.broadcast(off), "pid").select(
+        (F.col("off") + F.col("lr")).cast("bigint").alias("rank"),
         "sym",
         "n_occurrences",
         "n_words",

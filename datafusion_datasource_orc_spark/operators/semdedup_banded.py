@@ -137,6 +137,13 @@ def embedding_semdedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    # NO forced broadcast on the verify joins (the round-12 lesson:
+    # broadcast key-only frames, AQE for array-bearing ones): on isotropic
+    # data the candidate set below the cap grows ~n²/2^bits — at 10k
+    # vectors a forced broadcast of candidates-with-embeddings OOMed the
+    # driver in rehearsal. Plain hash joins co-partition on the vec ids;
+    # AQE still broadcasts whenever the candidate side is actually small
+    # (the clustered-corpus case the module docstring describes).
     cand = lsh_candidate_pairs(bands).select(
         F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
@@ -144,7 +151,7 @@ def embedding_semdedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
-    ).join(F.broadcast(cand), "vec_a")
+    ).join(cand, "vec_a")
     cos = F.round(
         dot_product(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
     )
@@ -154,7 +161,7 @@ def embedding_semdedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("eb"),
             F.col("nrm").alias("nb"),
         )
-        .join(F.broadcast(va), "vec_b")
+        .join(va, "vec_b")
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= SEMDEDUP_THRESHOLD)
     )

@@ -97,6 +97,16 @@ ALLOWED_NESTED_LOOP = {
     "materialized star tables Catalyst sees the sizes and picks a broadcast "
     "loop instead of the CartesianProduct it planned over derived views "
     "(the ALLOWED_CARTESIAN entry stays for the smaller-SF plan shape)",
+    "curation_manifest": "inherits its components' bounded broadcast "
+    "crossJoins ONLY: text_quality_nb's 1-row smoothed-total + 1-row prior "
+    "(scored over ALL docs here) and training_dsir_select's 1-row "
+    "smoothed-total + 1-row quantile cutoff; the manifest's own three "
+    "doc-keyed joins are equi hash joins",
+    "simsearch_recall_at_k": "inherits each evaluated rung's certified "
+    "tiny broadcasts (bruteforce/sq/mips query vectors, ivf/kmeans packed "
+    "codebooks, bm25-style 1-row aggregates) plus its own <=5-row "
+    "query-vector broadcast per exact reference; the recall joins are "
+    "equi hash joins on (q_vec_id, vec_id)",
     "tpcds_q21": _INVENTORY_BUILD,
     "tpcds_q22": _INVENTORY_BUILD,
     "tpcds_q37": _INVENTORY_BUILD,
