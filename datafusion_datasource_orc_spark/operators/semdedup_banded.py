@@ -61,7 +61,15 @@ from datafusion_datasource_orc_spark.sources.tables import load_table
 SEMB_BANDS = 4
 SEMB_BITS = 4  # 16 buckets per band: expected width n/16 per bucket —
 # sparse enough that the pair cap never binds below n ≈ 16k vectors,
-# and the star-pair fallback (replicated in the oracle) takes over above
+# and the star-pair fallback (replicated in the oracle) takes over above.
+# Measured curve (SCALE.md round 13): sub-cap candidate volume is
+# ~n²/2^(BITS+1) on isotropic data (7.4× at 5× rows), then the cap bends
+# it to O(n) (1.40× for the 5×→10× doubling). At a fixed deployment
+# scale, BITS is the knob: a step function of corpus size (e.g. +2 bits
+# per 16× rows) keeps expected bucket width bounded so the sub-cap hump
+# never dominates; it is left FIXED here so the oracle's band arithmetic
+# stays static SQL (a data-derived plane count would need per-n oracle
+# text — the one composition the hash gate can't parameterize).
 SEMB_PLANES = SEMB_BANDS * SEMB_BITS
 
 
