@@ -5522,8 +5522,18 @@ _WRAPPED = {
 
 
 def _tpcds_query(name: str):
+    # dependency scan over the SQL with single-quoted string literals
+    # stripped first (round-13 review): a bare \b-regex also matched
+    # channel LITERALS ('store channel' in q5/q76/q77/q80) and output
+    # aliases (q49's AS item), first-use materializing tables the query
+    # never scans — efficiency only, but a full table scan + ORC write
+    # per phantom dependency.
+    _scan_sql = _re.sub(r"'[^']*'", "''", _WRAPPED[name])
+    # aliases can also shadow table names (q49's `... AS item`): a genuine
+    # table reference never follows AS, so blank the alias position too
+    _scan_sql = _re.sub(r"\bAS\s+(\w+)", "AS _", _scan_sql, flags=_re.IGNORECASE)
     needed = {
-        t for t in _TPCDS_TABLES if _re.search(rf"\b{t}\b", _WRAPPED[name])
+        t for t in _TPCDS_TABLES if _re.search(rf"\b{t}\b", _scan_sql)
     }
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5730,6 +5740,15 @@ def _oracle_nulls_first(name: str, order_by: str) -> None:
 
 
 _oracle_nulls_first("tpcds_q14", "channel, i_brand_id, i_class_id, i_category_id")
+# q18: ROLLUP ORDER BY keys are NULL on every super-aggregate row, and the
+# output grows past the LIMIT from ~.scale/sf0.5 up (616 rows pre-LIMIT at
+# 5×, 1196 at 10× vs 44/72 at the gate scales) — without the rewrite the
+# two engines' top-100 cuts are fully DISJOINT there (Spark NULLS FIRST
+# keeps the subtotal rows + the grand-total row that the wrapper's
+# post-LIMIT i_item_id guard then drops → 99 rows; DuckDB NULLS LAST keeps
+# 100 detail rows). Round-13 review finding, empirically confirmed on the
+# rehearsal slices; latent at the certified scales.
+_oracle_nulls_first("tpcds_q18", "ca_country, ca_state, ca_county, i_item_id")
 _oracle_nulls_first(
     "tpcds_q22",
     "qoh, i_product_name, i_brand, i_class, i_category",

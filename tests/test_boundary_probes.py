@@ -142,3 +142,49 @@ def test_q65_store_revenue_threshold(probe_con):
             f"q65 store {st}: a revenue sits {float(margin):.2e} relative "
             "from the 0.1*ave threshold"
         )
+
+
+def test_q36_gross_margin_rank_ties(probe_con):
+    """q36 RANKs SUM(ss_net_profit)/SUM(ss_ext_sales_price) within each
+    ROLLUP rank partition. Spark evaluates the ratio in exact decimal,
+    DuckDB in double — a tie in one arithmetic that is distinct in the
+    other would flip rank_within_parent between engines and shift the
+    ORDER BY cut. Assert every partition's margins are pairwise distinct
+    in exact rationals, as doubles, AND on a decimal(20,10) half-up grid
+    (the q44 triple-arithmetic discipline). Round-13 review: the module
+    comment used to CLAIM this probe existed; now it does."""
+    rows = probe_con.execute(
+        f"""WITH {_DDB_DIMS}
+        SELECT i_category, i_class,
+               CAST(SUM(ss_net_profit) * 1000000 AS BIGINT),
+               CAST(SUM(ss_ext_sales_price) * 1000000 AS BIGINT),
+               GROUPING(i_category) + GROUPING(i_class)
+        FROM store_sales, date_dim d1, item, store
+        WHERE d1.d_year = 1998
+          AND d1.d_date_sk = ss_sold_date_sk
+          AND i_item_sk = ss_item_sk
+          AND ss_store_sk = s_store_sk
+          AND s_state IN ('TN', 'SD', 'AL', 'GA', 'KY')
+        GROUP BY ROLLUP(i_category, i_class)"""
+    ).fetchall()
+
+    def _half_up_10(a: Fraction) -> int:
+        num, den = abs(a.numerator), a.denominator
+        q = (2 * num * 10**10 + den) // (2 * den)
+        return q if a >= 0 else -q
+
+    parts: dict[tuple, list[Fraction]] = {}
+    for cat, cls, np, sp, loch in rows:
+        assert sp != 0, "q36: zero sales-price denominator"
+        # rank partition = (lochierarchy, category when class-level else NULL)
+        key = (loch, cat if loch == 0 else None)
+        parts.setdefault(key, []).append(Fraction(np, sp))
+    assert parts, "q36 probe query returned nothing"
+    for key, margins in parts.items():
+        assert len(set(margins)) == len(margins), f"q36 {key}: exact tie"
+        assert len({float(m) for m in margins}) == len(margins), (
+            f"q36 {key}: double rank-key collision"
+        )
+        assert len({_half_up_10(m) for m in margins}) == len(margins), (
+            f"q36 {key}: decimal(20,10) rank-key collision"
+        )
