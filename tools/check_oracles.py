@@ -140,10 +140,14 @@ def _module_info() -> dict[str, tuple[str, str | None]]:
     return out
 
 
-def _recorded_secs() -> dict[str, float]:
-    """Per-query durations from the NEWEST committed SWEEP_r*.json that
-    carries them (round >= 13 format) — the scheduling input for
-    --slowest-first / --shard."""
+def _recorded_secs(sf_key: str | None = None) -> dict[str, float]:
+    """Per-query durations for --slowest-first / --shard. Sources, in
+    overlay order: the NEWEST committed SWEEP_r*.json that carries secs
+    (sf0.01 figures — the r13 format), then sweep_durations.json's
+    entries for the TARGET scale when present (tools/
+    sweep_log_durations.py merges them from sweep logs) — so an sf0.1 run
+    fronts the sf0.1 long pole (dedup_substring_spans' ~17-min oracle),
+    not a proxy."""
     import glob
     import json
     import re
@@ -169,6 +173,17 @@ def _recorded_secs() -> dict[str, float]:
         for name, rec in rows.items():
             if isinstance(rec, dict) and isinstance(rec.get("secs"), (int, float)):
                 best[name] = float(rec["secs"])
+    if sf_key:
+        try:
+            with open(os.path.join(repo, "sweep_durations.json")) as f:
+                per_scale = json.load(f)
+        except (OSError, ValueError):
+            per_scale = {}
+        for name, scales in per_scale.items():
+            if isinstance(scales, dict) and isinstance(
+                scales.get(sf_key), (int, float)
+            ):
+                best[name] = float(scales[sf_key])
     return best
 
 
@@ -240,7 +255,7 @@ def main() -> int:
             )
         qs = {k: v for k, v in qs.items() if k in only}
     if slowest_first or shard:
-        secs = _recorded_secs()
+        secs = _recorded_secs(os.path.basename(os.path.normpath(sf_dir)))
         # unknown-duration queries first (they are this round's new work —
         # and pessimistically 'slow' for shard balancing at 60 s each)
         ordered = sorted(
