@@ -96,6 +96,9 @@ _ROUND_PRIORITY: list[str] = [
     "tokenizer_bpe_vocab",
     "curation_manifest",
     "embedding_semdedup_banded",
+    # landed at round-13 close for the r14 window (round-14 candidate 3):
+    # the per-source rollup certificate over the curation manifest
+    "curation_source_rollup",
     # round-11 addition (judge r10 task 2): incremental substring-span
     # coverage over the materialized span-hash index (same manifest as
     # dedup_substring_spans on the batch split; the oracle computes df

@@ -97,6 +97,9 @@ ALLOWED_NESTED_LOOP = {
     "materialized star tables Catalyst sees the sizes and picks a broadcast "
     "loop instead of the CartesianProduct it planned over derived views "
     "(the ALLOWED_CARTESIAN entry stays for the smaller-SF plan shape)",
+    "curation_source_rollup": "one groupBy(source) over the imported "
+    "curation_manifest — inherits exactly that query's allowlisted "
+    "bounded component broadcasts, adds none of its own",
     "curation_manifest": "inherits its components' bounded broadcast "
     "crossJoins ONLY: text_quality_nb's 1-row smoothed-total + 1-row prior "
     "(scored over ALL docs here) and training_dsir_select's 1-row "

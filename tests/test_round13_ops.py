@@ -425,6 +425,36 @@ class TestCurationManifest:
         assert set(got) < kept_dsir
         assert set(got) < canon
 
+    def test_source_rollup_reconciles_with_manifest(self, spark, sf_dir):
+        """The per-source rollup must be EXACTLY the manifest grouped —
+        same doc counts, token sums, and score mass per source."""
+        from collections import defaultdict
+
+        from datafusion_datasource_orc_spark.operators.curation import (
+            curation_manifest,
+        )
+        from datafusion_datasource_orc_spark.operators.curation_rollup import (
+            curation_source_rollup,
+        )
+
+        want = defaultdict(lambda: [0, 0, 0, 0])
+        for r in curation_manifest(spark, sf_dir).collect():
+            w = want[r.source]
+            w[0] += 1
+            w[1] += r.tokens
+            w[2] += r.quality_micro
+            w[3] += r.dsir_weight_micro
+        got = {
+            r.source: [
+                r.n_selected,
+                r.sel_tokens,
+                r.sum_quality_micro,
+                r.sum_dsir_weight_micro,
+            ]
+            for r in curation_source_rollup(spark, sf_dir).collect()
+        }
+        assert got == dict(want)
+
 
 class TestSweepScheduling:
     def test_shard_split_is_disjoint_and_complete(self):
