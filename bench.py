@@ -524,30 +524,49 @@ def main() -> None:
     # calibration carries ONLY the drift scalar the next round's comparator
     # reads — bench_detail.json carries full-precision times for all
     # queries + the full blocks. Measured r12: 72 headliners ≈ 1610 chars.
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_best_of_%d" % ITERATIONS,
-            "value": round(sum(results.values()), 2),
-            "unit": "sec",
-            "n_queries": len(results),
-            "run_id": run_id,
-            "queries": {
-                n: (round(v, 1) if v >= 1.0 else round(v, 2))
-                for n, v in results.items()
-                if v >= 0.5
-            },
-            "drift": cal_drift,
-            "vs_prev": regression_compact,
-            "sf": sf_val,
-        }
-    )
+    def _emit(cutoff: float) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_queries_total_best_of_%d" % ITERATIONS,
+                "value": round(sum(results.values()), 2),
+                "unit": "sec",
+                "n_queries": len(results),
+                "run_id": run_id,
+                "queries": {
+                    n: (round(v, 1) if v >= 1.0 else round(v, 2))
+                    for n, v in results.items()
+                    if v >= cutoff
+                },
+                "drift": cal_drift,
+                "vs_prev": regression_compact,
+                "sf": sf_val,
+            }
+        )
+
     # the driver parses the JSON line out of the LAST 2000 chars of stdout
-    # (BENCH_r02/r04 recorded parsed=null after overflowing it) — fail
-    # loudly at emit time rather than silently losing the round's record;
-    # per-query detail beyond best-of-N belongs in bench_detail.json
+    # (BENCH_r02/r04 recorded parsed=null after overflowing it). The 0.5 s
+    # print cutoff normally keeps the line well under budget, but a
+    # host-degraded run pushes MORE queries over the cutoff (r14: a cold
+    # 1-iteration run hit 2,062 chars and the old assert crashed the whole
+    # bench, which would have lost the round's record entirely). Degrade
+    # gracefully instead: raise the cutoff in 0.1 s steps until the line
+    # fits — bench_detail.json always carries every query at full
+    # precision, so nothing is lost, and on a normal run the emitted line
+    # is byte-identical to the old behaviour.
+    cutoff = 0.5
+    line = _emit(cutoff)
+    while len(line) >= 1900 and cutoff < 60.0:
+        cutoff = round(cutoff + 0.1, 1)
+        line = _emit(cutoff)
+    if cutoff > 0.5:
+        print(
+            f"# stdout budget: per-query print cutoff raised to {cutoff}s "
+            "(host-degraded run; full per-query times in bench_detail.json)",
+            file=sys.stderr,
+        )
     assert len(line) < 1900, (
-        f"stdout summary line {len(line)} chars >= 1900: trim HEADLINE per-query "
-        "precision or move fields to bench_detail.json"
+        f"stdout summary line {len(line)} chars >= 1900 even at cutoff {cutoff}: "
+        "move fields to bench_detail.json"
     )
     print(line)
 

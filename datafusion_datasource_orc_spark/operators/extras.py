@@ -971,27 +971,43 @@ BASKET_SIZE_CAP = 1_000
 )
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{k} part pairs by number of orders containing both — market-basket
-    co-occurrence mining via the posting self-join. Deterministic under the
-    massive count ties via the (part_a, part_b) tie-break. Mega-baskets are
-    dropped by BASKET_SIZE_CAP before pairing (C(k,2) skew guard); the
-    basket-size aggregate is map-side combinable and its over-cap survivor
-    set is a broadcast-size anti-join input."""
+    co-occurrence mining. Deterministic under the massive count ties via the
+    (part_a, part_b) tie-break.
+
+    r14 restructure (optimization guide §2.4 — remove shuffles outright):
+    ONE groupBy(l_orderkey) collect_set gathers each basket's distinct
+    parts (the set-dedup and the basket-size count in the same aggregate),
+    the C(k,2) pairs expand IN-ROW (the lsh_candidate_pairs idiom), and
+    only the pair-count groupBy shuffles after that — 2 exchanges where
+    the old shape (distinct + size-aggregate + anti-join + postings
+    self-join + pair groupBy) paid 5. Mega-baskets (> BASKET_SIZE_CAP
+    distinct parts) are still dropped whole BEFORE pairing — now a
+    size() filter on the gathered array instead of a separate aggregate +
+    anti-join — so the in-row expansion is bounded by C(cap, 2) structs
+    and the result set is bit-identical to the old posting self-join."""
     from pyspark.sql.window import Window
 
     li = load_table(spark, sf_dir, "lineitem")
-    po = li.select("l_orderkey", "l_partkey").distinct()
-    oversized = (
-        po.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .filter(F.col("k") > BASKET_SIZE_CAP)
-        .select("l_orderkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .filter(F.size("parts") <= BASKET_SIZE_CAP)
     )
-    po = po.join(oversized, "l_orderkey", "left_anti")
-    a = po.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = po.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    in_row_pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("parts"),
+                lambda a: F.transform(
+                    F.col("parts"),
+                    lambda b: F.struct(a.alias("part_a"), b.alias("part_b")),
+                ),
+            )
+        ),
+        lambda p: p["part_a"] < p["part_b"],
+    )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(in_row_pairs).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )

@@ -7,13 +7,17 @@ O(n²/k) at fixed k and O(n^1.5) under the registered k ∝ sqrt(n) — fine
 at gate scale, but the at-scale instantiation the module docstring
 promises is CANDIDATE BANDING: bucket vectors by random-hyperplane
 signature bands (the certified simsearch_lsh machinery, widened to
-{SEMB_PLANES} planes), expand candidate pairs per (band, bucket) through
-the SAME width-capped generator minhash/phash dedup use
-(``dedup.lsh_candidate_pairs``), then verify each candidate with the
-exact rounded cosine and apply the keep-lowest rule. Near-linear
-candidate volume on non-degenerate data, one banding shuffle, broadcast
-verify joins — the LSH dedup plan shape that already carries the
-minhash and phash rungs at scale.
+{SEMB_PLANES} planes), expand candidate pairs per (band, bucket) under
+the SAME width-cap contract minhash/phash dedup use
+(``dedup.lsh_candidate_pairs``: all ordered pairs at width ≤ cap, star
+pairs against the bucket minimum above it), then verify each candidate
+with the exact rounded cosine and apply the keep-lowest rule. Since r14
+the exact-cosine verify is FUSED INTO the in-bucket expansion (the
+member structs carry embedding + norm into the bucket gather), so the
+quadratic sub-cap candidate stream is τ-filtered in place and never
+crosses an exchange, a broadcast, or a verify join. Near-linear
+candidate volume on non-degenerate data, one banding shuffle, zero
+verify joins.
 
 Exactness across engines (NOT exact recall): the oracle replays the
 ENTIRE pipeline bit-for-bit — planes, band split (non-negative integer
@@ -45,10 +49,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from datafusion_datasource_orc_spark.functions.vectors import dot_product, l2_norm
-from datafusion_datasource_orc_spark.operators.dedup import (
-    LSH_BUCKET_PAIR_CAP,
-    lsh_candidate_pairs,
-)
+from datafusion_datasource_orc_spark.operators.dedup import LSH_BUCKET_PAIR_CAP
 from datafusion_datasource_orc_spark.operators.registry import query
 from datafusion_datasource_orc_spark.operators.semdedup import SEMDEDUP_THRESHOLD
 from datafusion_datasource_orc_spark.operators.simsearch import (
@@ -82,6 +83,7 @@ def _banded_oracle() -> str:
     return f"""
     WITH sigs AS (
       SELECT vec_id, {_sig_sql(SEMB_PLANES)} AS sig FROM embeddings
+      WHERE embedding IS NOT NULL
     ),
     b AS (
       SELECT vec_id, t.bk[1] AS band, t.bk[2] AS bh
@@ -118,19 +120,48 @@ def embedding_semdedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See module docstring — the banded SemDeDup drop manifest: for every
     vector with a lower-id BANDED CANDIDATE at cosine ≥ τ, one row
     (drop_vec_id, kept_vec_id, cosine) naming its lowest-id such candidate
-    as the kept representative. Plan: one linear pass for {SEMB_PLANES}-bit
-    signatures, one groupBy(band, bh) shuffle through the width-capped
-    candidate generator, broadcast exact-cosine verify, one window over
-    the qualifying pairs."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    as the kept representative.
+
+    Plan (r14 restructure — optimization guide §2.3/§2.4, "shuffle keys and
+    metadata instead of payloads" + "remove shuffles outright"): one linear
+    pass computes the {SEMB_PLANES}-bit signatures, ONE groupBy(band, bh)
+    shuffle gathers each bucket's (vec_id, embedding, nrm) members, and the
+    exact-cosine VERIFY runs INSIDE the width-capped in-bucket pair
+    expansion — each expanded pair is emitted as a light
+    (vec_a, vec_b, cosine) struct, never as a row carrying embeddings. The
+    τ-filter therefore cuts the candidate stream BEFORE the cross-band
+    distinct, so the only post-expansion exchange moves the handful of
+    qualifying triples. The old shape shipped the O(n²/2^bits) sub-cap
+    candidate set through a distinct exchange, a broadcast, and two verify
+    joins that re-attached embeddings to every candidate row; this shape
+    has zero verify joins and its quadratic term never crosses an exchange.
+    Candidate semantics (all ordered pairs at width ≤ cap, star pairs
+    against the bucket minimum above it) and every emitted value are
+    bit-identical — the cosine is the same rounded expression, computed
+    per co-bucketing instead of per distinct pair (deterministic, so the
+    distinct collapses duplicates to the identical triple)."""
+    # NULL embeddings banded on the Spark side would all collapse into one
+    # NULL-band-hash bucket and expand wasted quadratic candidates the
+    # oracle's NULL-rejecting equi-join never generates (every such pair
+    # fails the cosine verify on both engines, so results are identical —
+    # the cost is pure waste). Filter them out up front, mirrored in the
+    # oracle's sigs CTE (r13 ADVICE; the mips rungs' contract).
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     sig = _hyperplane_sig(F.col("embedding"), n_planes=SEMB_PLANES)
-    # (vec_id, embedding, sig, nrm) materialized once: it feeds the banding
-    # AND both verify sides (the countmin fan-out lesson)
-    m = emb.select(
-        "vec_id", "embedding", sig.alias("sig"), l2_norm(F.col("embedding")).alias("nrm")
-    ).localCheckpoint(eager=False)
-    bands = m.select(
-        F.col("vec_id").alias("doc_id"),
+    # band rows carry the member payload (embedding, nrm) INTO the bucket
+    # gather — SEMB_BANDS linear copies of the corpus through one exchange,
+    # in exchange for never moving the quadratic candidate set anywhere
+    bands = emb.select(
+        "vec_id",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+        sig.alias("sig"),
+    ).select(
+        "vec_id",
+        "embedding",
+        "nrm",
         F.explode(
             F.array(
                 *[
@@ -144,34 +175,68 @@ def embedding_semdedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    # NO forced broadcast on the verify joins (the round-12 lesson:
-    # broadcast key-only frames, AQE for array-bearing ones): on isotropic
-    # data the candidate set below the cap grows ~n²/2^bits — at 10k
-    # vectors a forced broadcast of candidates-with-embeddings OOMed the
-    # driver in rehearsal. Plain hash joins co-partition on the vec ids;
-    # AQE still broadcasts whenever the candidate side is actually small
-    # (the clustered-corpus case the module docstring describes).
-    cand = lsh_candidate_pairs(bands).select(
-        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+    ).select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bh").alias("bh"),
     )
-    va = m.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    ).join(cand, "vec_a")
-    cos = F.round(
-        dot_product(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    # in-bucket pair expansion + exact verify, mirroring the
+    # lsh_candidate_pairs width-cap contract exactly (all ordered pairs at
+    # width <= cap, star pairs against the bucket-minimum member above it;
+    # array_min over the member structs orders by the leading vec_id field).
+    # The cosine is evaluated lazily per qualifying orientation (When
+    # short-circuits the a >= b branches), emitting ONLY light
+    # (vec_a, vec_b, cosine) structs — embeddings never enter a pair row.
+    members = (
+        bands.groupBy("band", "bh")
+        .agg(F.collect_list(F.struct("vec_id", "embedding", "nrm")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+
+    def _pair(a, b):
+        return F.when(
+            a["vec_id"] < b["vec_id"],
+            F.struct(
+                a["vec_id"].alias("vec_a"),
+                b["vec_id"].alias("vec_b"),
+                F.round(
+                    dot_product(a["embedding"], b["embedding"])
+                    / (a["nrm"] * b["nrm"]),
+                    6,
+                ).alias("cosine"),
+            ),
+        )
+
+    all_pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda a: F.transform(F.col("ds"), lambda b: _pair(a, b)),
+            )
+        ),
+        lambda p: p.isNotNull(),
+    )
+    mn = F.array_min("ds")
+    star_pairs = F.filter(
+        F.transform(F.col("ds"), lambda b: _pair(mn, b)),
+        lambda p: p.isNotNull(),
     )
     pairs = (
-        m.select(
-            F.col("vec_id").alias("vec_b"),
-            F.col("embedding").alias("eb"),
-            F.col("nrm").alias("nb"),
+        members.select(
+            F.explode(
+                F.when(
+                    F.size("ds") > F.lit(LSH_BUCKET_PAIR_CAP), star_pairs
+                ).otherwise(all_pairs)
+            ).alias("p")
         )
-        .join(va, "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .select("p.vec_a", "p.vec_b", "p.cosine")
+        # τ-filter BEFORE the cross-band distinct: only qualifying triples
+        # reach the exchange; distinct-then-filter and filter-then-distinct
+        # agree because the cosine is deterministic per pair
         .filter(F.col("cosine") >= SEMDEDUP_THRESHOLD)
+        .distinct()
     )
     w = Window.partitionBy("vec_b").orderBy("vec_a")
     return (

@@ -366,15 +366,30 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # assign every vector to its nearest centroid (may differ from label);
     # rank on the 6-dp-rounded similarity with cell as tie-break so the
-    # assignment is reproducible cross-engine
+    # assignment is reproducible cross-engine.
+    # r14: the rk=1 window became a MAX(struct) aggregate — bit-identical
+    # winner (struct ordering = (csim DESC via max, -cell for the ASC cell
+    # tie-break); NaN sorts greatest in both the window's DESC order and
+    # the aggregate's max, -0.0/+0.0 likewise agree) but map-side
+    # combinable: the shuffle moves one partial-max struct per vec_id per
+    # task instead of every (vector × cell) row with its embedding, and the
+    # per-partition sort disappears (guide §2.3 "aggregate before you
+    # shuffle").
     csim = F.round(cosine_similarity(F.col("embedding"), F.col("centroid")), 6)
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
     assigned = (
         emb.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "embedding", "cell", csim.alias("csim"))
-        .withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "embedding", "cell")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    csim.alias("csim"),
+                    (-F.col("cell")).alias("negcell"),
+                    F.col("cell").alias("cell"),
+                    F.col("embedding").alias("embedding"),
+                )
+            ).alias("best")
+        )
+        .select("vec_id", F.col("best.embedding").alias("embedding"), F.col("best.cell").alias("cell"))
     )
 
     # queries probe their IVF_PROBES nearest cells
@@ -825,13 +840,19 @@ def simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d2 = F.round(_l2_sq(F.col("sv"), F.col("centroid")), 6)
-    w_enc = Window.partitionBy("vec_id", "m").orderBy(F.col("d2").asc(), "ccell")
-    enc = (
+    # r14: nearest-centroid encode as a MIN(struct) aggregate instead of an
+    # rk=1 window — identical winner ((d2 ASC, ccell ASC) is exactly struct
+    # min's lexicographic order; d2 is a rounded sum of squares, never
+    # -0.0, and NaN sorts greatest under both forms), but map-side
+    # combinable: the encode shuffle moves one partial-min struct per
+    # (vector, sub-space) instead of all corpus × 16 candidate rows, and
+    # the per-partition sort disappears (guide §2.3).
+    codes = (
         subs.join(F.broadcast(cent), "m")
-        .select("vec_id", "m", "ccell", d2.alias("d2"))
-        .withColumn("rk", F.row_number().over(w_enc))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(d2.alias("d2"), F.col("ccell").alias("ccell"))).alias("best"))
+        .select("vec_id", "m", F.col("best.ccell").alias("ccell"))
     )
-    codes = enc.filter(F.col("rk") == 1).select("vec_id", "m", "ccell")
 
     qd_int = F.round(d2 * 1e6).cast("long")
     dtable = (
@@ -1235,13 +1256,21 @@ def simsearch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     csim = F.round(cosine_similarity(F.col("embedding"), F.col("centroid")), 6)
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cell")
+    # r14: rk=1 window → map-side-combinable MAX(struct) aggregate; same
+    # bit-identical-winner argument as simsearch_ivf's assignment above
     assigned = (
         emb.crossJoin(F.broadcast(coarse))
-        .select("vec_id", "cell", csim.alias("csim"))
-        .withColumn("rk", F.row_number().over(w_assign))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "cell")
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    csim.alias("csim"),
+                    (-F.col("cell")).alias("negcell"),
+                    F.col("cell").alias("cell"),
+                )
+            ).alias("best")
+        )
+        .select("vec_id", F.col("best.cell").alias("cell"))
     )
     probes = (
         emb.filter(F.col("vec_id") < PQ_QUERIES)
@@ -1298,13 +1327,13 @@ def simsearch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid")
     )
     d2 = F.round(_l2_sq(F.col("sv"), F.col("centroid")), 6)
-    w_enc = Window.partitionBy("vec_id", "m").orderBy(F.col("d2").asc(), "ccell")
+    # r14: rk=1 window → map-side-combinable MIN(struct) aggregate; same
+    # bit-identical-winner argument as simsearch_pq's encode above
     codes = (
         subs.join(F.broadcast(cent), "m")
-        .select("vec_id", "m", "ccell", d2.alias("d2"))
-        .withColumn("rk", F.row_number().over(w_enc))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "m", "ccell")
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(d2.alias("d2"), F.col("ccell").alias("ccell"))).alias("best"))
+        .select("vec_id", "m", F.col("best.ccell").alias("ccell"))
     )
     qd_int = F.round(d2 * 1e6).cast("long")
     dtable = (
