@@ -41,6 +41,7 @@ from datafusion_datasource_orc_spark.operators.simsearch import (
     _PLANE_RANGE,
     N_HYPERPLANES,
     PI_DIMS,
+    plane_component_value,
 )
 from datafusion_datasource_orc_spark.sources.tables import load_table
 
@@ -144,18 +145,23 @@ def _aug_plane_component_sql(p: int, idx: str) -> str:
 
 def _aug_sig(vec):
     """Random-hyperplane signature over the augmented vector — the
-    simsearch._hyperplane_sig shape with the widened-stride planes."""
+    simsearch._hyperplane_sig shape with the widened-stride planes.
+
+    r14: plane components folded to literal arrays at plan-build time via
+    the shared plane_component_value (bit-identical integer arithmetic —
+    see its docstring) with this module's _AUG_STRIDE over the EMB_DIM+1
+    augmented dims; the zip_with fold is unchanged, so projections and
+    buckets are bit-identical to the old per-row Column arithmetic."""
     bits = []
     for p in range(N_HYPERPLANES):
+        h = F.array(
+            *[
+                F.lit(plane_component_value(p, i, stride=_AUG_STRIDE))
+                for i in range(EMB_DIM + 1)
+            ]
+        )
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    _aug_plane_component(p),
-                ),
-                lambda x, h: x.cast("double") * h,
-            ),
+            F.zip_with(vec, h, lambda x, hh: x.cast("double") * hh),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )

@@ -106,32 +106,59 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, _centroids, assigned = kmeans_train(spark, sf_dir, k_expr=k_expr)
     # emb is hash-partitioned by vec_id and checkpointed (kmeans_train);
     # assigned carries (vec_id, cid). One join keys on vec_id (no corpus
-    # shuffle thanks to the retained partitioning), then the pair join
-    # shuffles (cid, vec_id, embedding) ONCE on cid — cluster width bounds
-    # the in-partition pair work, which is the SemDeDup contract (k scales
-    # with the corpus; module docstring).
+    # shuffle thanks to the retained partitioning).
     m = emb.join(assigned.select("vec_id", "cid"), "vec_id").select(
         "cid", "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
     )
-    a = m.select(
-        F.col("cid").alias("cluster_id"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
+    # r14 (guide §2.3/§2.4, mirroring the banded twin's restructure): the
+    # within-cluster pair scan runs IN-CLUSTER — one groupBy(cid) shuffle
+    # gathers each cluster's (vec_id, embedding, nrm) members, the C(w,2)
+    # pair expansion evaluates the identical rounded cosine in place (When
+    # short-circuits the a >= b orientations), and only light qualifying
+    # (cluster_id, vec_a, vec_b, cosine) structs ever leave the row. The
+    # old shape shuffled the corpus-with-embeddings TWICE on cid (both
+    # sort-merge sides) and streamed every sub-τ pair through the join
+    # output; this shape shuffles it once and τ-filters at the source.
+    # Results are bit-identical (each vector lives in exactly one cluster,
+    # so no cross-bucket duplicates exist; same cosine expression, same
+    # keep-lowest window). Memory: the per-cluster member row is
+    # width × (d+2) doubles with width ≈ sqrt(8n) under k(n) — fine at
+    # every gate scale; at corpus scale the registered at-scale shape is
+    # the banded twin (embedding_semdedup_banded), as the module docstring
+    # has always said: the within-cluster QUADRATIC, not this row, is what
+    # gives out first either way.
+    members = m.groupBy("cid").agg(
+        F.collect_list(F.struct("vec_id", "embedding", "nrm")).alias("ds")
     )
-    b = m.select(
-        F.col("cid").alias("cluster_id"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos = F.round(
-        dot_product(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+
+    def _pair(a, b):
+        return F.when(
+            a["vec_id"] < b["vec_id"],
+            F.struct(
+                a["vec_id"].alias("vec_a"),
+                b["vec_id"].alias("vec_b"),
+                F.round(
+                    dot_product(a["embedding"], b["embedding"])
+                    / (a["nrm"] * b["nrm"]),
+                    6,
+                ).alias("cosine"),
+            ),
+        )
+
+    in_row = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda a: F.transform(F.col("ds"), lambda b: _pair(a, b)),
+            )
+        ),
+        lambda p: p.isNotNull(),
     )
     pairs = (
-        a.join(b, ["cluster_id"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("cluster_id", "vec_a", "vec_b", cos.alias("cosine"))
+        members.select(
+            F.col("cid").alias("cluster_id"), F.explode(in_row).alias("p")
+        )
+        .select("cluster_id", "p.vec_a", "p.vec_b", "p.cosine")
         .filter(F.col("cosine") >= SEMDEDUP_THRESHOLD)
     )
     w = Window.partitionBy("vec_b").orderBy("vec_a")

@@ -135,6 +135,24 @@ def _plane_component(p: int):
     return fn
 
 
+def plane_component_value(p: int, i: int, stride: int = 64) -> float:
+    """h(p, i) evaluated in Python — the computed-constants discipline
+    (mips._PROBE_MASKS precedent): every operand is a non-negative exact
+    int (Python ints are exact; Spark's %, xor, shiftright on non-negative
+    int64 agree with Python's), so the value is bit-identical to what
+    _plane_component's Column expression computes per row. Folding the
+    components to literal arrays at plan-build time removes the ~10
+    interpreted expression nodes × dims × planes that higher-order
+    functions (never whole-stage-codegen'd) otherwise re-evaluate per
+    corpus row (r14, guide §1.2 per-task work)."""
+    k = i + p * stride + 1
+    a = (k * _MIX_A) % _MIX_M
+    b = a ^ (a >> 13)
+    c = (b * _MIX_B) % _MIX_M
+    d = c ^ (c >> 7)
+    return float(d % _PLANE_RANGE - _PLANE_RANGE // 2)
+
+
 def _plane_component_sql(p: int, idx: str) -> str:
     """DuckDB twin of _plane_component; idx is a 0-based dim expression."""
     k = f"(CAST({idx} AS BIGINT) + {p * 64 + 1})"
@@ -145,18 +163,26 @@ def _plane_component_sql(p: int, idx: str) -> str:
     return f"CAST(({d} % {_PLANE_RANGE}) - {_PLANE_RANGE // 2} AS DOUBLE)"
 
 
-def _hyperplane_sig(vec, n_planes: int = N_HYPERPLANES):
+def _hyperplane_sig(vec, n_planes: int = N_HYPERPLANES, n_dims: int = 64):
     """Random-hyperplane signature: bit p = sign of the projection onto
     deterministic pseudo-random plane p. Pure Column expressions; no
-    driver-side RNG or broadcast of plane matrices."""
+    driver-side RNG or broadcast of plane matrices.
+
+    r14: the plane-component vectors are LITERAL arrays computed once at
+    plan-build time (plane_component_value — bit-identical to the old
+    per-row Column arithmetic, see its docstring) instead of a
+    transform(sequence(...)) re-evaluated inside the interpreted HOF for
+    every corpus row. ``n_dims`` is the fixed embedding dimensionality the
+    oracle twin (_sig_sql) has always hardcoded as range(0, 64); the
+    zip_with fold order and every multiply/add are unchanged, so the
+    projections — and therefore the buckets — are bit-identical."""
     bits = []
     for p in range(n_planes):
+        h = F.array(
+            *[F.lit(plane_component_value(p, i)) for i in range(n_dims)]
+        )
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(F.sequence(F.lit(0), F.size(vec) - 1), _plane_component(p)),
-                lambda x, h: x.cast("double") * h,
-            ),
+            F.zip_with(vec, h, lambda x, hh: x.cast("double") * hh),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
