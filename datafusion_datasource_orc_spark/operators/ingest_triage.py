@@ -140,14 +140,17 @@ def triage_against(spark: SparkSession, sf_dir: str, incoming: DataFrame) -> Dat
         incoming.select("doc_id", "text")
     )
     sh = checkpointed_shingles(docs)
-    # asymmetric candidates via the shared generator: the verified pair set
-    # is tiny, so filtering the symmetric pairs to (incoming, existing) in
-    # either orientation costs nothing at any scale — the banding shuffle
-    # (the real cost) is identical, and sharing minhash_lsh_pairs keeps one
-    # certified signature/verify implementation instead of two.
-    pairs = minhash_lsh_pairs(sh)
-    cross = pairs.filter(
-        (F.col("doc_a") % 10 == 0) != (F.col("doc_b") % 10 == 0)
+    # asymmetric candidates via the shared generator, with the orientation
+    # cut PUSHED BELOW the exact verify (r14, minhash_lsh_pairs.pair_pred):
+    # within-side candidate pairs were always discarded after verification,
+    # so filtering them out of the candidate set first means they never
+    # ship their shingle arrays through the verify joins — identical
+    # output (the predicate reads only the pair ids), and sharing
+    # minhash_lsh_pairs keeps one certified signature/verify
+    # implementation instead of two.
+    cross = minhash_lsh_pairs(
+        sh,
+        pair_pred=(F.col("doc_a") % 10 == 0) != (F.col("doc_b") % 10 == 0),
     )
     oriented = cross.select(
         F.when(F.col("doc_a") % 10 == 0, F.col("doc_a"))
