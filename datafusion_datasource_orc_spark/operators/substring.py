@@ -19,12 +19,19 @@ chunk-level pair finder); `text_repetition` measures INTRA-doc n-gram
 repetition; this operator measures CROSS-doc span sharing with exact token
 coverage — the quantity Lee et al. threshold on.
 
-Scale shape (100 TB): spans ≈ one row per token (explode), the df count is
-one map-side-combinable groupBy(h), and the df join back is 1:1 per span
-row — there is NO doc x doc pair join anywhere, so boilerplate spans with
-huge df cannot quadratically explode this plan (unlike shingle pair joins,
-which need the SHINGLE_DF_CAP guard). Coverage union is row-local array
-arithmetic. Two shuffles total, both on the span hash / doc id.
+Scale shape (100 TB): spans ≈ one row per token (explode), the
+duplicated-hash decision is one map-side-combinable groupBy(h) — the "df
+over distinct docs >= 2" rule is evaluated as min(doc_id) != max(doc_id),
+which is the same predicate (>= 2 distinct non-null doc ids) but combines
+to ONE row per hash per map task instead of expanding distinct
+(h, doc_id) pairs through the exchange — and the dup join back is 1:1 per
+span row; there is NO doc x doc pair join anywhere, so boilerplate spans
+with huge df cannot quadratically explode this plan (unlike shingle pair
+joins, which need the SHINGLE_DF_CAP guard). Both full-form exchanges key
+on unhex(h) (the 16 raw md5 bytes — bijective with the 32-char hex, so
+grouping classes are identical) rather than the hex string, halving the
+key bytes shuffled. Coverage union is row-local array arithmetic. Two
+shuffles total, both on the span hash / doc id.
 """
 
 from __future__ import annotations
@@ -146,7 +153,19 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact union of the doc's duplicated-span intervals."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     base = span_base(docs)
-    sp = doc_spans(base)
-    dfh = sp.groupBy("h").agg(F.count_distinct("doc_id").alias("df"))
-    dup = sp.join(dfh.filter(F.col("df") > 1), "h").select("doc_id", "pos")
+    # narrow the internal key before the two big exchanges: unhex(h) is the
+    # 16 raw md5 bytes (bijective with the hex form doc_spans emits — the
+    # incremental index stores hex because its directory key hb reads the
+    # first two hex chars; the full form never persists h, so it shuffles
+    # the narrow form)
+    sp = doc_spans(base).select("doc_id", "pos", F.unhex("h").alias("h"))
+    # ">= 2 distinct doc ids" as min != max: identical predicate (both
+    # ignore NULLs), but min/max partial-combine map-side to one row per h
+    # per task — no two-phase distinct expansion of (h, doc_id) pairs
+    dfh = sp.groupBy("h").agg(
+        F.min("doc_id").alias("d_min"), F.max("doc_id").alias("d_max")
+    )
+    dup = sp.join(
+        dfh.filter(F.col("d_min") != F.col("d_max")).select("h"), "h"
+    ).select("doc_id", "pos")
     return span_manifest(base, span_coverage(dup))

@@ -155,9 +155,13 @@ def span_coverage_incremental(
     # join back) — materialize once, the checkpointed_shingles discipline
     sp = doc_spans(base).localCheckpoint(eager=False)
 
+    # dfi is only ever consumed as "dfi >= 2 distinct batch docs", which is
+    # exactly min(doc_id) != max(doc_id) — map-side combinable to one row
+    # per h per task, no two-phase distinct expansion (the full form's
+    # substring.py rationale)
     df_b = (
         sp.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("dfi"))
+        .agg(F.min("doc_id").alias("d_min"), F.max("doc_id").alias("d_max"))
         .withColumn("hb", _hb(F.col("h")))
         .localCheckpoint(eager=False)
     )
@@ -193,7 +197,8 @@ def span_coverage_incremental(
     dup_h = (
         df_b.join(stored_sum, "h", "left")
         .filter(
-            (F.col("dfi") >= 2) | (F.coalesce(F.col("dfs"), F.lit(0)) >= 1)
+            (F.col("d_min") != F.col("d_max"))
+            | (F.coalesce(F.col("dfs"), F.lit(0)) >= 1)
         )
         .select("h")
     )

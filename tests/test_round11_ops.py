@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 
 from datafusion_datasource_orc_spark.operators.substring import (
     dedup_substring_spans,
+    doc_spans,
+    span_base,
 )
 from datafusion_datasource_orc_spark.operators.substring_index import (
     append_to_span_index,
@@ -47,6 +49,33 @@ class TestSpanIndex:
         # non-trivial at the pytest scale: duplicated coverage actually
         # fires for some batch doc (the corpus plants exact dup families)
         assert any(r[4] > 0 for r in got), "no batch doc has dup tokens"
+
+    def test_minmax_equals_distinct_df_rule(self, spark, sf_dir):
+        """The r14 optimization evaluates the duplicated-hash rule as
+        min(doc_id) != max(doc_id) instead of count_distinct(doc_id) >= 2
+        (map-side combinable, no two-phase distinct expansion) and keys the
+        full form's exchanges on unhex(h). Pin both equivalences on the
+        real corpus span table."""
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("text").isNotNull()
+        )
+        sp = doc_spans(span_base(docs))
+        agg = sp.groupBy("h").agg(
+            F.count_distinct("doc_id").alias("dfd"),
+            F.min("doc_id").alias("mn"),
+            F.max("doc_id").alias("mx"),
+        )
+        mismatch = agg.filter(
+            (F.col("dfd") >= 2) != (F.col("mn") != F.col("mx"))
+        ).count()
+        assert mismatch == 0
+        # the rule is non-vacuous at this scale (dup families exist)
+        assert agg.filter("dfd >= 2").count() > 0
+        # unhex is bijective on the fixed-width md5-hex keys: identical
+        # grouping classes under either key form
+        n_hex = sp.select("h").distinct().count()
+        n_bin = sp.select(F.unhex("h").alias("hk")).distinct().count()
+        assert n_hex == n_bin
 
     def test_index_layout(self, spark, sf_dir):
         """The spans table is hb-partitioned under a base segment — the
