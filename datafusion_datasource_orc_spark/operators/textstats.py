@@ -856,7 +856,10 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id",
         F.explode(F.array_distinct(_ngrams_linear(w, NOVELTY_N))).alias("g"),
-    ).select("doc_id", F.md5(F.col("g").cast("binary")).alias("gh"))
+        # unhex -> the 16 raw md5 bytes (bijective with the hex string, so
+        # window partitions are identical) — the "16-byte keys" the scale
+        # note promises, at half the hex form's shuffle width
+    ).select("doc_id", F.unhex(F.md5(F.col("g").cast("binary"))).alias("gh"))
     novel = F.col("doc_id") == F.min("doc_id").over(Window.partitionBy("gh"))
     return (
         sh.withColumn("novel", novel)
@@ -1065,7 +1068,8 @@ def text_bigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = docs.select(
         "doc_id",
         F.explode(F.array_distinct(_ngrams_linear(w, 2))).alias("g"),
-    ).select("doc_id", F.md5(F.col("g").cast("binary")).alias("gh"))
+        # raw md5 bytes, not hex — same rationale as text_ngram_novelty
+    ).select("doc_id", F.unhex(F.md5(F.col("g").cast("binary"))).alias("gh"))
     df = F.count(F.lit(1)).over(Window.partitionBy("gh"))
     grid = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
     return (
