@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from datafusion_datasource_orc_spark.functions.vectors import dot_product, l2_norm
+from datafusion_datasource_orc_spark.operators.dedup import LSH_BUCKET_PAIR_CAP
 from datafusion_datasource_orc_spark.operators.registry import query
 from datafusion_datasource_orc_spark.operators.simsearch import (
     KM_K,
@@ -89,6 +90,114 @@ def _semdedup_oracle() -> str:
     """
 
 
+def _clustered_verified_pairs(
+    m: DataFrame,
+    pair_cap: int = LSH_BUCKET_PAIR_CAP,
+    widths: DataFrame | None = None,
+) -> DataFrame:
+    """(cid, vec_id, embedding, nrm) member rows → ALL within-cluster
+    τ-qualifying (cluster_id, vec_a, vec_b, cosine) rows — every C(w,2)
+    pair exactly once — with every gathered member array bounded by
+    ``pair_cap`` (guide §2.5 skew / §5 memory; r14 VERDICT "what's wrong"
+    #1).
+
+    The r14 form gathered each WHOLE cluster into one collect_list row, so
+    a skew-collapsed cluster (k-means on degenerate data can put ~all
+    points in one cell) materialized width × (d+2) doubles in a single
+    non-spillable aggregation row. Now a per-cluster width pre-count (a
+    ~k-row broadcast) routes members first:
+
+    - width ≤ cap: the r14 fused gather, arrays bounded by the cap.
+    - width > cap: members are split into ceil(width/cap) deterministic
+      hash chunks (pmod(xxhash64(vec_id), nc) — guide §2.5's deterministic
+      synthetic key; ~cap expected members each), gathered per
+      (cid, chunk), and the chunk arrays are pair-expanded across a
+      cid-equi-join of chunk pairs (ca ≤ cb). Each unordered pair (x, y),
+      x < y, appears exactly once: same-chunk pairs expand within one
+      array under the x < y guard, cross-chunk pairs expand in the single
+      (min-chunk, max-chunk) join row — both expansion directions carry
+      the guard, so exactly one orientation survives. Unlike the banded
+      twin there is NO cap on the pair set itself: this query's contract
+      is ALL within-cluster pairs, and the chunking preserves that while
+      bounding per-row memory.
+
+    Cosines are the identical rounded expression with identical operand
+    order, so every emitted value is bit-exact vs the unchunked form.
+
+    ``widths``: optional pre-computed (cid, wd) member counts. The
+    registered query passes a count over the lazily-checkpointed
+    ``assigned`` table (every assigned vector has exactly one member row
+    in ``m``, so the counts are identical by construction) — that keeps
+    the broadcast's build subtree off the m join entirely."""
+    if widths is None:
+        widths = m.groupBy("cid").agg(F.count(F.lit(1)).alias("wd"))
+    tagged = m.join(F.broadcast(widths), "cid")
+
+    def _pair(a, b):
+        return F.when(
+            a["vec_id"] < b["vec_id"],
+            F.struct(
+                a["vec_id"].alias("vec_a"),
+                b["vec_id"].alias("vec_b"),
+                F.round(
+                    dot_product(a["embedding"], b["embedding"])
+                    / (a["nrm"] * b["nrm"]),
+                    6,
+                ).alias("cosine"),
+            ),
+        )
+
+    def _cross(xs, ys):
+        return F.filter(
+            F.flatten(
+                F.transform(xs, lambda a: F.transform(ys, lambda b: _pair(a, b)))
+            ),
+            lambda p: p.isNotNull(),
+        )
+
+    small = (
+        tagged.filter((F.col("wd") > 1) & (F.col("wd") <= pair_cap))
+        .groupBy("cid")
+        .agg(F.collect_list(F.struct("vec_id", "embedding", "nrm")).alias("ds"))
+    )
+    small_pairs = small.select(
+        F.col("cid").alias("cluster_id"),
+        F.explode(_cross(F.col("ds"), F.col("ds"))).alias("p"),
+    ).select("cluster_id", "p.vec_a", "p.vec_b", "p.cosine")
+
+    nc = F.ceil(F.col("wd") / F.lit(pair_cap)).cast("int")
+    big = (
+        tagged.filter(F.col("wd") > pair_cap)
+        .withColumn("chunk", F.pmod(F.xxhash64("vec_id"), nc).cast("int"))
+        .groupBy("cid", "chunk")
+        .agg(F.collect_list(F.struct("vec_id", "embedding", "nrm")).alias("ds"))
+    )
+    ca = big.select("cid", F.col("chunk").alias("ca"), F.col("ds").alias("dsa"))
+    cb = big.select("cid", F.col("chunk").alias("cb"), F.col("ds").alias("dsb"))
+    big_pairs = (
+        ca.join(cb, "cid")
+        .filter(F.col("ca") <= F.col("cb"))
+        .select(
+            F.col("cid").alias("cluster_id"),
+            F.explode(
+                F.when(
+                    F.col("ca") == F.col("cb"),
+                    _cross(F.col("dsa"), F.col("dsa")),
+                ).otherwise(
+                    F.concat(
+                        _cross(F.col("dsa"), F.col("dsb")),
+                        _cross(F.col("dsb"), F.col("dsa")),
+                    )
+                )
+            ).alias("p"),
+        )
+        .select("cluster_id", "p.vec_a", "p.vec_b", "p.cosine")
+    )
+    return small_pairs.unionByName(big_pairs).filter(
+        F.col("cosine") >= SEMDEDUP_THRESHOLD
+    )
+
+
 @query("embedding_semantic_dedup", oracle=_semdedup_oracle())
 def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See module docstring — SemDeDup's drop manifest: for every vector
@@ -111,55 +220,19 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid", "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
     )
     # r14 (guide §2.3/§2.4, mirroring the banded twin's restructure): the
-    # within-cluster pair scan runs IN-CLUSTER — one groupBy(cid) shuffle
-    # gathers each cluster's (vec_id, embedding, nrm) members, the C(w,2)
-    # pair expansion evaluates the identical rounded cosine in place (When
-    # short-circuits the a >= b orientations), and only light qualifying
+    # within-cluster pair scan runs IN-CLUSTER — gather each cluster's
+    # (vec_id, embedding, nrm) members, expand the C(w,2) pairs with the
+    # identical rounded cosine in place, and only light qualifying
     # (cluster_id, vec_a, vec_b, cosine) structs ever leave the row. The
-    # old shape shuffled the corpus-with-embeddings TWICE on cid (both
+    # pre-r14 shape shuffled the corpus-with-embeddings TWICE on cid (both
     # sort-merge sides) and streamed every sub-τ pair through the join
     # output; this shape shuffles it once and τ-filters at the source.
-    # Results are bit-identical (each vector lives in exactly one cluster,
-    # so no cross-bucket duplicates exist; same cosine expression, same
-    # keep-lowest window). Memory: the per-cluster member row is
-    # width × (d+2) doubles with width ≈ sqrt(8n) under k(n) — fine at
-    # every gate scale; at corpus scale the registered at-scale shape is
-    # the banded twin (embedding_semdedup_banded), as the module docstring
-    # has always said: the within-cluster QUADRATIC, not this row, is what
-    # gives out first either way.
-    members = m.groupBy("cid").agg(
-        F.collect_list(F.struct("vec_id", "embedding", "nrm")).alias("ds")
-    )
-
-    def _pair(a, b):
-        return F.when(
-            a["vec_id"] < b["vec_id"],
-            F.struct(
-                a["vec_id"].alias("vec_a"),
-                b["vec_id"].alias("vec_b"),
-                F.round(
-                    dot_product(a["embedding"], b["embedding"])
-                    / (a["nrm"] * b["nrm"]),
-                    6,
-                ).alias("cosine"),
-            ),
-        )
-
-    in_row = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ds"),
-                lambda a: F.transform(F.col("ds"), lambda b: _pair(a, b)),
-            )
-        ),
-        lambda p: p.isNotNull(),
-    )
-    pairs = (
-        members.select(
-            F.col("cid").alias("cluster_id"), F.explode(in_row).alias("p")
-        )
-        .select("cluster_id", "p.vec_a", "p.vec_b", "p.cosine")
-        .filter(F.col("cosine") >= SEMDEDUP_THRESHOLD)
+    # r15 bounds the gathered arrays (see _clustered_verified_pairs): a
+    # skew-collapsed cluster no longer materializes width × (d+2) doubles
+    # in one aggregation row.
+    pairs = _clustered_verified_pairs(
+        m,
+        widths=assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("wd")),
     )
     w = Window.partitionBy("vec_b").orderBy("vec_a")
     return (

@@ -115,6 +115,110 @@ def _banded_oracle() -> str:
     """
 
 
+def _banded_verified_pairs(
+    bands: DataFrame, pair_cap: int = LSH_BUCKET_PAIR_CAP
+) -> DataFrame:
+    """(vec_id, embedding, nrm, band, bh) band rows → τ-qualifying distinct
+    (vec_a, vec_b, cosine) triples under the lsh_candidate_pairs width-cap
+    contract (all ordered pairs at bucket width ≤ ``pair_cap``, star pairs
+    against the bucket-minimum member above it).
+
+    r15 (guide §2.5 skew / §5 memory; r14 VERDICT "what's wrong" #1): the
+    r14 fused verify gathered EVERY bucket's members — embeddings included
+    — into one collect_list row *before* checking the width cap, so a
+    degenerate bucket (many identical- or zero-signature vectors) would
+    materialize width × (d+2) doubles in a single non-spillable
+    aggregation row. The width split now happens BEFORE any gather: one
+    window over the banding exchange attaches each bucket's width and its
+    minimum member (the star anchor — min(struct) picks the same leading-
+    vec_id winner array_min did) to every row. WindowExec buffers its
+    partition in a spillable row buffer, where an aggregation's
+    collect_list row cannot spill, so the degenerate bucket streams
+    through at bounded memory. Only ≤cap buckets take the fused gather
+    path — their member arrays are bounded by cap × (d+2) doubles — and
+    over-cap buckets emit their star pairs ROW-WISE against the attached
+    anchor, never materializing a member array at all. The groupBy below
+    reuses the window's (band, bh) exchange (same partitioning keys), so
+    the corpus-with-embeddings still crosses exactly ONE exchange.
+    Emitted pair sets and every cosine are bit-identical to the r14 form:
+    the same (width ≤ cap ? all ordered pairs : star pairs) routing
+    decided on the same per-bucket count, the same rounded-cosine
+    expression with the same (anchor, member) operand order, the same
+    τ-filter-before-distinct."""
+    wband = Window.partitionBy("band", "bh")
+    tagged = bands.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "band",
+        "bh",
+        F.count(F.lit(1)).over(wband).alias("wd"),
+        F.min(F.struct("vec_id", "embedding", "nrm")).over(wband).alias("mnm"),
+    )
+
+    def _pair(a, b):
+        return F.when(
+            a["vec_id"] < b["vec_id"],
+            F.struct(
+                a["vec_id"].alias("vec_a"),
+                b["vec_id"].alias("vec_b"),
+                F.round(
+                    dot_product(a["embedding"], b["embedding"])
+                    / (a["nrm"] * b["nrm"]),
+                    6,
+                ).alias("cosine"),
+            ),
+        )
+
+    # ≤cap buckets: the r14 fused path, now with a hard bound on the
+    # gathered array. The cosine is evaluated lazily per qualifying
+    # orientation (When short-circuits the a >= b branches), emitting ONLY
+    # light (vec_a, vec_b, cosine) structs — embeddings never enter a pair
+    # row.
+    members = (
+        tagged.filter((F.col("wd") > 1) & (F.col("wd") <= pair_cap))
+        .groupBy("band", "bh")
+        .agg(F.collect_list(F.struct("vec_id", "embedding", "nrm")).alias("ds"))
+    )
+    all_pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda a: F.transform(F.col("ds"), lambda b: _pair(a, b)),
+            )
+        ),
+        lambda p: p.isNotNull(),
+    )
+    capped = members.select(F.explode(all_pairs).alias("p")).select(
+        "p.vec_a", "p.vec_b", "p.cosine"
+    )
+    # >cap buckets: star pairs against the window-attached bucket-minimum
+    # anchor, row-wise — O(width) light structs, no member array.
+    star = (
+        tagged.filter(F.col("wd") > pair_cap)
+        .select(
+            _pair(
+                F.col("mnm"),
+                F.struct(
+                    F.col("vec_id").alias("vec_id"),
+                    F.col("embedding").alias("embedding"),
+                    F.col("nrm").alias("nrm"),
+                ),
+            ).alias("p")
+        )
+        .filter(F.col("p").isNotNull())
+        .select("p.vec_a", "p.vec_b", "p.cosine")
+    )
+    # τ-filter BEFORE the cross-band distinct: only qualifying triples
+    # reach the exchange; distinct-then-filter and filter-then-distinct
+    # agree because the cosine is deterministic per pair
+    return (
+        capped.unionByName(star)
+        .filter(F.col("cosine") >= SEMDEDUP_THRESHOLD)
+        .distinct()
+    )
+
+
 @query("embedding_semdedup_banded", oracle=_banded_oracle())
 def embedding_semdedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """See module docstring — the banded SemDeDup drop manifest: for every
@@ -122,19 +226,23 @@ def embedding_semdedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     (drop_vec_id, kept_vec_id, cosine) naming its lowest-id such candidate
     as the kept representative.
 
-    Plan (r14 restructure — optimization guide §2.3/§2.4, "shuffle keys and
-    metadata instead of payloads" + "remove shuffles outright"): one linear
-    pass computes the {SEMB_PLANES}-bit signatures, ONE groupBy(band, bh)
-    shuffle gathers each bucket's (vec_id, embedding, nrm) members, and the
-    exact-cosine VERIFY runs INSIDE the width-capped in-bucket pair
-    expansion — each expanded pair is emitted as a light
-    (vec_a, vec_b, cosine) struct, never as a row carrying embeddings. The
-    τ-filter therefore cuts the candidate stream BEFORE the cross-band
-    distinct, so the only post-expansion exchange moves the handful of
-    qualifying triples. The old shape shipped the O(n²/2^bits) sub-cap
-    candidate set through a distinct exchange, a broadcast, and two verify
-    joins that re-attached embeddings to every candidate row; this shape
-    has zero verify joins and its quadratic term never crosses an exchange.
+    Plan (r14 restructure + r15 width split — optimization guide §2.3/§2.4
+    "shuffle keys and metadata instead of payloads" / "remove shuffles
+    outright", §2.5/§5 bounded per-row state): one linear pass computes the
+    {SEMB_PLANES}-bit signatures, ONE (band, bh) exchange moves the
+    banded corpus, and the exact-cosine VERIFY runs INSIDE the
+    width-capped in-bucket pair expansion — each expanded pair is emitted
+    as a light (vec_a, vec_b, cosine) struct, never as a row carrying
+    embeddings. The τ-filter cuts the candidate stream BEFORE the
+    cross-band distinct, so the only post-expansion exchange moves the
+    handful of qualifying triples. Since r15 the bucket-width routing
+    happens BEFORE any member gather (see _banded_verified_pairs): ≤cap
+    buckets gather arrays bounded by the cap, over-cap buckets take a
+    row-wise star path — no unbounded collect_list row exists anywhere.
+    The pre-r14 shape shipped the O(n²/2^bits) sub-cap candidate set
+    through a distinct exchange, a broadcast, and two verify joins that
+    re-attached embeddings to every candidate row; this shape has zero
+    verify joins and its quadratic term never crosses an exchange.
     Candidate semantics (all ordered pairs at width ≤ cap, star pairs
     against the bucket minimum above it) and every emitted value are
     bit-identical — the cosine is the same rounded expression, computed
@@ -182,62 +290,7 @@ def embedding_semdedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bk.band").alias("band"),
         F.col("bk.bh").alias("bh"),
     )
-    # in-bucket pair expansion + exact verify, mirroring the
-    # lsh_candidate_pairs width-cap contract exactly (all ordered pairs at
-    # width <= cap, star pairs against the bucket-minimum member above it;
-    # array_min over the member structs orders by the leading vec_id field).
-    # The cosine is evaluated lazily per qualifying orientation (When
-    # short-circuits the a >= b branches), emitting ONLY light
-    # (vec_a, vec_b, cosine) structs — embeddings never enter a pair row.
-    members = (
-        bands.groupBy("band", "bh")
-        .agg(F.collect_list(F.struct("vec_id", "embedding", "nrm")).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-
-    def _pair(a, b):
-        return F.when(
-            a["vec_id"] < b["vec_id"],
-            F.struct(
-                a["vec_id"].alias("vec_a"),
-                b["vec_id"].alias("vec_b"),
-                F.round(
-                    dot_product(a["embedding"], b["embedding"])
-                    / (a["nrm"] * b["nrm"]),
-                    6,
-                ).alias("cosine"),
-            ),
-        )
-
-    all_pairs = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("ds"),
-                lambda a: F.transform(F.col("ds"), lambda b: _pair(a, b)),
-            )
-        ),
-        lambda p: p.isNotNull(),
-    )
-    mn = F.array_min("ds")
-    star_pairs = F.filter(
-        F.transform(F.col("ds"), lambda b: _pair(mn, b)),
-        lambda p: p.isNotNull(),
-    )
-    pairs = (
-        members.select(
-            F.explode(
-                F.when(
-                    F.size("ds") > F.lit(LSH_BUCKET_PAIR_CAP), star_pairs
-                ).otherwise(all_pairs)
-            ).alias("p")
-        )
-        .select("p.vec_a", "p.vec_b", "p.cosine")
-        # τ-filter BEFORE the cross-band distinct: only qualifying triples
-        # reach the exchange; distinct-then-filter and filter-then-distinct
-        # agree because the cosine is deterministic per pair
-        .filter(F.col("cosine") >= SEMDEDUP_THRESHOLD)
-        .distinct()
-    )
+    pairs = _banded_verified_pairs(bands)
     w = Window.partitionBy("vec_b").orderBy("vec_a")
     return (
         pairs.withColumn("rk", F.row_number().over(w))
