@@ -525,6 +525,7 @@ def main() -> None:
     # reads — bench_detail.json carries full-precision times for all
     # queries + the full blocks. Measured r12: 72 headliners ≈ 1610 chars.
     def _emit(cutoff: float) -> str:
+        below = [v for v in results.values() if v < cutoff]
         return json.dumps(
             {
                 "metric": "headline_queries_total_best_of_%d" % ITERATIONS,
@@ -537,6 +538,13 @@ def main() -> None:
                     for n, v in results.items()
                     if v >= cutoff
                 },
+                # additions-only (r14 VERDICT item 7): make the stdout
+                # record self-evidently complete — queries under the print
+                # cutoff are counted and summed here so a faster query can
+                # never read as "dropped from bench" (their full-precision
+                # times stay in bench_detail.json)
+                "n_below_cutoff": len(below),
+                "below_cutoff_sum_sec": round(sum(below), 2),
                 "drift": cal_drift,
                 "vs_prev": regression_compact,
                 "sf": sf_val,

@@ -984,7 +984,20 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct parts) are still dropped whole BEFORE pairing — now a
     size() filter on the gathered array instead of a separate aggregate +
     anti-join — so the in-row expansion is bounded by C(cap, 2) structs
-    and the result set is bit-identical to the old posting self-join."""
+    and the result set is bit-identical to the old posting self-join.
+
+    Gather caveats (r14 ADVICE, recorded): (1) the collect_set itself runs
+    BEFORE the size filter, so a mega-basket is fully materialized in the
+    aggregation buffer where the old count+anti-join never built the array
+    — safe here because TPC-H basket widths are far below the cap (max
+    asserted in tests/test_pipeline.py; l_orderkey fan-out is bounded by
+    the schema at any SF), but on data with genuinely unbounded baskets
+    pre-filter with a windowless size bound first (the
+    _banded_verified_pairs width-split pattern). (2) collect_set drops a
+    NULL l_partkey where the old distinct+count counted it toward the
+    basket size — moot for TPC-H (l_partkey is non-null by schema), noted
+    as a boundary-semantics difference near the cap on NULL-bearing
+    data."""
     from pyspark.sql.window import Window
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -28,6 +28,11 @@ from datafusion_datasource_orc_spark.operators.registry import query
 from datafusion_datasource_orc_spark.sources.tables import load_table
 
 TOP_K = 10
+EMB_DIM = 64  # fixed corpus dimensionality — the oracle twins hardcode
+# range(0, 64) everywhere, so this is the single Spark-side constant they
+# pin (r14 ADVICE: a bare 64 literal in _hyperplane_sig would fail silently
+# if the fixture dimensionality ever changed; now every consumer reads one
+# name)
 ANN_QUERIES = 5  # vec_id < 5 are the query vectors (knn_join / lsh / ivf rungs)
 ANN_TOPK = 3  # per-query cutoff shared by the same rungs (and recall@k)
 
@@ -163,7 +168,7 @@ def _plane_component_sql(p: int, idx: str) -> str:
     return f"CAST(({d} % {_PLANE_RANGE}) - {_PLANE_RANGE // 2} AS DOUBLE)"
 
 
-def _hyperplane_sig(vec, n_planes: int = N_HYPERPLANES, n_dims: int = 64):
+def _hyperplane_sig(vec, n_planes: int = N_HYPERPLANES, n_dims: int = EMB_DIM):
     """Random-hyperplane signature: bit p = sign of the projection onto
     deterministic pseudo-random plane p. Pure Column expressions; no
     driver-side RNG or broadcast of plane matrices.
@@ -306,6 +311,83 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_PROBES = 3
 
 
+def _coarse_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label mean centroids — the coarse IVF codebook: explode
+    (posexplode), then an exact decimal-sum mean per (label, pos) over
+    1e-6-truncated elements — order-independent, so the codebook is
+    identical doubles on both engines (same determinism discipline as
+    embedding_dim_stats).
+
+    r15: factored out of simsearch_ivf and shared VERBATIM with
+    simsearch_ivfpq (whose NULL-filter made no value difference here —
+    posexplode of a NULL array yields no rows, so the per-(label, pos)
+    sums and counts are identical with or without it). Building both
+    rungs' codebooks from the same expression tree over the same scan
+    makes the subtrees canonicalize identically, so ReuseExchange
+    computes the broadcast ONCE when several consumers appear in one
+    plan — each rung standalone (already deduped internally by broadcast
+    reuse) is unchanged, and simsearch_recall_at_k's union stops paying
+    for the ivf and ivfpq codebooks separately (guide §2.4, remove
+    duplicated subtrees)."""
+    pos = emb.select("label", F.posexplode(F.col("embedding")).alias("pos", "val"))
+    t = F.floor(F.col("val").cast("double") * 1e6) / 1e6
+    return (
+        pos.groupBy("label", "pos")
+        .agg(
+            (F.sum(t.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("c")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
+        )
+    )
+
+
+def _coarse_csim() -> Column:
+    return F.round(cosine_similarity(F.col("embedding"), F.col("centroid")), 6)
+
+
+def _coarse_assigned(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (vec_id, embedding, cell) — shared
+    verbatim by simsearch_ivf and simsearch_ivfpq (which drops the
+    embedding column and post-filters NULL-embedding vectors; assignment
+    is per-row, so filtering before or after the per-vec_id aggregate
+    yields the same rows for every non-NULL vector, and the embedding
+    struct field never decides the max — (csim, negcell) is already a
+    total order over cells). The shared tree lets ReuseExchange dedupe
+    the corpus × codebook assignment aggregate across rungs in one plan.
+
+    r14: the rk=1 window became a MAX(struct) aggregate — bit-identical
+    winner (struct ordering = (csim DESC via max, -cell for the ASC cell
+    tie-break); NaN sorts greatest in both the window's DESC order and
+    the aggregate's max, -0.0/+0.0 likewise agree) but map-side
+    combinable: the shuffle moves one partial-max struct per vec_id per
+    task instead of every (vector × cell) row with its embedding, and the
+    per-partition sort disappears (guide §2.3 "aggregate before you
+    shuffle")."""
+    return (
+        emb.crossJoin(F.broadcast(centroids))
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    _coarse_csim().alias("csim"),
+                    (-F.col("cell")).alias("negcell"),
+                    F.col("cell").alias("cell"),
+                    F.col("embedding").alias("embedding"),
+                )
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.embedding").alias("embedding"),
+            F.col("best.cell").alias("cell"),
+        )
+    )
+
+
 @query(
     "simsearch_ivf",
     # FULL oracle (not a shadow): centroids are exact decimal-sum means over
@@ -371,52 +453,11 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the data instead of all of it."""
     emb = load_table(spark, sf_dir, "embeddings")
 
-    # per-label mean vector: explode (posexplode), then an exact decimal-sum
-    # mean per (label, pos) over 1e-6-truncated elements — order-independent,
-    # so the codebook is identical doubles on both engines (same determinism
-    # discipline as embedding_dim_stats).
-    pos = emb.select("label", F.posexplode(F.col("embedding")).alias("pos", "val"))
-    t = F.floor(F.col("val").cast("double") * 1e6) / 1e6
-    centroids = (
-        pos.groupBy("label", "pos")
-        .agg(
-            (F.sum(t.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("c")
-        )
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select(
-            F.col("label").alias("cell"),
-            F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
-        )
-    )
-
-    # assign every vector to its nearest centroid (may differ from label);
-    # rank on the 6-dp-rounded similarity with cell as tie-break so the
-    # assignment is reproducible cross-engine.
-    # r14: the rk=1 window became a MAX(struct) aggregate — bit-identical
-    # winner (struct ordering = (csim DESC via max, -cell for the ASC cell
-    # tie-break); NaN sorts greatest in both the window's DESC order and
-    # the aggregate's max, -0.0/+0.0 likewise agree) but map-side
-    # combinable: the shuffle moves one partial-max struct per vec_id per
-    # task instead of every (vector × cell) row with its embedding, and the
-    # per-partition sort disappears (guide §2.3 "aggregate before you
-    # shuffle").
-    csim = F.round(cosine_similarity(F.col("embedding"), F.col("centroid")), 6)
-    assigned = (
-        emb.crossJoin(F.broadcast(centroids))
-        .groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(
-                    csim.alias("csim"),
-                    (-F.col("cell")).alias("negcell"),
-                    F.col("cell").alias("cell"),
-                    F.col("embedding").alias("embedding"),
-                )
-            ).alias("best")
-        )
-        .select("vec_id", F.col("best.embedding").alias("embedding"), F.col("best.cell").alias("cell"))
-    )
+    # codebook + assignment from the shared verbatim builders (r15 —
+    # plan-identical to the inline r14 form; see _coarse_centroids /
+    # _coarse_assigned for the determinism and sharing notes)
+    centroids = _coarse_centroids(emb)
+    assigned = _coarse_assigned(emb, centroids)
 
     # queries probe their IVF_PROBES nearest cells
     queries = (
@@ -426,7 +467,7 @@ def simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("q_vec_id"),
             F.col("embedding").alias("qe"),
             "cell",
-            csim.alias("csim"),
+            _coarse_csim().alias("csim"),
         )
         .withColumn("rk", F.row_number().over(
             Window.partitionBy("q_vec_id").orderBy(F.col("csim").desc(), "cell")
@@ -794,6 +835,95 @@ def _pq_oracle() -> str:
     """
 
 
+def _pq_subs(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, cell, sv) sub-vector rows — the PQ decomposition shared
+    VERBATIM by simsearch_pq and simsearch_ivfpq (r15): identical
+    expression trees over the same scan canonicalize equal, so
+    ReuseExchange computes each downstream codebook/codes/dtable exchange
+    once per plan even when both rungs appear together
+    (simsearch_recall_at_k). NULL-embedding rows yield (cell=0, sv=NULL)
+    rows here; they contribute nothing to the codebook (the truncated
+    posexplode drops NULL sv) and ivfpq's candidate join excludes their
+    codes, so sharing the unfiltered form is value-neutral for both
+    rungs."""
+    e = F.col("embedding").cast("array<double>")
+
+    def cell_expr(m: int):
+        bits = [
+            F.when(e[m * PQ_SUBDIM + k] >= 0, F.lit(1 << k)).otherwise(F.lit(0))
+            for k in range(PQ_SIGN_BITS)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        cell_expr(m).alias("cell"),
+                        F.slice(e, m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.cell", "s.sv")
+
+
+def _pq_codebook(subs: DataFrame) -> DataFrame:
+    """(m, ccell, centroid) — exact decimal-sum centroids per sign-pattern
+    cell (the IVF discipline); shared verbatim, see _pq_subs."""
+    trunc = lambda x: F.floor(x * 1e6) / 1e6  # noqa: E731
+    comp = subs.select(
+        "m", "cell", F.posexplode(F.transform("sv", trunc)).alias("within", "t")
+    )
+    cm = comp.groupBy("m", "cell", "within").agg(
+        (F.sum(F.col("t").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    return cm.groupBy("m", F.col("cell").alias("ccell")).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("within", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+
+
+def _pq_d2() -> Column:
+    return F.round(_l2_sq(F.col("sv"), F.col("centroid")), 6)
+
+
+def _pq_codes(subs: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, m, ccell) nearest-centroid codes; shared verbatim, see
+    _pq_subs. r14: encode as a MIN(struct) aggregate instead of an rk=1
+    window — identical winner ((d2 ASC, ccell ASC) is exactly struct
+    min's lexicographic order; d2 is a rounded sum of squares, never
+    -0.0, and NaN sorts greatest under both forms), but map-side
+    combinable (guide §2.3)."""
+    return (
+        subs.join(F.broadcast(cent), "m")
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(_pq_d2().alias("d2"), F.col("ccell").alias("ccell"))).alias("best"))
+        .select("vec_id", "m", F.col("best.ccell").alias("ccell"))
+    )
+
+
+def _pq_dtable(subs: DataFrame, cent: DataFrame) -> DataFrame:
+    """(q_vec_id, m, ccell, qd_int) query-to-centroid integer sub-distance
+    table; shared verbatim, see _pq_subs."""
+    qd_int = F.round(_pq_d2() * 1e6).cast("long")
+    return (
+        subs.filter(F.col("vec_id") < PQ_QUERIES)
+        .join(F.broadcast(cent), "m")
+        .select(
+            F.col("vec_id").alias("q_vec_id"), "m", "ccell", qd_int.alias("qd_int")
+        )
+    )
+
+
 @query("simsearch_pq", oracle=_pq_oracle())
 def simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN with asymmetric distance computation (ADC) —
@@ -817,33 +947,7 @@ def simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus vector — no embedding bytes move after encode, which is the
     entire point of PQ."""
     emb = load_table(spark, sf_dir, "embeddings")
-    e = F.col("embedding").cast("array<double>")
-
-    def cell_expr(m: int):
-        bits = [
-            F.when(e[m * PQ_SUBDIM + k] >= 0, F.lit(1 << k)).otherwise(F.lit(0))
-            for k in range(PQ_SIGN_BITS)
-        ]
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
-
-    subs = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        cell_expr(m).alias("cell"),
-                        F.slice(e, m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", "s.m", "s.cell", "s.sv")
+    subs = _pq_subs(emb)
     # subs has three consumers (centroid build, corpus encode, query
     # distance table) and Catalyst re-derives it for each — MEASURED as
     # cheaper than a localCheckpoint barrier here (the 16-double sv arrays
@@ -851,43 +955,9 @@ def simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # warm at sf0.1), the opposite trade from dedup_minhash_lsh's postings.
     # At 100 TB prefer persisting the 4-ints-per-vector CODES table (after
     # enc), which is what actually gets rescanned at query time.
-
-    trunc = lambda x: F.floor(x * 1e6) / 1e6  # noqa: E731
-    comp = subs.select(
-        "m", "cell", F.posexplode(F.transform("sv", trunc)).alias("within", "t")
-    )
-    cm = comp.groupBy("m", "cell", "within").agg(
-        (F.sum(F.col("t").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("c")
-    )
-    cent = cm.groupBy("m", F.col("cell").alias("ccell")).agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("within", "c"))), lambda s: s["c"]
-        ).alias("centroid")
-    )
-
-    d2 = F.round(_l2_sq(F.col("sv"), F.col("centroid")), 6)
-    # r14: nearest-centroid encode as a MIN(struct) aggregate instead of an
-    # rk=1 window — identical winner ((d2 ASC, ccell ASC) is exactly struct
-    # min's lexicographic order; d2 is a rounded sum of squares, never
-    # -0.0, and NaN sorts greatest under both forms), but map-side
-    # combinable: the encode shuffle moves one partial-min struct per
-    # (vector, sub-space) instead of all corpus × 16 candidate rows, and
-    # the per-partition sort disappears (guide §2.3).
-    codes = (
-        subs.join(F.broadcast(cent), "m")
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct(d2.alias("d2"), F.col("ccell").alias("ccell"))).alias("best"))
-        .select("vec_id", "m", F.col("best.ccell").alias("ccell"))
-    )
-
-    qd_int = F.round(d2 * 1e6).cast("long")
-    dtable = (
-        subs.filter(F.col("vec_id") < PQ_QUERIES)
-        .join(F.broadcast(cent), "m")
-        .select(
-            F.col("vec_id").alias("q_vec_id"), "m", "ccell", qd_int.alias("qd_int")
-        )
-    )
+    cent = _pq_codebook(subs)
+    codes = _pq_codes(subs, cent)
+    dtable = _pq_dtable(subs, cent)
 
     w_rank = Window.partitionBy("q_vec_id").orderBy(F.col("adc_int").asc(), "vec_id")
     return (
@@ -907,7 +977,7 @@ def simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---- power-iteration PCA (iterative linear algebra, oracle-exact) -----------
-PI_DIMS = 64
+PI_DIMS = EMB_DIM
 PI_ITERS = 5
 
 
@@ -1259,49 +1329,30 @@ def simsearch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding are linear scans; the candidate join shuffles (q, vec_id)
     pairs bounded by probes/nlist of the corpus; ADC joins 4 ints per
     candidate. No embedding bytes move after the two encode scans."""
-    # NULL embeddings carry nothing to quantize: excluded on BOTH sides
-    # (the oracle's emb CTE mirrors this filter), so the NULL-divergence
-    # class the round-6 advisor flagged on power iteration can't recur here
-    emb = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    # r15: every index subtree is built from the shared VERBATIM builders
+    # over the UNFILTERED scan so it canonicalizes identically to
+    # simsearch_ivf's / simsearch_pq's — ReuseExchange then computes each
+    # codebook/assignment/codes/dtable exchange ONCE per plan when the
+    # rungs appear together (simsearch_recall_at_k re-runs all three).
+    # NULL embeddings stay excluded from every RESULT exactly as before
+    # (the oracle's emb CTE filter): they never reach the codebooks
+    # (posexplode drops NULL arrays — see _coarse_centroids/_pq_subs), the
+    # assignment post-filter below removes their corpus rows before the
+    # candidate join, and the probe side filters them explicitly — so the
+    # value argument of the r14 filter-at-source form holds row for row.
+    emb = load_table(spark, sf_dir, "embeddings")
 
     # ---- coarse level: IVF cells (simsearch_ivf's index, ids only) ----
-    pos = emb.select("label", F.posexplode(F.col("embedding")).alias("pos", "val"))
-    t = F.floor(F.col("val").cast("double") * 1e6) / 1e6
-    coarse = (
-        pos.groupBy("label", "pos")
-        .agg(
-            (F.sum(t.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("c")
-        )
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
-        .select(
-            F.col("label").alias("cell"),
-            F.transform("pc", lambda s: s.getField("c")).alias("centroid"),
-        )
-    )
-    csim = F.round(cosine_similarity(F.col("embedding"), F.col("centroid")), 6)
-    # r14: rk=1 window → map-side-combinable MAX(struct) aggregate; same
-    # bit-identical-winner argument as simsearch_ivf's assignment above
+    coarse = _coarse_centroids(emb)
     assigned = (
-        emb.crossJoin(F.broadcast(coarse))
-        .groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(
-                    csim.alias("csim"),
-                    (-F.col("cell")).alias("negcell"),
-                    F.col("cell").alias("cell"),
-                )
-            ).alias("best")
-        )
-        .select("vec_id", F.col("best.cell").alias("cell"))
+        _coarse_assigned(emb, coarse)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "cell")
     )
     probes = (
-        emb.filter(F.col("vec_id") < PQ_QUERIES)
+        emb.filter((F.col("vec_id") < PQ_QUERIES) & F.col("embedding").isNotNull())
         .crossJoin(F.broadcast(coarse))
-        .select(F.col("vec_id").alias("q_vec_id"), "cell", csim.alias("csim"))
+        .select(F.col("vec_id").alias("q_vec_id"), "cell", _coarse_csim().alias("csim"))
         .withColumn(
             "rk",
             F.row_number().over(
@@ -1313,62 +1364,10 @@ def simsearch_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ---- fine level: PQ codes + query distance table (simsearch_pq) ----
-    e = F.col("embedding").cast("array<double>")
-
-    def cell_expr(m: int):
-        bits = [
-            F.when(e[m * PQ_SUBDIM + k] >= 0, F.lit(1 << k)).otherwise(F.lit(0))
-            for k in range(PQ_SIGN_BITS)
-        ]
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
-
-    subs = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        cell_expr(m).alias("cell"),
-                        F.slice(e, m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", "s.m", "s.cell", "s.sv")
-    trunc = lambda x: F.floor(x * 1e6) / 1e6  # noqa: E731
-    comp = subs.select(
-        "m", "cell", F.posexplode(F.transform("sv", trunc)).alias("within", "t")
-    )
-    cm = comp.groupBy("m", "cell", "within").agg(
-        (F.sum(F.col("t").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("c")
-    )
-    cent = cm.groupBy("m", F.col("cell").alias("ccell")).agg(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("within", "c"))), lambda s: s["c"]
-        ).alias("centroid")
-    )
-    d2 = F.round(_l2_sq(F.col("sv"), F.col("centroid")), 6)
-    # r14: rk=1 window → map-side-combinable MIN(struct) aggregate; same
-    # bit-identical-winner argument as simsearch_pq's encode above
-    codes = (
-        subs.join(F.broadcast(cent), "m")
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct(d2.alias("d2"), F.col("ccell").alias("ccell"))).alias("best"))
-        .select("vec_id", "m", F.col("best.ccell").alias("ccell"))
-    )
-    qd_int = F.round(d2 * 1e6).cast("long")
-    dtable = (
-        subs.filter(F.col("vec_id") < PQ_QUERIES)
-        .join(F.broadcast(cent), "m")
-        .select(
-            F.col("vec_id").alias("q_vec_id"), "m", "ccell", qd_int.alias("qd_int")
-        )
-    )
+    subs = _pq_subs(emb)
+    cent = _pq_codebook(subs)
+    codes = _pq_codes(subs, cent)
+    dtable = _pq_dtable(subs, cent)
 
     # ---- compose: candidates from probed cells, ranked by codes-only ADC
     cand = (
@@ -1568,17 +1567,31 @@ def kmeans_train(
         seeds = emb.crossJoin(F.broadcast(kparam)).filter(
             F.col("vec_id") < F.col("k")
         )
-    centroids = (
-        seeds.select(
-            F.col("vec_id").alias("cid"),
-            F.transform("embedding", trunc6).alias("centroid"),
-        )
-        .localCheckpoint(eager=False)
+    # r15 (VERDICT r14 item 5 — profile the "Lloyd's floor" claim): the
+    # seed codebook is no longer checkpointed (one consumer: the first
+    # iteration's packed broadcast) and only the LAST iteration's
+    # assignment is — an intermediate assignment has exactly one consumer
+    # (its M-step join), so nothing re-derives it and the lazy checkpoint
+    # bought nothing but an extra materialized corpus-sized RDD copy per
+    # iteration. Measured A/B at sf0.1 (5 warm noop iters each, same
+    # session conditions): a WASH locally (2.07/2.28 s → 2.05/2.24 s best
+    # for embedding_kmeans / simsearch_ivf_kmeans) — lazy checkpoints
+    # piggyback on the consuming job, they are not separate barriers — so
+    # the change is an at-scale memory-footprint trim, not a speedup. The
+    # committed per-iteration profile (KM_ITERS=1/2/3 best-of-4:
+    # 0.87/1.40/1.93 s) puts the marginal iteration at ~0.53 s at sf0.1:
+    # ~5 AQE stage materializations x fixed scheduling/codegen latency on
+    # a 5k-row corpus — the floor is stage-count latency at gate scale
+    # and genuine E/M-step compute at 100 TB; the iteration count is the
+    # algorithm, so this is the documented stop point (guide §1.3).
+    centroids = seeds.select(
+        F.col("vec_id").alias("cid"),
+        F.transform("embedding", trunc6).alias("centroid"),
     )
 
     e = F.col("embedding").cast("array<double>")
     assigned = None
-    for _ in range(KM_ITERS):
+    for _it in range(KM_ITERS):
         packed = centroids.agg(
             F.sort_array(F.collect_list(F.struct("cid", "centroid"))).alias("cents")
         )
@@ -1595,8 +1608,9 @@ def kmeans_train(
             emb.crossJoin(F.broadcast(packed))
             .select("vec_id", m.alias("m"))
             .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
-            .localCheckpoint(eager=False)
         )
+        if _it == KM_ITERS - 1:
+            assigned = assigned.localCheckpoint(eager=False)
         centroids = (
             assigned.join(xi, "vec_id")
             .groupBy("cid", "dim")
