@@ -127,7 +127,11 @@ def triage_against(spark: SparkSession, sf_dir: str, incoming: DataFrame) -> Dat
     )
     incoming = incoming.filter(F.col("text").isNotNull())
 
-    h = F.md5(F.col("text"))
+    # exact tier keyed on the 16 RAW md5 bytes (r15, guide §2.3): the key
+    # is internal — dropped right after the groupBy — and bijective with
+    # the hex digest, so the join classes are unchanged while the
+    # existing-side shuffle/broadcast bytes halve
+    h = F.unhex(F.md5(F.col("text")))
     inc = incoming.select("doc_id", h.alias("h"))
     ex = existing_docs.select(F.col("doc_id").alias("e_id"), h.alias("h"))
     exact = (

@@ -261,7 +261,23 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh4 = sh_all.join(s4_ids, "doc_id").localCheckpoint(eager=False)
 
     pairs = minhash_lsh_pairs(sh4)
-    dup_b = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    # r15 (stage breakdown, OPTIMIZATION_r15.md): dup_b has TWO consumers
+    # (the s5 anti-join feeding the contamination screen, and the final
+    # flags fold), each re-deriving the ~2.4 s LSH band + exact-verify
+    # pipeline above it (AQE's stage cache does not fully collapse the two
+    # copies — the verify side's broadcast subtrees differ per consumer).
+    # The barrier materializes the tiny distinct dup-id set once (~dup
+    # rows, a few bytes each; at 100 TB the same barrier is a persist of
+    # the removal list). Measured: full pipeline 5.91 → 5.15 s warm best
+    # at sf0.1; the remaining cost decomposes as pairs ~2.4 s,
+    # contamination-own ~1.6 s (eval-gram distinct + survivor explode
+    # join), shingling ~0.6 s, flags/folds ~0.3 s — each stage's shape is
+    # its family's certified one, so that is the composition floor.
+    dup_b = (
+        pairs.select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
     # inner-join membership probe (no 'hit' marker column — that idiom
     # belongs to contamination_eval_overlap's LEFT join, where null-ness

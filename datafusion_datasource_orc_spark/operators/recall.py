@@ -36,11 +36,18 @@ corpus scan per metric with the two-phase top-k cut (partition-local
 row_number prune, then a global window over <= k * n_partitions
 survivors — the bm25_rank discipline; never a single-task per-query
 sort), and each rung contributes its already-certified scale shape.
-Cost = sum of the rung costs + FIVE exact-reference corpus scans: the 8
-rungs share only 5 distinct (metric, n_queries, k) combos, so the exact
-top-k is memoized per combo behind a lazy localCheckpoint (r13 ADVICE) —
-the union plan re-reads the <= n_q*k-row materialized reference instead
-of re-scanning the corpus for the 3 duplicate combos.
+Cost = sum of the rung costs + THREE exact-reference corpus scans (one
+per metric, r15): the 8 rungs share 5 distinct (metric, n_queries, k)
+combos (r14 memoization), and within a metric every combo shares one
+scored corpus and one total order, so the exact top-k runs once per
+metric at (max n_q, max k) behind a lazy localCheckpoint and each
+combo's reference is a (q_vec_id < n_q AND rk <= k) filter over the
+materialized ranked rows — provably the same set _exact_topk(n_q, k)
+returns, since a k_max local prune retains every k-prune survivor and
+rank prefixes of the same total order agree. The rung pipelines
+themselves share their codebook subtrees through the canonical builders
+in simsearch.py (r15) — AQE's stage cache computes the ivf/ivfpq coarse
+index and the pq/ivfpq PQ codebook once each inside this union plan.
 
 Fixture-statistics note (the round-10 discipline): the synthetic
 embeddings are near-isotropic unit vectors with NO planted neighborhood
@@ -146,7 +153,8 @@ def _recall_oracle() -> str:
 
 
 def _exact_topk(emb: DataFrame, n_q: int, k: int, metric: str) -> DataFrame:
-    """Spark twin of _exact_sql: (q_vec_id, vec_id) exact neighbor set.
+    """Spark twin of _exact_sql: (q_vec_id, vec_id, rk) exact ranked
+    neighbor rows (rk <= k).
 
     Two-phase top-k (the bm25_rank/mips discipline): a window partitioned
     by q_vec_id alone would sort the whole scored corpus in ONE task per
@@ -186,7 +194,7 @@ def _exact_topk(emb: DataFrame, n_q: int, k: int, metric: str) -> DataFrame:
     return (
         pruned.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("q_vec_id", "vec_id")
+        .select("q_vec_id", "vec_id", "rk")
     )
 
 
@@ -208,11 +216,25 @@ def simsearch_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rung, n_queries, k, hits, recall_ppm)."""
     emb = load_table(spark, sf_dir, "embeddings")
     out: DataFrame | None = None
-    # exact references memoized per distinct (metric, n_q, k) — 5 combos
-    # serve the 8 rungs; the lazy localCheckpoint materializes each tiny
-    # (<= n_q*k rows) reference once so the unioned plan's duplicate
-    # branches read it instead of re-running the corpus scan (r13 ADVICE)
-    exact_refs: dict[tuple[str, int, int], DataFrame] = {}
+    # exact references: ONE pipeline PER METRIC (r15, guide §2.4 — the r14
+    # memoization already collapsed 8 refs to the 5 distinct
+    # (metric, n_q, k) combos; within a metric every combo shares the same
+    # scored corpus and the same total order, so the broadcast-query scan
+    # + two-phase top-k now runs once at (max n_q, max k) and each combo's
+    # reference is a FILTER over the materialized (q_vec_id, vec_id, rk)
+    # rows: value-identical, because a local k_max-prune survivor set
+    # contains every k-prune survivor and rank prefixes of the same total
+    # order agree, so (q < n_q AND rk <= k) selects exactly _exact_topk's
+    # rows. 5 corpus pipelines → 3, each behind one lazy localCheckpoint
+    # of <= n_max*k_max rows.
+    by_metric: dict[str, tuple[int, int]] = {}
+    for _, n_q, k, metric, _ in _RUNGS:
+        n0, k0 = by_metric.get(metric, (0, 0))
+        by_metric[metric] = (max(n0, n_q), max(k0, k))
+    metric_refs = {
+        m: _exact_topk(emb, n_max, k_max, m).localCheckpoint(eager=False)
+        for m, (n_max, k_max) in by_metric.items()
+    }
     for name, n_q, k, metric, has_q in _RUNGS:
         approx = _RUNG_FNS[name](spark, sf_dir)
         if has_q:
@@ -221,12 +243,11 @@ def simsearch_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             approx = approx.select(
                 F.lit(0).cast("long").alias("q_vec_id"), "vec_id"
             )
-        ref_key = (metric, n_q, k)
-        if ref_key not in exact_refs:
-            exact_refs[ref_key] = _exact_topk(emb, n_q, k, metric).localCheckpoint(
-                eager=False
-            )
-        exact = exact_refs[ref_key]
+        exact = (
+            metric_refs[metric]
+            .filter((F.col("q_vec_id") < n_q) & (F.col("rk") <= k))
+            .select("q_vec_id", "vec_id")
+        )
         row = (
             approx.join(exact, ["q_vec_id", "vec_id"])
             .agg(F.count(F.lit(1)).alias("hits"))
