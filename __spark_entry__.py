@@ -141,6 +141,27 @@ _ROUND_PRIORITY: list[str] = [
     "text_blocklist_screen",
 ]
 
+# Round-15 stale-tier front (VERDICT r14 item 4: "front the oracle-co-edited
+# and rewritten queries in the r15 rotation ... so the external gate
+# re-stamps every r14 rewrite"): the stale tier normally drains OLDEST
+# driver stamps first, which puts the r14/r15-rewritten queries (newest
+# stamps) at the tier's back — outside the 50-slot window. This list fronts
+# exactly the queries whose ENGINE CODE was restructured in r14/r15 and
+# whose latest driver stamp predates the current blob; like _ROUND_PRIORITY
+# it is a per-round window plan (the rest of the tier keeps the mechanical
+# oldest-first order), and it only REORDERS re-certification, never
+# displaces a first stamp (the fresh pool still leads).
+_RESTAMP_PRIORITY: list[str] = [
+    # r15 rewrites that the oldest-first order would leave outside the window
+    "embedding_semantic_dedup",  # bounded cluster gather (r15) + r14 fused verify
+    "simsearch_ivf",             # shared canonical codebook builders (r15)
+    "ingest_triage",             # raw-md5 exact tier (r15) + r14 orientation cut
+    "simsearch_ivf_kmeans",      # kmeans_train checkpoint trim (r15)
+    # r14 rewrites never externally re-stamped post-edit
+    "basket_part_pairs",
+    "simsearch_lsh",
+]
+
 
 def _artifact_paths(here: str) -> list[str]:
     """CORRECTNESS_r*.json in NUMERIC round order — lexicographic sort
@@ -341,8 +362,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     reg_pos = {n: i for i, n in enumerate(names)}
     driver_rounds = _latest_driver_rounds()
     key = lambda n: (driver_rounds.get(n, 0), reg_pos[n])  # noqa: E731
+    # restamp-priority names lead the stale tier (see _RESTAMP_PRIORITY);
+    # names in the list that are NOT currently stale are simply skipped,
+    # so the list self-retires once the driver re-stamps them
+    ordered += [
+        n
+        for n in _RESTAMP_PRIORITY
+        if n in stale and n not in zero_rows and n not in ordered
+    ]
     ordered += sorted(
-        (n for n in names if n in stale and n not in zero_rows), key=key
+        (n for n in names if n in stale and n not in ordered and n not in zero_rows),
+        key=key,
     )
     # tier 3 (stamped & current): spare window slots refresh the
     # longest-unexamined driver stamps (see the policy block above).
